@@ -1,0 +1,41 @@
+"""Crawl configuration — everything that must be identical between the
+distributed crawler, the single-process oracle, and a resumed run.
+
+The config is part of the checkpoint manifest; resume refuses a
+mismatched config (determinism depends on it: shard count fixes the
+bloom-shard layout, tokens_per_round fixes admission).
+
+Scale guidance (the 10^10-URL design point, tested at ~10^4):
+- ``n_shards``: one frontier shard actor per partition; P should be
+  ~2-4x total cluster cores. Host -> shard is ``crc32(host) % P``, so
+  P must stay constant across resume (it is in the manifest).
+- ``bloom_capacity``: sized per shard; 10^10/P keys at the configured
+  FPR. At P=1024, fpr=1e-9: ~52 GB/shard of bits — budget accordingly
+  (or raise fpr / use the cuckoo variant with eviction).
+- ``tokens_per_round``: per-host politeness budget per BSP round
+  (token-bucket refill). Bounds per-round skew: no host can produce
+  more than this many fetches per round regardless of frontier skew.
+"""
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    n_shards: int = 8
+    n_buckets: int = 16  # corpus host-hash buckets (must match corpus)
+    tokens_per_round: int = 4
+    max_depth: int = 10
+    max_rounds: int = 64
+    bloom_capacity: int = 1 << 17  # per shard; test-scale default
+    bloom_fpr: float = 1e-9
+    seed: int = 42
+    plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        return cls(**d)

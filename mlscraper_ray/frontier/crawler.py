@@ -1,0 +1,248 @@
+"""Distributed BSP crawl driver: rounds of
+submit -> admit -> fetch/parse/extract -> link discovery -> checkpoint.
+
+Ray-Data-first structure per round k:
+
+1. **submit**: candidate dataset (seeds at round 0, else round k-1's
+   extracted links, read back with column pruning) ->
+   ``map_batches(submit_fn)`` routing rows to the owning
+   :class:`FrontierShard` actor (seen-set dedup + robots + politeness
+   enqueue happen inside the actor).
+2. **admit**: each shard actor emits its politeness-admitted Arrow
+   table; ``ray.data.from_arrow_refs`` assembles the round's frontier
+   without driver materialization.
+3. **fetch+parse+extract**: ``repartition`` (url-hash salting: breaks
+   per-host/shard clustering so hot hosts spread over the pool) ->
+   ``map_batches(FetchParseExtract, concurrency=..)`` actor pool ->
+   ``write_parquet(out/rounds/round=K/results)``. html bytes live only
+   inside this stage.
+4. **checkpoint**: every shard snapshots (bloom + heaps + robots +
+   counters) to ``out/checkpoint/round=K/shard-i.bin``; the driver
+   writes ``MANIFEST.json`` last — the atomic commit point.
+
+Resume: :func:`RayCrawler.resume` loads the latest complete manifest,
+restores every shard, and continues with round K+1 — producing
+byte-identical output to an uninterrupted run (tested).
+
+Determinism: crawl order is a pure function of (corpus, seeds,
+config). Ordering comes from data keys — (depth, url) heaps, per-host
+token quotas, BSP barriers — never from task arrival order, so Ray's
+scheduling nondeterminism cannot leak into results. The canonical
+order is materialized by :func:`crawl_order` as
+sort by (round, depth, host, url).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from mlscraper_ray.frontier.config import CrawlConfig
+from mlscraper_ray.frontier.shard import FrontierShard
+from mlscraper_ray.stages.crawl_stages import fetch_parse_extract_task, make_submit_fn
+
+
+def _dedup_candidates(candidates: ray.data.Dataset) -> ray.data.Dataset:
+    """Intra-round candidate dedup: a URL discovered by several pages in
+    one round gets its MINIMUM depth, independent of task arrival order
+    (without this, first-submission-wins would leak scheduler
+    nondeterminism into crawl priorities). Slim (url, depth) rows, so
+    the per-round shuffle is cheap; partial min-per-batch first keeps
+    the exchanged volume at one row per distinct url per batch."""
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grouped = batch.group_by("url").aggregate([("depth", "min")])
+        return grouped.rename_columns(["url", "depth"])
+
+    pre = candidates.map_batches(partial_min, batch_format="pyarrow")
+    agg = pre.groupby("url").min("depth")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["url", "depth"]), batch_format="pyarrow"
+    )
+
+
+def _round_dir(out_dir: str, k: int) -> str:
+    return os.path.join(out_dir, "rounds", f"round={k}")
+
+
+def _ckpt_dir(out_dir: str, k: int) -> str:
+    return os.path.join(out_dir, "checkpoint", f"round={k}")
+
+
+class RayCrawler:
+    def __init__(self, corpus_dir: str, out_dir: str, config: CrawlConfig):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.cfg = config
+        remote_shard = ray.remote(FrontierShard)
+        # num_cpus=0: shard actors are lightweight bookkeeping; on a real
+        # cluster give them fractional CPUs and spread across nodes.
+        self.shards = [
+            remote_shard.options(num_cpus=0).remote(i, config.to_dict(), corpus_dir)
+            for i in range(config.n_shards)
+        ]
+        self._fetch_parallelism = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    # -- round primitives ----------------------------------------------
+    def _submit_dataset(self, candidates: ray.data.Dataset) -> dict:
+        submit_fn = make_submit_fn(self.shards, self.cfg.n_shards)
+        counter_rows = candidates.map_batches(
+            submit_fn, batch_format="pyarrow", batch_size=4096
+        ).take_all()
+        totals: dict = {}
+        for row in counter_rows:
+            for key, value in row.items():
+                totals[key] = totals.get(key, 0) + value
+        return totals
+
+    def _admit(self) -> tuple[ray.data.Dataset, int]:
+        refs = [s.admit.remote() for s in self.shards]
+        counts = ray.get([s.last_admitted.remote() for s in self.shards])
+        ds = ray.data.from_arrow_refs(refs)
+        return ds, sum(counts)
+
+    def _fetch_extract(self, admitted: ray.data.Dataset, k: int) -> str:
+        results_dir = os.path.join(_round_dir(self.out_dir, k), "results")
+        n_blocks = max(self.cfg.n_shards, self._fetch_parallelism)
+        stage = admitted.repartition(n_blocks).map_batches(
+            fetch_parse_extract_task,
+            fn_kwargs={
+                "corpus_dir": self.corpus_dir,
+                "n_buckets": self.cfg.n_buckets,
+                "plan": self.cfg.plan,
+                "round_k": k,
+            },
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        stage.write_parquet(results_dir)
+        return results_dir
+
+    def _candidates_from_results(self, results_dir: str) -> ray.data.Dataset:
+        ds = ray.data.read_parquet(results_dir, columns=["depth", "links"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            urls, depths = [], []
+            for depth, links in zip(
+                batch["depth"].to_pylist(), batch["links"].to_pylist()
+            ):
+                for link in links:
+                    urls.append(link)
+                    depths.append(depth + 1)
+            return pa.table(
+                {"url": pa.array(urls, pa.string()), "depth": pa.array(depths, pa.int32())}
+            )
+
+        exploded = ds.map_batches(explode, batch_format="pyarrow")
+        return _dedup_candidates(exploded)
+
+    def _checkpoint(self, k: int, round_stats: dict) -> None:
+        ckpt = _ckpt_dir(self.out_dir, k)
+        os.makedirs(ckpt, exist_ok=True)
+        ray.get(
+            [
+                s.checkpoint_to.remote(os.path.join(ckpt, f"shard-{i}.bin"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        counters = ray.get([s.get_counters.remote() for s in self.shards])
+        manifest = {
+            "round": k,
+            "config": self.cfg.to_dict(),
+            "round_stats": round_stats,
+            "shard_counters": counters,
+            "n_shards": self.cfg.n_shards,
+        }
+        tmp = os.path.join(ckpt, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, os.path.join(ckpt, "MANIFEST.json"))
+
+    # -- main loop ------------------------------------------------------
+    def run(self, seeds_path: str | None = None, start_round: int = 0) -> dict:
+        os.makedirs(self.out_dir, exist_ok=True)
+        stats: dict = {"rounds": []}
+        for k in range(start_round, self.cfg.max_rounds):
+            if k == 0:
+                candidates = _dedup_candidates(
+                    ray.data.read_parquet(
+                        seeds_path or os.path.join(self.corpus_dir, "seeds.parquet"),
+                        columns=["url", "depth"],
+                    )
+                )
+            else:
+                prev_results = os.path.join(_round_dir(self.out_dir, k - 1), "results")
+                candidates = self._candidates_from_results(prev_results)
+            submit_totals = self._submit_dataset(candidates)
+            admitted, n_admitted = self._admit()
+            if n_admitted == 0:
+                break
+            self._fetch_extract(admitted, k)
+            round_stats = {"round": k, "admitted": n_admitted, **submit_totals}
+            stats["rounds"].append(round_stats)
+            self._checkpoint(k, round_stats)
+        stats["seen"] = sum(ray.get([s.seen_count.remote() for s in self.shards]))
+        stats["counters"] = {}
+        for c in ray.get([s.get_counters.remote() for s in self.shards]):
+            for key, value in c.items():
+                stats["counters"][key] = stats["counters"].get(key, 0) + value
+        with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
+            json.dump(stats, f, sort_keys=True)
+        return stats
+
+    # -- resume ---------------------------------------------------------
+    @classmethod
+    def latest_complete_round(cls, out_dir: str) -> int | None:
+        rounds = []
+        for path in glob.glob(os.path.join(out_dir, "checkpoint", "round=*", "MANIFEST.json")):
+            m = re.search(r"round=(\d+)", path)
+            if m:
+                rounds.append(int(m.group(1)))
+        return max(rounds) if rounds else None
+
+    @classmethod
+    def resume(cls, corpus_dir: str, out_dir: str) -> "tuple[RayCrawler, int]":
+        k = cls.latest_complete_round(out_dir)
+        assert k is not None, "no complete checkpoint to resume from"
+        ckpt = _ckpt_dir(out_dir, k)
+        with open(os.path.join(ckpt, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        crawler = cls(corpus_dir, out_dir, CrawlConfig.from_dict(manifest["config"]))
+        ray.get(
+            [
+                s.restore_from.remote(os.path.join(ckpt, f"shard-{i}.bin"))
+                for i, s in enumerate(crawler.shards)
+            ]
+        )
+        # discard any partial output after the checkpointed round
+        for rd in glob.glob(os.path.join(out_dir, "rounds", "round=*")):
+            m = re.search(r"round=(\d+)", rd)
+            if m and int(m.group(1)) > k:
+                import shutil
+
+                shutil.rmtree(rd)
+        return crawler, k + 1
+
+
+def crawl_order(out_dir: str) -> pa.Table:
+    """The canonical deterministic crawl order: fetched urls sorted by
+    (round, depth, host, url) with a global rank column."""
+    results = sorted(glob.glob(os.path.join(out_dir, "rounds", "round=*", "results", "*.parquet")))
+    tables = [
+        pq.read_table(f, columns=["round", "depth", "host", "url", "fetch_ok"])
+        for f in results
+    ]
+    table = pa.concat_tables(tables)
+    table = table.filter(table["fetch_ok"]).drop_columns(["fetch_ok"])
+    table = table.sort_by(
+        [("round", "ascending"), ("depth", "ascending"), ("host", "ascending"), ("url", "ascending")]
+    )
+    return table.append_column("rank", pa.array(range(table.num_rows), pa.int64()))

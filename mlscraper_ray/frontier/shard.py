@@ -1,0 +1,158 @@
+"""Frontier shard: the stateful heart of the crawl scheduler.
+
+One shard owns every host with ``crc32(host) % n_shards == shard_id``
+and holds, per the north-star design:
+
+- the URL-seen set: a deterministic :class:`BloomFilter` (cuckoo
+  variant available for delete-capable policies),
+- per-host politeness state: a token-bucket refilled each BSP round
+  (``tokens_per_round``), plus a robots.txt rules cache lazily loaded
+  from the corpus,
+- a per-host heap-based priority queue keyed ``(depth, url)`` — depth
+  first (BFS-flavored politeness), url as the deterministic total-order
+  tiebreaker standing in for warc_ts (which is only known post-fetch
+  in this corpus). The key is intrinsic to the row, never
+  arrival-order, so parallel submission cannot change the crawl order.
+
+The class is deliberately plain Python: the distributed crawler wraps
+it in ``ray.remote`` (one actor per shard), while tests can drive it
+in-process. All state round-trips through ``state_bytes``/``restore``
+— the per-round checkpoint unit.
+
+The reference has no counterpart to any of this (mlscraper never
+fetches or schedules; the only fetch in its repo is ``requests.get``
+in ``examples/quotes_to_scrape.py:16``) — semantics here are defined
+by this engine and pinned by the single-process oracle crawler.
+"""
+from __future__ import annotations
+
+import heapq
+import pickle
+from collections import Counter
+
+import pyarrow as pa
+
+from mlscraper_ray.frontier.config import CrawlConfig
+from mlscraper_ray.frontier.robots import RobotsRules
+from mlscraper_ray.sources.corpus import CorpusReader
+from mlscraper_ray.sources.corpusgen import url_host
+from mlscraper_ray.state.bloom import BloomFilter
+
+
+def url_path(url: str) -> str:
+    parts = url.split("/", 3)
+    return "/" + (parts[3] if len(parts) > 3 else "")
+
+
+class FrontierShard:
+    def __init__(self, shard_id: int, config: dict | CrawlConfig, corpus_dir: str):
+        cfg = config if isinstance(config, CrawlConfig) else CrawlConfig.from_dict(config)
+        self.shard_id = shard_id
+        self.cfg = cfg
+        self.bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpr)
+        self.heaps: dict[str, list] = {}
+        self.robots: dict[str, RobotsRules] = {}
+        self.reader = CorpusReader(corpus_dir, cfg.n_buckets)
+        self.counters: Counter = Counter()
+        self._last_admitted = 0
+
+    # -- robots ---------------------------------------------------------
+    def _robots_for(self, host: str) -> RobotsRules:
+        rules = self.robots.get(host)
+        if rules is None:
+            body = self.reader.get_text(f"http://{host}/robots.txt")
+            rules = RobotsRules.parse(body) if body else RobotsRules.ALLOW_ALL
+            self.robots[host] = rules
+        return rules
+
+    # -- submission (candidate URLs -> pending heaps) -------------------
+    def submit(self, urls: list[str], depths: list[int]) -> dict:
+        """Dedup + robots-gate + enqueue. Order-insensitive within a
+        round: the seen-set is a set, the heap key is intrinsic."""
+        c = Counter()
+        for url, depth in zip(urls, depths):
+            if depth > self.cfg.max_depth:
+                c["dropped_depth"] += 1
+                continue
+            if not self.bloom.add(url):
+                c["dropped_seen"] += 1
+                continue
+            host = url_host(url)
+            if not self._robots_for(host).allowed(url_path(url)):
+                c["dropped_robots"] += 1
+                continue
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, url))
+            c["enqueued"] += 1
+        self.counters.update(c)
+        return dict(c)
+
+    # -- admission (politeness gate) ------------------------------------
+    def admit(self) -> pa.Table:
+        """Pop up to ``tokens_per_round`` URLs per host, in (depth, url)
+        order; hosts processed in sorted order so the emitted table is
+        deterministic."""
+        urls, hosts, depths = [], [], []
+        for host in sorted(self.heaps):
+            heap = self.heaps[host]
+            for _ in range(min(self.cfg.tokens_per_round, len(heap))):
+                depth, url = heapq.heappop(heap)
+                urls.append(url)
+                hosts.append(host)
+                depths.append(depth)
+            if not heap:
+                del self.heaps[host]
+        self._last_admitted = len(urls)
+        self.counters["admitted"] += len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+            }
+        )
+
+    def last_admitted(self) -> int:
+        return self._last_admitted
+
+    def pending(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def get_counters(self) -> dict:
+        return dict(self.counters)
+
+    def seen_count(self) -> int:
+        return self.bloom.n_added
+
+    # -- checkpoint/restore ---------------------------------------------
+    def state_bytes(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "bloom": self.bloom.to_bytes(),
+                "heaps": self.heaps,
+                "robots": {h: r.disallow_prefixes for h, r in self.robots.items()},
+                "counters": dict(self.counters),
+            }
+        )
+
+    def restore(self, data: bytes) -> None:
+        state = pickle.loads(data)
+        assert state["shard_id"] == self.shard_id, "shard id mismatch on restore"
+        self.bloom = BloomFilter.from_bytes(state["bloom"])
+        self.heaps = state["heaps"]
+        self.robots = {h: RobotsRules(p) for h, p in state["robots"].items()}
+        self.counters = Counter(state["counters"])
+
+    def checkpoint_to(self, path: str) -> int:
+        data = self.state_bytes()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        import os
+
+        os.replace(tmp, path)
+        return len(data)
+
+    def restore_from(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.restore(f.read())

@@ -1,0 +1,152 @@
+"""Crawl engine integration tests: distributed-vs-oracle equality,
+checkpoint/resume equivalence, golden extraction.
+
+These use a small corpus so the full BSP loop runs in seconds.
+"""
+import glob
+import json
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mlscraper_ray.frontier.config import CrawlConfig
+from mlscraper_ray.frontier.oracle import oracle_crawl
+from mlscraper_ray.sources.corpusgen import CorpusSpec, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    spec = CorpusSpec(n_hosts=5, pages_per_host=4, skew_factors=(2,), n_seeds=2)
+    generate_corpus(d, spec)
+    return d, spec
+
+
+@pytest.fixture(scope="module")
+def learned_plan(small_corpus):
+    d, spec = small_corpus
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.learn.samples import Sample, TrainingSet
+    from mlscraper_ray.learn.training import train_scraper
+    from mlscraper_ray.sources.corpus import CorpusReader
+
+    reader = CorpusReader(d, spec.n_buckets)
+    ts = TrainingSet()
+    for s in json.load(open(f"{d}/samples.json")):
+        html = reader.lookup([s["url"]])["html"][0].as_py()
+        ts.add_sample(Sample(parse_html(html), s["value"]))
+    return train_scraper(ts, complexity=2).to_plan()
+
+
+def _config(plan):
+    return CrawlConfig(
+        n_shards=4, tokens_per_round=2, max_rounds=12, max_depth=6, plan=plan
+    )
+
+
+def _results_table(out_dir, columns):
+    files = sorted(glob.glob(f"{out_dir}/rounds/round=*/results/*.parquet"))
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, small_corpus, learned_plan, tmp_path_factory):
+    from mlscraper_ray.frontier.crawler import RayCrawler
+
+    d, spec = small_corpus
+    out = str(tmp_path_factory.mktemp("crawl"))
+    cfg = _config(learned_plan)
+    stats = RayCrawler(d, out, cfg).run()
+    return d, out, cfg, stats
+
+
+class TestCrawlVsOracle:
+    def test_order_and_seen_match(self, crawl_run):
+        from mlscraper_ray.frontier.crawler import crawl_order
+
+        corpus, out, cfg, stats = crawl_run
+        order = crawl_order(out)
+        fetches, seen, _, _ = oracle_crawl(corpus, cfg)
+        ray_order = list(
+            zip(
+                order["round"].to_pylist(),
+                order["depth"].to_pylist(),
+                order["host"].to_pylist(),
+                order["url"].to_pylist(),
+            )
+        )
+        assert ray_order == fetches
+        assert stats["seen"] == len(seen)
+
+    def test_extraction_matches_oracle_and_golden(self, crawl_run):
+        corpus, out, cfg, _ = crawl_run
+        _, _, extracted, _ = oracle_crawl(corpus, cfg)
+        res = _results_table(out, ["url", "value_json", "fetch_ok"])
+        ray_extracted = dict(
+            zip(res["url"].to_pylist(), res["value_json"].to_pylist())
+        )
+        for url, expected in extracted.items():
+            assert ray_extracted.get(url) == expected
+        golden = dict(
+            zip(
+                *[
+                    pq.read_table(f"{corpus}/golden.parquet")[c].to_pylist()
+                    for c in ("url", "expected_json")
+                ]
+            )
+        )
+        checked = 0
+        for url, value in extracted.items():
+            if url in golden:
+                checked += 1
+                assert value == golden[url], url
+        assert checked > 0
+
+    def test_politeness_budget_respected(self, crawl_run):
+        corpus, out, cfg, _ = crawl_run
+        res = _results_table(out, ["round", "host", "url"])
+        counts = {}
+        for r, h in zip(res["round"].to_pylist(), res["host"].to_pylist()):
+            counts[(r, h)] = counts.get((r, h), 0) + 1
+        assert counts
+        assert max(counts.values()) <= cfg.tokens_per_round
+
+    def test_robots_respected(self, crawl_run):
+        corpus, out, _, _ = crawl_run
+        res = _results_table(out, ["url"])
+        # h0000 disallows /private/ in the synthetic corpus
+        for url in res["url"].to_pylist():
+            assert not url.startswith("http://h0000.example/private/")
+
+
+class TestResume:
+    def test_resume_produces_identical_output(
+        self, ray_session, small_corpus, learned_plan, tmp_path_factory
+    ):
+        from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+        corpus, spec = small_corpus
+        cfg = _config(learned_plan)
+        full_out = str(tmp_path_factory.mktemp("full"))
+        RayCrawler(corpus, full_out, cfg).run()
+        full_order = crawl_order(full_out).to_pylist()
+
+        # interrupted run: replay an uninterrupted prefix, then truncate
+        # everything after round 1's checkpoint and resume
+        part_out = str(tmp_path_factory.mktemp("part"))
+        shutil.copytree(full_out, part_out, dirs_exist_ok=True)
+        for rd in glob.glob(f"{part_out}/rounds/round=*"):
+            k = int(rd.rsplit("=", 1)[1])
+            if k > 1:
+                shutil.rmtree(rd)
+        for cd in glob.glob(f"{part_out}/checkpoint/round=*"):
+            k = int(cd.rsplit("=", 1)[1])
+            if k > 1:
+                shutil.rmtree(cd)
+
+        crawler, next_round = RayCrawler.resume(corpus, part_out)
+        assert next_round == 2
+        crawler.run(start_round=next_round)
+        assert crawl_order(part_out).to_pylist() == full_order

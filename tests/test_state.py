@@ -1,0 +1,130 @@
+"""Unit tests: bloom/cuckoo filters, robots, frontier shard policy."""
+import pyarrow as pa
+import pytest
+
+from mlscraper_ray.frontier.config import CrawlConfig
+from mlscraper_ray.frontier.robots import RobotsRules
+from mlscraper_ray.state.bloom import BloomFilter
+from mlscraper_ray.state.cuckoo import CuckooFilter
+
+
+class TestBloom:
+    def test_add_contains(self):
+        bf = BloomFilter(10000, 1e-6)
+        urls = [f"http://h{i}.example/p/{i}" for i in range(1000)]
+        for u in urls:
+            assert bf.add(u) is True
+        for u in urls:
+            assert u in bf
+            assert bf.add(u) is False
+        assert bf.n_added == 1000
+
+    def test_no_false_positives_at_scale(self):
+        bf = BloomFilter(100000, 1e-9)
+        for i in range(10000):
+            bf.add(f"in-{i}")
+        fps = sum(1 for i in range(10000) if f"out-{i}" in bf)
+        assert fps == 0
+
+    def test_serialization_roundtrip(self):
+        bf = BloomFilter(1000, 1e-6)
+        for i in range(500):
+            bf.add(f"u{i}")
+        bf2 = BloomFilter.from_bytes(bf.to_bytes())
+        assert bf2.n_added == bf.n_added
+        assert all(f"u{i}" in bf2 for i in range(500))
+        assert "u9999" not in bf2
+
+    def test_deterministic_across_instances(self):
+        a, b = BloomFilter(1000, 1e-6), BloomFilter(1000, 1e-6)
+        for i in range(200):
+            a.add(f"x{i}")
+            b.add(f"x{i}")
+        assert a.to_bytes() == b.to_bytes()
+
+
+class TestCuckoo:
+    def test_add_contains_delete(self):
+        cf = CuckooFilter(10000)
+        for i in range(5000):
+            cf.add(f"url-{i}")
+        assert all(f"url-{i}" in cf for i in range(5000))
+        assert cf.delete("url-42")
+        assert "url-42" not in cf
+        assert not cf.delete("url-42")
+
+    def test_serialization_roundtrip(self):
+        cf = CuckooFilter(1000)
+        for i in range(400):
+            cf.add(f"u{i}")
+        cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+        assert all(f"u{i}" in cf2 for i in range(400))
+
+
+class TestRobots:
+    def test_disallow_prefix(self):
+        r = RobotsRules.parse("User-agent: *\nDisallow: /private/\n")
+        assert not r.allowed("/private/3")
+        assert r.allowed("/p/3")
+
+    def test_empty_disallow_allows_all(self):
+        r = RobotsRules.parse("User-agent: *\nDisallow:\n")
+        assert r.allowed("/private/3")
+
+    def test_other_agent_group_ignored(self):
+        r = RobotsRules.parse("User-agent: GoogleBot\nDisallow: /x/\nUser-agent: *\nDisallow: /y/\n")
+        assert r.allowed("/x/1")
+        assert not r.allowed("/y/1")
+
+
+class TestFrontierShard:
+    @pytest.fixture()
+    def shard(self, tmp_path):
+        from mlscraper_ray.frontier.shard import FrontierShard
+        from mlscraper_ray.sources.corpusgen import CorpusSpec, generate_corpus
+
+        spec = CorpusSpec(n_hosts=2, pages_per_host=3, skew_factors=())
+        generate_corpus(str(tmp_path / "corpus"), spec)
+        cfg = CrawlConfig(n_shards=1, tokens_per_round=2)
+        return FrontierShard(0, cfg, str(tmp_path / "corpus"))
+
+    def test_politeness_caps_per_host(self, shard):
+        urls = [f"http://h0000.example/p/{i}" for i in range(3)] + [
+            "http://h0001.example/p/0"
+        ]
+        shard.submit(urls, [1, 0, 2, 0])
+        t = shard.admit()
+        # 2 tokens for h0000 (lowest (depth,url) first), 1 for h0001
+        assert t.num_rows == 3
+        rows = list(zip(t["host"].to_pylist(), t["url"].to_pylist(), t["depth"].to_pylist()))
+        assert rows[0] == ("h0000.example", "http://h0000.example/p/1", 0)
+        assert rows[1] == ("h0000.example", "http://h0000.example/p/0", 1)
+        assert rows[2] == ("h0001.example", "http://h0001.example/p/0", 0)
+        # deferred url comes out next round
+        t2 = shard.admit()
+        assert t2["url"].to_pylist() == ["http://h0000.example/p/2"]
+
+    def test_dedup_and_depth_gate(self, shard):
+        res = shard.submit(["http://h0000.example/p/0"] * 2, [0, 0])
+        assert res["enqueued"] == 1 and res["dropped_seen"] == 1
+        res = shard.submit(["http://h0000.example/p/99"], [99])
+        assert res["dropped_depth"] == 1
+
+    def test_robots_gate(self, shard):
+        # h0000 (h%5==0) disallows /private/
+        res = shard.submit(["http://h0000.example/private/7"], [1])
+        assert res["dropped_robots"] == 1
+        assert shard.admit().num_rows == 0
+
+    def test_checkpoint_restore(self, shard, tmp_path):
+        from mlscraper_ray.frontier.shard import FrontierShard
+
+        shard.submit([f"http://h0000.example/p/{i}" for i in range(3)], [0, 1, 2])
+        shard.admit()
+        path = str(tmp_path / "shard.bin")
+        shard.checkpoint_to(path)
+        clone = FrontierShard(0, shard.cfg, str(tmp_path / "corpus"))
+        clone.restore_from(path)
+        assert clone.pending() == shard.pending()
+        assert clone.admit().to_pylist() == shard.admit().to_pylist()
+        assert clone.bloom.to_bytes() == shard.bloom.to_bytes()
