@@ -1,18 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` here or in the library code these call.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers SURVEY.md §2 (the reference's learn/apply surface
+re-expressed Ray-Data-first + the crawl engine the north_rule adds)
+plus the large-scale training-data operators (dedup, similarity
+search, text analysis, stream windows, multimodal plumbing).
+``oracle_sql()`` provides DuckDB equivalents for every
+SQL-expressible query; crawl/learning/ANN/heuristic ops are rows-only
+by nature (the crawl side is instead pinned by the in-repo oracle
+crawler + golden extraction tests, see tests/test_crawl.py).
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
@@ -20,25 +19,143 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthetic-corpus
+    crawl (frontier -> politeness -> fetch -> learned-scraper extract)
+    returning the deterministic crawl-order table."""
+    from mlscraper_ray.pipelines.crawl_pipeline import crawl_order_query
+
+    return crawl_order_query("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mlscraper_ray.functions import aggregates, dedup, joins, similarity, streams, textstats
+    from mlscraper_ray.pipelines import crawl_pipeline
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def multimodal_decode(sf_dir: str):
+        import os
+
+        import ray.data
+
+        from mlscraper_ray.stages.multimodal import DecodeStub, FeatureExtractStub
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def to_payload(t):
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "payload": pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary()),
+                }
+            )
+
+        payloads = docs.map_batches(to_payload, batch_format="pyarrow")
+        decoded = payloads.map_batches(
+            DecodeStub, fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        )
+        import pyarrow as pa
+
+        out = decoded.to_pandas().sort_values("doc_id", ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def embed_features(sf_dir: str):
+        import os
+
+        import pyarrow as pa
+        import ray.data
+
+        from mlscraper_ray.stages.multimodal import FeatureExtractStub
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def to_payload(t):
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "payload": pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary()),
+                }
+            )
+
+        feats = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+            FeatureExtractStub, fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        )
+        out = feats.to_pandas().sort_values("doc_id", ignore_index=True)
+        out["features"] = out["features"].map(lambda v: list(v))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return {
+        # relational / aggregate surface (SQL-checked)
+        "q1_pricing_summary": aggregates.q1_lineitem,
+        "revenue_by_nation": aggregates.revenue_by_nation,
+        "events_by_type": aggregates.events_by_type,
+        "order_lineitem_revenue": joins.order_lineitem_revenue,
+        # dedup (exact SQL-checked; near-dup rows-only)
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash": dedup.minhash_dedup,
+        "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
+        "doc_fingerprints": textstats.fingerprints,
+        # text analysis
+        "doc_token_stats": textstats.doc_token_stats,
+        "source_token_totals": textstats.source_token_totals,
+        "doc_quality": textstats.quality_scores,
+        "doc_langid": textstats.langid,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
+        "embed_neardup_pairs": similarity.embedding_neardup_pairs,
+        # stream-shaped
+        "sessionize": streams.sessionize,
+        "hourly_event_counts": streams.hourly_event_counts,
+        "top_event_per_user": streams.top_event_per_user,
+        # multimodal plumbing (stubbed codecs)
+        "multimodal_decode": multimodal_decode,
+        "multimodal_features": embed_features,
+        # crawl + extraction (pinned by in-repo oracle, rows-only here)
+        "crawl_order": crawl_pipeline.crawl_order_query,
+        "extract_all": crawl_pipeline.extract_all_query,
+        "learn_plan": crawl_pipeline.learn_plan_query,
+    }
+
+
+def _simhash_pairs(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from mlscraper_ray.functions.dedup import simhash_neardup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_neardup_pairs(docs)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mlscraper_ray.functions import aggregates, joins, similarity, streams, textstats
+
+    return {
+        "q1_pricing_summary": aggregates.Q1_SQL,
+        "revenue_by_nation": aggregates.REVENUE_BY_NATION_SQL,
+        "events_by_type": aggregates.EVENTS_BY_TYPE_SQL,
+        "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
+        "dedup_exact": dedup_exact_sql(),
+        "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
+        "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "sessionize": streams.sessionize_sql(),
+        "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
+        "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
+    }
+
+
+def dedup_exact_sql() -> str:
+    from mlscraper_ray.functions.dedup import EXACT_DEDUP_SQL
+
+    return EXACT_DEDUP_SQL

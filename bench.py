@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+  {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": .., "num_cpus": N,
+   "crawl_urls_per_sec": .., "extract_pages_per_sec": ..}
+
+--scaling: runs the scaling pipeline (the embarrassingly-parallel
+extraction slice + the crawl) twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus efficiency = (t_8/t_32)/(32/8).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import (
+        corpus_for_sf,
+        extract_all_query,
+        run_crawl,
+        sf_of_dir,
+    )
+
+    sf = sf_of_dir(sf_dir)
+    # corpus generation + a warm-up read are untimed (measure compute,
+    # not first-touch disk)
+    corpus_dir, spec = corpus_for_sf(sf)
+    ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url"]).count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    out_dir, stats, cfg = run_crawl(sf_dir, tokens_per_round=64, max_rounds=60)
+    queries["crawl"] = round(time.time() - t0, 3)
+    fetched = sum(r["admitted"] for r in stats["rounds"])
+    extras["crawl_urls_per_sec"] = round(fetched / queries["crawl"], 1)
+    extras["crawl_rounds"] = len(stats["rounds"])
+
+    t0 = time.time()
+    extracted = extract_all_query(sf_dir)
+    queries["extract_all"] = round(time.time() - t0, 3)
+    extras["extract_pages_per_sec"] = round(extracted.num_rows / queries["extract_all"], 1)
+
+    table_ops = [
+        "q1_pricing_summary",
+        "order_lineitem_revenue",
+        "dedup_exact",
+        "dedup_minhash",
+        "source_token_totals",
+        "doc_quality",
+        "ann_cosine_topk",
+        "embed_neardup_pairs",
+        "sessionize",
+        "hourly_event_counts",
+    ]
+    qmap = entry_mod.queries()
+    for name in table_ops:
+        t0 = time.time()
+        qmap[name](sf_dir)
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (the
+    sandbox stand-in for N-node vs 4N-node clusters)."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["scaling_sec"] / r_hi["scaling_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["scaling_sec"],
+        f"sec_{hi}": r_hi["scaling_sec"],
+        f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
+        f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
+        "pipeline": "extract_all x3 (parse+select+extract over full corpus)",
+        "sf": r_lo["sf"],
+    }
+
+
+def run_scaling_worker() -> dict:
+    """One timed scaling run: the extraction slice repeated 3x (enough
+    work to amortize fixed startup at 32 cpus)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, extract_all_query, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, _ = corpus_for_sf(sf)
+    ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url"]).count()  # warm
+
+    reps = 3
+    t0 = time.time()
+    n_pages = 0
+    for _ in range(reps):
+        n_pages += extract_all_query(sf_dir).num_rows
+    dt = time.time() - t0
+    return {
+        "scaling_sec": round(dt, 3),
+        "pages_per_sec": round(n_pages / dt, 1),
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        result = run_scaling_worker()
+    elif "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -1,0 +1,181 @@
+"""Relational aggregates over the testdata tables — the engine's
+general groupby/join surface, written scale-first:
+
+- **partial aggregation**: every groupby here pre-aggregates inside
+  ``map_batches`` (one row per key per batch) before the shuffle, so
+  the all-to-all exchange moves partials, not rows;
+- **broadcast joins**: dimension tables (customer, nation) are read
+  once driver-side, ``ray.put`` once, and looked up per batch — no
+  shuffle join for small sides;
+- **exact-integer arithmetic**: money/values are aggregated as
+  cents/milli BIGINTs (the corpus is cent-exact), so results
+  hash-compare exactly against the DuckDB oracle regardless of float
+  summation order.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def q1_lineitem(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-flavored pricing summary: per (returnflag, linestatus)
+    over lineitems shipped before 1996-09-01. Partial-agg + tiny final
+    groupby; output is exact-integer."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1996-09-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["l_shipdate"], cutoff))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "base_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "count_order"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_cents", "count_order"])
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={
+            "sum(sum_qty)": "sum_qty",
+            "sum(sum_base_cents)": "sum_base_cents",
+            "sum(count_order)": "count_order",
+        }
+    ).sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Order revenue per customer nation: broadcast-join orders against
+    the (small) customer->nation mapping, partial-sum per batch, tiny
+    final groupby."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    nation_by_key = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cust_nation = {
+        ck: nation_by_key[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    lookup_ref = ray.put(cust_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup[ck] for ck in batch["o_custkey"].to_pylist()]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by("n_name").aggregate([("revenue_cents", "sum"), ("n_name", "count")])
+        return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum(["revenue_cents", "n_orders"])
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"}
+    ).sort_values("n_name", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type counts + milli-exact value sums + first/last ts."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()),
+                "ts": batch["ts"],
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("value_milli", "sum"), ("ts", "min"), ("ts", "max"), ("event_type", "count")]
+        )
+        return g.rename_columns(["event_type", "sum_value_milli", "first_ts", "last_ts", "n_events"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("sum_value_milli", alias_name="sum_value_milli"),
+            ray.data.aggregate.Min("first_ts", alias_name="first_ts"),
+            ray.data.aggregate.Max("last_ts", alias_name="last_ts"),
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values("event_type", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,139 @@
+"""Join strategies.
+
+Two shapes, matching the scale playbook:
+
+- :func:`broadcast_join_map` — small side broadcast once via
+  ``ray.put``, looked up inside ``map_batches`` (no shuffle). Used by
+  aggregates.revenue_by_nation.
+- :func:`cogroup_join` — both sides large: tag each side, union the
+  datasets on aligned schemas, hash-partition by key via
+  ``groupby(key)`` and join inside ``map_groups``. One shuffle total
+  (the union shuffles once on the key), no driver materialization.
+  Skew note: a hot key lands in one group; callers joining skewed keys
+  should pre-salt (append ``key_salt = hash(row) % k`` to BOTH sides'
+  keys for the hot keys, replicating the small side's hot rows k ways).
+"""
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join_map(ds: ray.data.Dataset, key: str, mapping_ref, out_col: str):
+    """Adds ``out_col`` by looking ``key`` up in a broadcast dict."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(mapping_ref)
+        vals = [mapping.get(k) for k in batch[key].to_pylist()]
+        return batch.append_column(out_col, pa.array(vals))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def bucket_of(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Deterministic bucket id per key value (int: modulo; str: crc32)."""
+    import zlib
+
+    import numpy as np
+
+    if pa.types.is_integer(arr.type):
+        vals = (
+            arr.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(arr, pa.ChunkedArray)
+            else arr.to_numpy(zero_copy_only=False)
+        )
+        return pa.array(np.abs(vals.astype(np.int64)) % n_buckets, pa.int64())
+    vals = arr.to_pylist()
+    return pa.array([zlib.crc32(str(v).encode()) % n_buckets for v in vals], pa.int64())
+
+
+def cogroup_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned hash join of two Datasets on ``key`` (non-key column
+    sets must be disjoint): tag sides, union on aligned schemas, hash
+    into ``n_buckets`` fixed partitions, pandas-merge inside each
+    bucket. One shuffle; per-bucket work is one vectorized merge (never
+    one Python call per key, which melts at 10^5+ keys)."""
+    l_cols = [c for c in left.schema().names if c != key]
+    r_cols = [c for c in right.schema().names if c != key]
+    overlap = set(l_cols) & set(r_cols)
+    assert not overlap, f"non-key column overlap: {overlap}"
+
+    def tag(side: str, other_cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column("__side", pa.array([side] * batch.num_rows))
+            batch = batch.append_column("__bucket", bucket_of(batch[key], n_buckets))
+            for c in other_cols:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows))
+            return batch
+
+        return fn
+
+    all_cols = [key, "__side", "__bucket"] + l_cols + r_cols
+    lt = left.map_batches(tag("l", r_cols), batch_format="pyarrow").select_columns(all_cols)
+    rt = right.map_batches(tag("r", l_cols), batch_format="pyarrow").select_columns(all_cols)
+    unioned = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[key] + l_cols]
+        rg = g[g["__side"] == "r"][[key] + r_cols]
+        return lg.merge(rg, on=key, how=how)
+
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def order_lineitem_revenue(sf_dir: str) -> pa.Table:
+    """Large-large join demo: lineitem x orders on orderkey ->
+    extended-price revenue (cents) per order priority."""
+    import pyarrow.compute as pc
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "price_cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = cogroup_join(lineitem, orders, "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("price_cents", "sum"), ("o_orderkey", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "revenue_cents", "n_lineitems"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["revenue_cents", "n_lineitems"])
+        .to_pandas()
+        .rename(columns={"sum(revenue_cents)": "revenue_cents", "sum(n_lineitems)": "n_lineitems"})
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORDER_LINEITEM_REVENUE_SQL = """
+SELECT o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -1,0 +1,180 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+- :func:`cosine_topk` — brute-force baseline: broadcast the query
+  vector once (``ray.put``), per-batch numpy matmul + per-batch top-k,
+  then a tiny global merge. The scale path: each batch does one
+  (batch x dim) @ (dim,) product; only k rows per batch leave the task.
+- :func:`ivf_topk` — IVF-style ANN: seeded coarse centroids (sampled
+  deterministically), per-batch cluster assignment, search restricted
+  to the query's n_probe nearest clusters.
+- :func:`embedding_neardup_pairs` — LSH (random hyperplane simhash)
+  bucketing -> in-bucket exact cosine -> pairs over threshold.
+
+Scores are reported as fixed-point ``score_x10k`` ints (float64 math)
+so results hash-compare against the DuckDB oracle.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    emb = batch["embedding"]
+    flat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64) if isinstance(
+        emb, pa.ChunkedArray
+    ) else np.asarray(emb.flatten(), dtype=np.float64)
+    dim = len(flat) // len(ids)
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t["vec_id"], query_vec_id))
+    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
+
+
+def cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Top-k cosine neighbors of one stored vector (excluding itself)."""
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (mat @ qv) / norms
+        keep = min(k + 1, len(ids))
+        idx = np.argpartition(-scores, keep - 1)[:keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "score_x10k": pa.array(np.round(scores[idx] * 10000).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    out = partials.sort_values(["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+SELECT e.vec_id,
+       CAST(ROUND(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
+       ) * 10000) AS BIGINT) AS score_x10k
+FROM embeddings e
+WHERE e.vec_id != {query_vec_id}
+ORDER BY score_x10k DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_clusters: int = 16, n_probe: int = 4) -> pa.Table:
+    """IVF-flavored ANN: centroids = deterministic sample of stored
+    vectors; search only the query's n_probe nearest clusters. Returns
+    the same schema as cosine_topk (approximate contents)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    n = t.num_rows
+    rng = np.random.RandomState(42)
+    centroid_rows = sorted(rng.choice(n, size=min(n_clusters, n), replace=False).tolist())
+    centroids = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in centroid_rows])
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    state_ref = ray.put((qn, centroids, probe))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv, cents, probe_set = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        assign = np.argmax(unit @ cents.T, axis=1)
+        mask = np.isin(assign, list(probe_set))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "score_x10k": pa.array([], pa.int64())})
+        scores = unit[mask] @ qv
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[mask], pa.int64()),
+                "score_x10k": pa.array(np.round(scores * 10000).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    out = partials.sort_values(["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int = 16) -> pa.Table:
+    """Embedding near-dup pairs: random-hyperplane LSH buckets, then
+    exact cosine within buckets. Pairs with cos >= threshold."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0].as_py())
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        bits = (unit @ pl.T) > 0
+        keys = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys),
+                "vec_id": pa.array(ids, pa.int64()),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].tolist()
+        mat = np.stack([np.asarray(u) for u in g["unit"]])
+        sims = mat @ mat.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(int(round(sims[i, j] * 10000)))
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "score_x10k": out_s})
+
+    res = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(res) == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "score_x10k": pa.array([], pa.int64())}
+        )
+    res = res.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"], ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False)

@@ -1,0 +1,159 @@
+"""Stream-shaped operators over the events table.
+
+Ray Data has no event-time windows; the engine's contract (documented
+per the guide) is: events are an ordered, key-partitioned log —
+windows are computed inside ``groupby(key).map_groups`` over the
+ts-sorted group. All outputs are exact-integer so they hash-compare
+against DuckDB window-function oracles.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Sessions per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``. Partitioned by user_id
+    (the shuffle key), windowed within the sorted group."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized windowing over ALL users in the bucket at once
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        new_session = prev.isna() | ((g["ts"] - prev) > gap)
+        agg = (
+            g.assign(__ns=new_session)
+            .groupby("user_id")
+            .agg(n_sessions=("__ns", "sum"), n_events=("__ns", "size"))
+            .reset_index()
+        )
+        agg["n_sessions"] = agg["n_sessions"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out[["user_id", "n_sessions", "n_events"]], preserve_index=False)
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+def hourly_event_counts(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type: count + milli-exact
+    value sum. Window key computed per batch (vectorized floor), then
+    partial-agg -> small groupby."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": hour,
+                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value_milli", "sum"), ("window_start", "count")]
+        )
+        return g.rename_columns(["event_type", "window_start", "sum_value_milli", "n_events"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .sum(["sum_value_milli", "n_events"])
+        .to_pandas()
+        .rename(columns={"sum(sum_value_milli)": "sum_value_milli", "sum(n_events)": "n_events"})
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+HOURLY_EVENT_COUNTS_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def top_event_per_user(sf_dir: str) -> pa.Table:
+    """Each user's highest-value event (value desc, event_id asc
+    tiebreak): groupby(user).map_groups top-1."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "value"]
+    )
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def top1_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        g = g.groupby("user_id", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "event_id": g["event_id"].astype("int64"),
+                "value_milli": (g["value"] * 1000).round().astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(top1_per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TOP_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, CAST(ROUND(value*1000) AS BIGINT) AS value_milli
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""

@@ -1,0 +1,183 @@
+"""Text-analysis operators: token counting, quality scoring,
+language-ID, document fingerprinting. All vectorized-per-batch over the
+documents table; stats are exact integers (or fixed-point ints) so the
+SQL-expressible ones hash-compare against DuckDB.
+"""
+from __future__ import annotations
+
+import os
+import re
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_WORD_RE = re.compile(r"\S+")
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"},
+}
+
+
+def doc_token_stats(sf_dir: str) -> pa.Table:
+    """Per-doc exact token/char counts (whitespace tokens)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].str.findall(_WORD_RE).str.len().astype("int64"),
+                "n_chars": batch["text"].str.len().astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def source_token_totals(sf_dir: str) -> pa.Table:
+    """Corpus-level token budget per source: partial agg per batch ->
+    small groupby. The shape of 'how many training tokens do we have'."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_tokens"] = df["text"].str.findall(_WORD_RE).str.len().astype("int64")
+        g = df.groupby("source", as_index=False).agg(n_tokens=("n_tokens", "sum"), n_docs=("text", "size"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_tokens", "n_docs"])
+        .to_pandas()
+        .rename(columns={"sum(n_tokens)": "n_tokens", "sum(n_docs)": "n_docs"})
+        .sort_values("source", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SOURCE_TOKEN_TOTALS_SQL = """
+SELECT source,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic quality features per document.
+    Scores are fixed-point ints (pct) so output is hash-stable."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "doc_id": batch["doc_id"],
+            "n_tokens": [],
+            "alpha_pct": [],
+            "stopword_pct": [],
+            "mean_wordlen_x100": [],
+            "quality_pct": [],
+        }
+        for text in batch["text"]:
+            tokens = text.split()
+            n = len(tokens)
+            words = self.word_re.findall(text)
+            alpha_chars = sum(len(w) for w in words)
+            alpha_pct = int(round(100 * alpha_chars / max(1, len(text))))
+            stop_pct = int(round(100 * sum(1 for t in tokens if t.lower() in self.stop) / max(1, n)))
+            mwl = int(round(100 * (sum(len(t) for t in tokens) / max(1, n))))
+            # crude composite: long enough, alpha-heavy, some stopwords
+            quality = min(100, n // 2) * 0.4 + alpha_pct * 0.4 + min(stop_pct, 40) * 0.5
+            out["n_tokens"].append(n)
+            out["alpha_pct"].append(alpha_pct)
+            out["stopword_pct"].append(stop_pct)
+            out["mean_wordlen_x100"].append(mwl)
+            out["quality_pct"].append(int(round(quality)))
+        return pd.DataFrame(out)
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword-voting language ID (en/de/fr) with an
+    'und' (undetermined) fallback. Deterministic heuristic."""
+
+    def __init__(self):
+        self.stopwords = _STOPWORDS
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs, scores = [], []
+        for text in batch["text"]:
+            tokens = [t.lower() for t in text.split()[:500]]
+            n = max(1, len(tokens))
+            best_lang, best = "und", 0
+            for lang, stops in self.stopwords.items():
+                hits = sum(1 for t in tokens if t in stops)
+                if hits > best:
+                    best, best_lang = hits, lang
+            langs.append(best_lang)
+            scores.append(int(round(1000 * best / n)))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_score_milli": scores})
+
+
+def langid(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    """64-bit rolling-polynomial document fingerprints over normalized
+    tokens (content-defined identity that survives whitespace noise)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    B, M = 1000003, (1 << 61) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        fps = []
+        for text in batch["text"].to_pylist():
+            acc = 0
+            for token in text.split():
+                acc = (acc * B + zlib.crc32(token.encode())) % M
+            fps.append(acc)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "fingerprint": pa.array(fps, pa.int64())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,125 @@
+"""High-level pipeline glue: sf_dir -> synthetic corpus -> learned
+plan -> crawl / extraction runs. Used by __ray_entry__, tests and
+bench.py.
+
+The synthetic corpus for a testdata scale factor is generated (and
+cached) under /tmp/mlscraper_ray_data — deterministic in (sf, seed),
+so every run at the same scale sees identical inputs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+import pyarrow as pa
+
+from mlscraper_ray.frontier.config import CrawlConfig
+from mlscraper_ray.sources.corpusgen import CorpusSpec, generate_corpus, spec_for_scale
+
+DATA_ROOT = os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data")
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def corpus_for_sf(sf: float) -> tuple[str, CorpusSpec]:
+    spec = spec_for_scale(sf)
+    corpus_dir = os.path.join(DATA_ROOT, f"corpus_sf{sf}")
+    os.makedirs(corpus_dir, exist_ok=True)
+    generate_corpus(corpus_dir, spec)  # cached if already generated
+    return corpus_dir, spec
+
+
+def learn_plan(corpus_dir: str, spec: CorpusSpec) -> dict:
+    """Train the scraper from the corpus's labeled samples (driver-side
+    — a handful of pages, reference training.py semantics)."""
+    cache = os.path.join(corpus_dir, "_PLAN.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.learn.samples import Sample, TrainingSet
+    from mlscraper_ray.learn.training import train_scraper
+    from mlscraper_ray.sources.corpus import CorpusReader
+
+    reader = CorpusReader(corpus_dir, spec.n_buckets)
+    ts = TrainingSet()
+    with open(os.path.join(corpus_dir, "samples.json")) as f:
+        for s in json.load(f):
+            html = reader.lookup([s["url"]])["html"][0].as_py()
+            ts.add_sample(Sample(parse_html(html), s["value"]))
+    plan = train_scraper(ts, complexity=2).to_plan()
+    with open(cache, "w") as f:
+        json.dump(plan, f, sort_keys=True)
+    return plan
+
+
+def crawl_config_for(spec: CorpusSpec, plan: dict, tokens_per_round: int = 8, max_rounds: int = 40) -> CrawlConfig:
+    return CrawlConfig(
+        n_shards=8,
+        n_buckets=spec.n_buckets,
+        tokens_per_round=tokens_per_round,
+        max_rounds=max_rounds,
+        max_depth=12,
+        plan=plan,
+    )
+
+
+def run_crawl(sf_dir: str, fresh: bool = True, tokens_per_round: int = 8, max_rounds: int = 40):
+    """Full crawl pipeline at the scale implied by sf_dir. Returns
+    (out_dir, stats, config)."""
+    from mlscraper_ray.frontier.crawler import RayCrawler
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan, tokens_per_round, max_rounds)
+    out_dir = os.path.join(DATA_ROOT, f"crawl_sf{sf}")
+    if fresh and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    stats = RayCrawler(corpus_dir, out_dir, cfg).run()
+    return out_dir, stats, cfg
+
+
+def crawl_order_query(sf_dir: str) -> pa.Table:
+    """Flagship: deterministic crawl order table (rank, round, depth,
+    host, url)."""
+    from mlscraper_ray.frontier.crawler import crawl_order
+
+    out_dir, _, _ = run_crawl(sf_dir)
+    return crawl_order(out_dir)
+
+
+def extract_all_query(sf_dir: str):
+    """The M1 slice: apply the learned scraper to EVERY corpus page via
+    an actor-pool map_batches; returns (url, value_json) rows."""
+    import ray.data
+
+    from mlscraper_ray.stages.apply import ApplyScraper
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+    extracted = pages.map_batches(
+        ApplyScraper,
+        fn_constructor_args=(plan,),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+    )
+    out = extracted.to_pandas().sort_values("url", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def learn_plan_query(sf_dir: str) -> pa.Table:
+    """Learned scraper plan as a 1-row table (plan JSON is the
+    deterministic learned artifact)."""
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    return pa.table({"plan_json": pa.array([json.dumps(plan, sort_keys=True)], pa.string())})

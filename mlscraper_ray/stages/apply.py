@@ -1,0 +1,43 @@
+"""ApplyScraper: the canonical extraction slice.
+
+``read_parquet(pages) -> map_batches(ApplyScraper(plan)) ->
+write_parquet/out`` — embarrassingly parallel, the unit the bench
+scales. One actor pool; the plan is compiled once per actor; html
+enters and leaves within the stage (output carries url + value only).
+
+Reference semantics: ``Scraper.get`` tree walk
+(/root/reference/mlscraper/scrapers.py:11-53); a selector miss yields
+a null value_json (the reference raises — at corpus scale we record
+instead of abort, the per-row contract is otherwise identical and the
+golden tests pin it).
+"""
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from mlscraper_ray.htmlcore.dom import parse_html
+from mlscraper_ray.scrape.model import SelectorMissException, scraper_from_plan
+
+
+class ApplyScraper:
+    def __init__(self, plan: dict, html_col: str = "html", url_col: str = "url"):
+        self.scraper = scraper_from_plan(plan)
+        self.html_col = html_col
+        self.url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self.url_col].to_pylist()
+        values = []
+        for html in batch[self.html_col].to_pylist():
+            try:
+                values.append(json.dumps(self.scraper.get(parse_html(html)), sort_keys=True))
+            except SelectorMissException:
+                values.append(None)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "value_json": pa.array(values, pa.string()),
+            }
+        )

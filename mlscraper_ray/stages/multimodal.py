@@ -1,0 +1,97 @@
+"""Multimodal (binary-column) stages.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The image/audio codec libraries are NOT in
+this container, so the codec kernel is STUBBED — clearly marked — but
+the Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is real and tested:
+
+- ``DecodeStub(real_codecs=True)`` raises NotImplementedError at the
+  exact point a codec would run;
+- ``DecodeStub(real_codecs=False)`` (default) produces a deterministic
+  fake decode (dims/duration derived from a content hash) so the
+  pipeline shape is exercisable end-to-end.
+
+Batch-size guidance baked into the helpers: binary payloads are wide —
+callers should pass small ``batch_size`` (64-256) and rely on
+``target_max_block_size`` so a batch x pool concurrency fits the heap.
+"""
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+class DecodeStub:
+    """binary payload -> (width, height, n_channels, ok). STUB."""
+
+    def __init__(self, payload_col: str = "payload", real_codecs: bool = False):
+        self.payload_col = payload_col
+        self.real_codecs = real_codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_codecs:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this environment; "
+                "plug a real decoder here (e.g. PIL.Image.open on the payload bytes)"
+            )
+        widths, heights, channels, oks = [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            if not payload:
+                widths.append(0), heights.append(0), channels.append(0), oks.append(False)
+                continue
+            d = hashlib.blake2b(payload, digest_size=8).digest()
+            w, h = struct.unpack("<HH", d[:4])
+            widths.append(64 + w % 1024)
+            heights.append(64 + h % 1024)
+            channels.append(3)
+            oks.append(True)
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("n_channels", pa.array(channels, pa.int32()))
+            .append_column("decode_ok", pa.array(oks, pa.bool_()))
+        )
+
+
+class FeatureExtractStub:
+    """binary payload -> fixed-dim feature vector (list<float>). STUB:
+    deterministic hash-derived embedding; swap __init__ for a model
+    load + __call__ body for batched inference in a real deployment."""
+
+    def __init__(self, payload_col: str = "payload", dim: int = 16):
+        self.payload_col = payload_col
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch[self.payload_col].to_pylist():
+            digest = hashlib.blake2b(payload or b"", digest_size=self.dim * 4).digest()
+            vec = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+            vec = (vec / np.iinfo(np.uint32).max * 2 - 1).round(6)
+            feats.append(vec.tolist())
+        return batch.drop_columns([self.payload_col]).append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+class FrameSampleStub:
+    """video payload -> k deterministic "frame" payloads (list<binary>).
+    STUB: slices the payload; a real implementation seeks key frames."""
+
+    def __init__(self, payload_col: str = "payload", k: int = 4):
+        self.payload_col = payload_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_col = []
+        for payload in batch[self.payload_col].to_pylist():
+            payload = payload or b""
+            step = max(1, len(payload) // self.k)
+            frames_col.append([payload[i * step : i * step + 16] for i in range(self.k)])
+        return batch.append_column("frames", pa.array(frames_col, pa.list_(pa.binary())))

@@ -1,0 +1,167 @@
+"""Operator correctness: SQL-checked queries vs DuckDB (the driver's
+gate, replicated locally at sf0.001) + crafted-input tests for the
+near-dup operators the synthetic testdata can't pin down."""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+def _oracle_names():
+    # static copy so pytest can parametrize without importing ray early
+    return [
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "events_by_type",
+        "order_lineitem_revenue",
+        "dedup_exact",
+        "doc_token_stats",
+        "source_token_totals",
+        "ann_cosine_topk",
+        "sessionize",
+        "hourly_event_counts",
+        "top_event_per_user",
+    ]
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_duckdb_oracle(entry_mod, name):
+    from oracle_compare import compare
+
+    sql = entry_mod.oracle_sql()[name]
+    result = entry_mod.queries()[name](SF_DIR)
+    c = compare(result, sql, SF_DIR)
+    assert c["hash_match"], c
+
+
+class TestNearDupCrafted:
+    @pytest.fixture(scope="class")
+    def docs_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("docs")
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,                                   # 0
+            base,                                   # 1: exact dup of 0
+            base.replace("lazy", "sleepy"),         # 2: near dup of 0
+            "completely different content about ray data pipelines and arrow",  # 3
+            "another unrelated document mentioning parquet blocks and shuffles",  # 4
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_exact_dedup_groups_identical_texts(self, ray_session, docs_dir):
+        from mlscraper_ray.functions.dedup import exact_dedup
+
+        out = exact_dedup(docs_dir).to_pandas()
+        assert len(out) == 4  # 5 docs, one exact-dup pair
+        dup_row = out[out["n_dups"] == 2]
+        assert len(dup_row) == 1
+        assert dup_row["doc_id"].iloc[0] == 0  # min doc_id survives
+
+    def test_minhash_finds_exact_and_near_dups(self, ray_session, docs_dir):
+        from mlscraper_ray.functions.dedup import minhash_dedup
+
+        pairs = minhash_dedup(docs_dir, threshold=0.5).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in got  # exact dup
+        assert (0, 2) in got and (1, 2) in got  # near dup
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_simhash_pairs(self, ray_session, docs_dir):
+        import ray.data
+
+        from mlscraper_ray.functions.dedup import simhash_neardup_pairs
+
+        docs = ray.data.read_parquet(os.path.join(docs_dir, "documents.parquet"))
+        pairs = simhash_neardup_pairs(docs, max_hamming=3).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in got  # identical -> hamming 0
+        zero = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+        assert zero["hamming"].iloc[0] == 0
+
+    def test_jaccard_values_are_exact(self, ray_session, docs_dir):
+        from mlscraper_ray.functions.dedup import minhash_dedup, word_shingles
+
+        pairs = minhash_dedup(docs_dir, threshold=0.5).to_pandas()
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("lazy", "sleepy")
+        sa, sb = word_shingles(base), word_shingles(near)
+        expected = int(round(100 * len(sa & sb) / len(sa | sb)))
+        row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)]
+        assert row["jaccard_pct"].iloc[0] == expected
+
+
+class TestSimilarityCrafted:
+    def test_cosine_topk_matches_bruteforce(self, ray_session):
+        from mlscraper_ray.functions.similarity import cosine_topk
+
+        out = cosine_topk(SF_DIR, query_vec_id=0, k=10).to_pandas()
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        ids = np.array(t["vec_id"].to_pylist())
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        q = mat[ids.tolist().index(0)]
+        scores = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        df = pd.DataFrame({"vec_id": ids, "s": np.round(scores * 10000).astype(np.int64)})
+        df = df[df["vec_id"] != 0].sort_values(["s", "vec_id"], ascending=[False, True]).head(10)
+        assert out["vec_id"].tolist() == df["vec_id"].tolist()
+        assert out["score_x10k"].tolist() == df["s"].tolist()
+
+    def test_ivf_recall_against_bruteforce(self, ray_session):
+        from mlscraper_ray.functions.similarity import cosine_topk, ivf_topk
+
+        exact = set(cosine_topk(SF_DIR, 0, 10).to_pandas()["vec_id"])
+        approx = set(ivf_topk(SF_DIR, 0, 10, n_clusters=8, n_probe=4).to_pandas()["vec_id"])
+        # IVF with half the clusters probed should keep decent recall
+        assert len(exact & approx) >= 5
+
+
+class TestMultimodalPlumbing:
+    def test_decode_stub_schema_and_determinism(self, ray_session):
+        import ray.data
+
+        from mlscraper_ray.stages.multimodal import DecodeStub
+
+        payloads = pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array([b"img-bytes-1", b"img-bytes-2", b""], pa.binary()),
+            }
+        )
+        ds = ray.data.from_arrow(payloads)
+        out1 = ds.map_batches(DecodeStub, batch_format="pyarrow", concurrency=1).to_pandas()
+        out2 = ds.map_batches(DecodeStub, batch_format="pyarrow", concurrency=1).to_pandas()
+        assert list(out1.columns) == ["item_id", "width", "height", "n_channels", "decode_ok"]
+        assert out1.equals(out2)
+        assert not out1[out1["item_id"] == 3]["decode_ok"].iloc[0]
+
+    def test_real_codecs_flag_raises(self):
+        from mlscraper_ray.stages.multimodal import DecodeStub
+
+        t = pa.table({"payload": pa.array([b"x"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            DecodeStub(real_codecs=True)(t)
