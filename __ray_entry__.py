@@ -27,6 +27,12 @@ def entry() -> Any:
     return crawl_order_query("/root/testdata/sf0.001").to_pandas()
 
 
+def _mm_ncpus() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mlscraper_ray.functions import aggregates, dedup, joins, similarity, streams, textstats
     from mlscraper_ray.pipelines import crawl_pipeline
@@ -55,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         payloads = docs.map_batches(to_payload, batch_format="pyarrow")
         decoded = payloads.map_batches(
             DecodeStub, fn_constructor_kwargs={"payload_col": "payload"},
-            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+            batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
         import pyarrow as pa
 
@@ -84,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         feats = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
             FeatureExtractStub, fn_constructor_kwargs={"payload_col": "payload"},
-            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+            batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
         out = feats.to_pandas().sort_values("doc_id", ignore_index=True)
         out["features"] = out["features"].map(lambda v: list(v))

@@ -109,10 +109,15 @@ class RayCrawler:
         ds = ray.data.from_arrow_refs(refs)
         return ds, sum(counts)
 
-    def _fetch_extract(self, admitted: ray.data.Dataset, k: int) -> str:
+    def _fetch_extract(self, admitted: ray.data.Dataset, k: int, n_admitted: int = 0) -> str:
         results_dir = os.path.join(_round_dir(self.out_dir, k), "results")
         n_blocks = max(self.cfg.n_shards, self._fetch_parallelism)
-        stage = admitted.repartition(n_blocks).map_batches(
+        # salted spread: repartition breaks per-shard/host clustering so a
+        # hot host can't serialize the pool — but only when the round is
+        # big enough for the extra barrier to pay for itself
+        if n_admitted > n_blocks * 64:
+            admitted = admitted.repartition(n_blocks)
+        stage = admitted.map_batches(
             fetch_parse_extract_task,
             fn_kwargs={
                 "corpus_dir": self.corpus_dir,
@@ -185,7 +190,7 @@ class RayCrawler:
             admitted, n_admitted = self._admit()
             if n_admitted == 0:
                 break
-            self._fetch_extract(admitted, k)
+            self._fetch_extract(admitted, k, n_admitted)
             round_stats = {"round": k, "admitted": n_admitted, **submit_totals}
             stats["rounds"].append(round_stats)
             self._checkpoint(k, round_stats)

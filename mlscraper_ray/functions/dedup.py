@@ -25,6 +25,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+
+def _ncpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 8))
+
 # -- exact dedup ---------------------------------------------------------
 
 
@@ -121,7 +125,7 @@ def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=64, bands=16, sh
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, _ncpus()),
     )
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:

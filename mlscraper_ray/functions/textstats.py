@@ -16,6 +16,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
+
+def _ncpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 8))
+
 _WORD_RE = re.compile(r"\S+")
 
 _STOPWORDS = {
@@ -124,7 +128,7 @@ class QualityScorer:
 def quality_scores(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 8))
+        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, _ncpus()))
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
@@ -156,7 +160,7 @@ class LangIdStage:
 def langid(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 8))
+        ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, _ncpus()))
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )

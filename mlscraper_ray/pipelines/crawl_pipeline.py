@@ -20,6 +20,12 @@ from mlscraper_ray.sources.corpusgen import CorpusSpec, generate_corpus, spec_fo
 
 DATA_ROOT = os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data")
 
+def ncpus() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8))
+
+
 
 def sf_of_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
@@ -64,7 +70,7 @@ def crawl_config_for(spec: CorpusSpec, plan: dict, tokens_per_round: int = 8, ma
         n_buckets=spec.n_buckets,
         tokens_per_round=tokens_per_round,
         max_rounds=max_rounds,
-        max_depth=12,
+        max_depth=24,
         plan=plan,
     )
 
@@ -99,18 +105,17 @@ def extract_all_query(sf_dir: str):
     an actor-pool map_batches; returns (url, value_json) rows."""
     import ray.data
 
-    from mlscraper_ray.stages.apply import ApplyScraper
+    from mlscraper_ray.stages.apply import apply_scraper_task
 
     sf = sf_of_dir(sf_dir)
     corpus_dir, spec = corpus_for_sf(sf)
     plan = learn_plan(corpus_dir, spec)
     pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
     extracted = pages.map_batches(
-        ApplyScraper,
-        fn_constructor_args=(plan,),
+        apply_scraper_task,
+        fn_kwargs={"plan_json": json.dumps(plan, sort_keys=True)},
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
     )
     out = extracted.to_pandas().sort_values("url", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)

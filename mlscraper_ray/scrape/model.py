@@ -137,20 +137,45 @@ class CssRuleSelector(Selector):
         return f"<CssRuleSelector {self.css_rule=}>"
 
 
+# -- plan-node registries ------------------------------------------------
+# The reference's extension points are the abstract bases Extractor
+# (matches.py:61-67), Selector (selectors.py:16-25) and Scraper
+# (scrapers.py:6-8). Here extension is a plan-kind registry: register a
+# factory under a kind string and plans carrying that kind deserialize
+# to your class on every worker (plans are plain JSON, so a registered
+# kind is the only coupling that crosses process boundaries).
+
+SELECTOR_REGISTRY: dict = {
+    "css": lambda plan: CssRuleSelector(plan["rule"]),
+    "pass": lambda plan: PassThroughSelector(),
+}
+
+EXTRACTOR_REGISTRY: dict = {
+    "text": lambda plan: TextValueExtractor(),
+    "attr": lambda plan: AttributeValueExtractor(plan["attr"]),
+}
+
+
+def register_selector(kind: str, factory) -> None:
+    SELECTOR_REGISTRY[kind] = factory
+
+
+def register_extractor(kind: str, factory) -> None:
+    EXTRACTOR_REGISTRY[kind] = factory
+
+
 def selector_from_plan(plan: dict) -> Selector:
-    if plan["kind"] == "css":
-        return CssRuleSelector(plan["rule"])
-    if plan["kind"] == "pass":
-        return PassThroughSelector()
-    raise ValueError(f"unknown selector plan {plan!r}")
+    try:
+        return SELECTOR_REGISTRY[plan["kind"]](plan)
+    except KeyError:
+        raise ValueError(f"unknown selector plan {plan!r}") from None
 
 
 def extractor_from_plan(plan: dict) -> Extractor:
-    if plan["kind"] == "text":
-        return TextValueExtractor()
-    if plan["kind"] == "attr":
-        return AttributeValueExtractor(plan["attr"])
-    raise ValueError(f"unknown extractor plan {plan!r}")
+    try:
+        return EXTRACTOR_REGISTRY[plan["kind"]](plan)
+    except KeyError:
+        raise ValueError(f"unknown extractor plan {plan!r}") from None
 
 
 class Scraper:

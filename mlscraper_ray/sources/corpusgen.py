@@ -67,6 +67,7 @@ def url_host(url: str) -> str:
 
 @dataclass
 class CorpusSpec:
+    version: int = 4  # bump to invalidate cached corpora on format change
     n_hosts: int = 12
     pages_per_host: int = 10
     n_buckets: int = 16
@@ -78,6 +79,7 @@ class CorpusSpec:
     # every 5th host disallows /private/; every 7th page is private
     robots_every: int = 5
     private_every: int = 7
+    filler_words: int = 40  # page body padding; ~1200 gives CC-ish ~8KB pages
 
     def host(self, h: int) -> str:
         return f"h{h:04d}.example"
@@ -114,10 +116,15 @@ def page_entries(spec: CorpusSpec, h: int, i: int) -> list[dict]:
     for k in range(n):
         uid = rng.randrange(100000)
         day = 1 + rng.randrange(28)
+        # urn: scheme on purpose — profile refs are extracted as
+        # attribute values but are not crawlable links (extract_links
+        # drops non-http schemes), so they don't flood the frontier
+        # votes offset by entry index: unique within a page, which keeps
+        # the training match search linear (no cross-entry ambiguity)
         entries.append(
             {
-                "user": f"/u/{uid}/user{uid}",
-                "votes": str(rng.randrange(500)),
+                "user": f"urn:u:{uid}:user{uid}",
+                "votes": str(k * 1000 + rng.randrange(500)),
                 "when": f"2021-{1 + rng.randrange(12):02d}-{day:02d} "
                 f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:00Z",
             }
@@ -126,15 +133,28 @@ def page_entries(spec: CorpusSpec, h: int, i: int) -> list[dict]:
 
 
 def page_links(spec: CorpusSpec, h: int, i: int) -> list[str]:
-    """Deterministic out-links: a few intra-host, one cross-host."""
+    """Deterministic out-links, shaped for a small graph diameter so
+    BFS coverage doesn't need pathological depth:
+
+    - intra-host: a 3-ary tree (page i -> 3i+1..3i+3) covering every
+      page in ~log3(n) hops, plus one affine cross-link for richness;
+    - cross-host: exponential hop (h + 2^(i%7)) so any host is within
+      ~log2(H) host hops of a seed;
+    - a deterministic dangling link on every 10th page (fetch-miss
+      handling stays covered).
+    """
     n = spec.n_pages(h)
     targets = []
-    for mult, add in ((3, 1), (7, 2), (11, 5)):
-        j = (i * mult + add) % n
-        if j != i:
-            targets.append(spec.page_url(h, j))
-    nh = (h + 1 + (i % 3)) % spec.n_hosts
+    for child in range(3 * i + 1, 3 * i + 4):
+        if child < n:
+            targets.append(spec.page_url(h, child))
+    j = (i * 7 + 2) % n
+    if j != i:
+        targets.append(spec.page_url(h, j))
+    nh = (h + (1 << (i % 7))) % spec.n_hosts
     targets.append(spec.page_url(nh, (i * 5 + 3) % spec.n_pages(nh)))
+    if i % 10 == 7:
+        targets.append(f"http://{spec.host(h)}/missing/{i}")
     # dedup, stable order
     seen, out = set(), []
     for t in targets:
@@ -151,7 +171,7 @@ def render_page(spec: CorpusSpec, h: int, i: int) -> tuple[str, str]:
     rng = _page_rng(spec, h, i)
     entries = page_entries(spec, h, i)
     links = page_links(spec, h, i)
-    filler = " ".join(rng.choice(_WORDS) for _ in range(40))
+    filler = " ".join(rng.choice(_WORDS) for _ in range(spec.filler_words))
     html_parts = ["<html><head><title>page</title></head><body>"]
     text_parts = ["page"]
 
@@ -290,4 +310,17 @@ def spec_for_scale(sf: float, seed: int = 42) -> CorpusSpec:
     """
     n_hosts = max(6, int(40 * (sf / 0.01) ** 0.5))
     pages_per_host = max(6, int(1300 * sf))
-    return CorpusSpec(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed)
+    # bench-scale pages carry Common-Crawl-ish weight — and crucially
+    # ELEMENT count (parse cost scales with tags, not text bytes):
+    # ~24 entry blocks x 5 elements + filler ~= a few-KB real page
+    if sf >= 0.05:
+        entries, filler = 40, 600
+    else:
+        entries, filler = 6, 120
+    return CorpusSpec(
+        n_hosts=n_hosts,
+        pages_per_host=pages_per_host,
+        seed=seed,
+        entries_per_page=entries,
+        filler_words=filler,
+    )

@@ -21,6 +21,23 @@ from mlscraper_ray.htmlcore.dom import parse_html
 from mlscraper_ray.scrape.model import SelectorMissException, scraper_from_plan
 
 
+# Worker-process-global cache for the stateless-task flavor. Tradeoff,
+# measured at sf0.1/32cpus: an actor pool pays ~3-4s startup+ramp per
+# execution (fine for one long job, wasteful for repeated short ones);
+# stateless tasks reuse Ray's persistent worker processes, so the
+# compiled plan is cached after the first batch each worker sees.
+_APPLY_CACHE: dict = {}
+
+
+def apply_scraper_task(batch: pa.Table, *, plan_json: str) -> pa.Table:
+    stage = _APPLY_CACHE.get(plan_json)
+    if stage is None:
+        if len(_APPLY_CACHE) > 4:
+            _APPLY_CACHE.clear()
+        stage = _APPLY_CACHE[plan_json] = ApplyScraper(json.loads(plan_json))
+    return stage(batch)
+
+
 class ApplyScraper:
     def __init__(self, plan: dict, html_col: str = "html", url_col: str = "url"):
         self.scraper = scraper_from_plan(plan)
