@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
         "doc_token_stats": textstats.doc_token_stats,
@@ -152,8 +153,12 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": aggregates.EVENTS_BY_TYPE_SQL,
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
         "dedup_exact": dedup_exact_sql(),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
+        "doc_quality": textstats.QUALITY_SCORES_SQL,
+        "doc_langid": textstats.LANGID_SQL,
+        "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
@@ -165,3 +170,9 @@ def dedup_exact_sql() -> str:
     from mlscraper_ray.functions.dedup import EXACT_DEDUP_SQL
 
     return EXACT_DEDUP_SQL
+
+
+def _ngram_jaccard_sql() -> str:
+    from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
+
+    return NGRAM_JACCARD_SQL

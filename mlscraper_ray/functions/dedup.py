@@ -10,6 +10,10 @@ only for the (tiny) candidate set.
   groupby -> candidate pairs -> exact-Jaccard verify
 - SimHash: 64-bit simhash; near-dups via 4x16-bit band buckets
   (Hamming <= 3 guarantee by pigeonhole over candidate checks)
+- n-gram Jaccard: EXACT similarity join via an inverted gram index
+  (any pair with jaccard > 0 shares a gram, so gram-groupby candidate
+  generation is complete); intersections are summed with a
+  groupby-count, never by materializing gram sets on the driver
 """
 from __future__ import annotations
 
@@ -183,6 +187,121 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
             "jaccard_pct": pa.array(out_j, pa.int64()),
         }
     )
+
+
+# -- n-gram Jaccard (exact similarity join) ------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap: int | None = None) -> pa.Table:
+    """Exact word-n-gram Jaccard similarity join over documents.
+
+    Distributed plan (no driver-side pair loop):
+      1. map_batches: explode each doc to DISTINCT (gram, doc_id) rows;
+      2. groupby(gram).map_groups: emit candidate (doc_a, doc_b) rows —
+         complete, since jaccard > 0 implies a shared gram;
+      3. groupby(doc_a, doc_b).count: |A ∩ B| without ever holding a
+         doc's gram set outside its own batch;
+      4. join |A| and |B| (slim doc_id -> n_grams broadcast) and filter
+         by integer-exact floor(100*i/(na+nb-i)) >= threshold_pct.
+
+    ``df_cap`` drops grams whose document frequency exceeds the cap
+    (stopword-gram pruning) — the standard 100TB-scale guard against
+    quadratic pair blowup in hot groups; None keeps the join exact and
+    oracle-matching. Integer percent with floor division keeps the Ray
+    and SQL sides bit-identical (no float rounding-mode mismatch).
+    """
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, ids = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = text.split()
+            if len(words) < n:
+                gset = {" ".join(words)} if words else set()
+            else:
+                gset = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            grams.extend(gset)
+            ids.extend([doc_id] * len(gset))
+        return pa.table({"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())})
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+
+    counts_df = (
+        exploded.groupby("doc_id")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_grams"))
+        .to_pandas()
+    )
+    n_grams = dict(zip(counts_df["doc_id"], counts_df["n_grams"]))
+
+    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        if df_cap is not None and len(ids) > df_cap:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    inter = (
+        exploded.groupby("gram")
+        .map_groups(pairs_in_gram, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(ray.data.aggregate.Count(alias_name="inter"))
+        .to_pandas()
+    )
+    if len(inter) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    inter["doc_a"] = inter["doc_a"].astype("int64")
+    inter["doc_b"] = inter["doc_b"].astype("int64")
+    na = inter["doc_a"].map(n_grams).astype("int64")
+    nb = inter["doc_b"].map(n_grams).astype("int64")
+    union = na + nb - inter["inter"].astype("int64")
+    inter["jaccard_pct"] = (100 * inter["inter"].astype("int64")) // union
+    out = (
+        inter[inter["jaccard_pct"] >= threshold_pct][["doc_a", "doc_b", "jaccard_pct"]]
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+NGRAM_JACCARD_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (100 * i) // (ca.n + cb.n - i) AS jaccard_pct
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE (100 * i) // (ca.n + cb.n - i) >= 70
+ORDER BY doc_a, doc_b
+"""
 
 
 # -- simhash -------------------------------------------------------------

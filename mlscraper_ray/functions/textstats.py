@@ -7,10 +7,6 @@ from __future__ import annotations
 
 import os
 import re
-import struct
-import zlib
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -92,10 +88,12 @@ ORDER BY source
 
 class QualityScorer:
     """Actor-pool stage: heuristic quality features per document.
-    Scores are fixed-point ints (pct) so output is hash-stable."""
+    All arithmetic is integer floor division (never float round), so
+    the output is bit-identical to the SQL oracle on any platform."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.alpha_re = re.compile(r"[^a-zA-Z]+")
+        self.ws_re = re.compile(r"\s+")
         self.stop = _STOPWORDS["en"]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -105,23 +103,24 @@ class QualityScorer:
             "alpha_pct": [],
             "stopword_pct": [],
             "mean_wordlen_x100": [],
-            "quality_pct": [],
+            "quality_x10": [],
         }
         for text in batch["text"]:
             tokens = text.split()
             n = len(tokens)
-            words = self.word_re.findall(text)
-            alpha_chars = sum(len(w) for w in words)
-            alpha_pct = int(round(100 * alpha_chars / max(1, len(text))))
-            stop_pct = int(round(100 * sum(1 for t in tokens if t.lower() in self.stop) / max(1, n)))
-            mwl = int(round(100 * (sum(len(t) for t in tokens) / max(1, n))))
-            # crude composite: long enough, alpha-heavy, some stopwords
-            quality = min(100, n // 2) * 0.4 + alpha_pct * 0.4 + min(stop_pct, 40) * 0.5
+            alpha_chars = len(self.alpha_re.sub("", text))
+            nonws_chars = len(self.ws_re.sub("", text))
+            alpha_pct = (100 * alpha_chars) // max(1, len(text))
+            stop_pct = (100 * sum(1 for t in tokens if t.lower() in self.stop)) // max(1, n)
+            mwl = (100 * nonws_chars) // max(1, n)
+            # crude composite x10 fixed-point: long enough, alpha-heavy,
+            # some stopwords
+            quality = min(100, n // 2) * 4 + alpha_pct * 4 + min(stop_pct, 40) * 5
             out["n_tokens"].append(n)
             out["alpha_pct"].append(alpha_pct)
             out["stopword_pct"].append(stop_pct)
             out["mean_wordlen_x100"].append(mwl)
-            out["quality_pct"].append(int(round(quality)))
+            out["quality_x10"].append(quality)
         return pd.DataFrame(out)
 
 
@@ -135,9 +134,42 @@ def quality_scores(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _sql_stopword_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+
+QUALITY_SCORES_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS tk
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           (100 * length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')))
+               // greatest(1, length(text)) AS alpha_pct,
+           (100 * len(list_filter(tk, x -> list_contains({_sql_stopword_list('en')}, lower(x)))))
+               // greatest(1, len(tk)) AS stopword_pct,
+           (100 * length(regexp_replace(text, '\\s+', '', 'g')))
+               // greatest(1, len(tk)) AS mean_wordlen_x100
+    FROM base
+)
+SELECT doc_id, n_tokens, alpha_pct, stopword_pct, mean_wordlen_x100,
+       least(100, n_tokens // 2) * 4 + alpha_pct * 4 + least(stopword_pct, 40) * 5
+           AS quality_x10
+FROM feat
+ORDER BY doc_id
+"""
+
+
 class LangIdStage:
     """Actor-pool stage: stopword-voting language ID (en/de/fr) with an
-    'und' (undetermined) fallback. Deterministic heuristic."""
+    'und' (undetermined) fallback. Deterministic heuristic; ties break
+    in en < de < fr vote order and the score is floor-milli (integer
+    arithmetic only, so the SQL oracle matches bit-for-bit)."""
 
     def __init__(self):
         self.stopwords = _STOPWORDS
@@ -148,12 +180,12 @@ class LangIdStage:
             tokens = [t.lower() for t in text.split()[:500]]
             n = max(1, len(tokens))
             best_lang, best = "und", 0
-            for lang, stops in self.stopwords.items():
-                hits = sum(1 for t in tokens if t in stops)
+            for lang in ("en", "de", "fr"):
+                hits = sum(1 for t in tokens if t in self.stopwords[lang])
                 if hits > best:
                     best, best_lang = hits, lang
             langs.append(best_lang)
-            scores.append(int(round(1000 * best / n)))
+            scores.append((1000 * best) // n)
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_score_milli": scores})
 
 
@@ -167,9 +199,41 @@ def langid(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+LANGID_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+')[1:500] END,
+               x -> lower(x)) AS tk
+    FROM documents
+),
+votes AS (
+    SELECT doc_id,
+           len(tk) AS n,
+           len(list_filter(tk, x -> list_contains({_sql_stopword_list('en')}, x))) AS en_v,
+           len(list_filter(tk, x -> list_contains({_sql_stopword_list('de')}, x))) AS de_v,
+           len(list_filter(tk, x -> list_contains({_sql_stopword_list('fr')}, x))) AS fr_v
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(en_v, de_v, fr_v) = 0 THEN 'und'
+            WHEN en_v >= de_v AND en_v >= fr_v THEN 'en'
+            WHEN de_v >= fr_v THEN 'de'
+            ELSE 'fr' END AS lang_pred,
+       (1000 * greatest(en_v, de_v, fr_v)) // greatest(1, n) AS lang_score_milli
+FROM votes
+ORDER BY doc_id
+"""
+
+
 def fingerprints(sf_dir: str) -> pa.Table:
-    """64-bit rolling-polynomial document fingerprints over normalized
-    tokens (content-defined identity that survives whitespace noise)."""
+    """Rolling-polynomial document fingerprints over whitespace tokens
+    (content-defined identity that survives whitespace noise). Token
+    hash = low 8 md5 bytes little-endian — the same value DuckDB's
+    ``md5_number_lower`` yields, so the fold is SQL-reproducible."""
+    import hashlib
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     B, M = 1000003, (1 << 61) - 1
 
@@ -179,9 +243,28 @@ def fingerprints(sf_dir: str) -> pa.Table:
         for text in batch["text"].to_pylist():
             acc = 0
             for token in text.split():
-                acc = (acc * B + zlib.crc32(token.encode())) % M
+                h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:], "little")
+                acc = (acc * B + h) % M
             fps.append(acc)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "fingerprint": pa.array(fps, pa.int64())})
 
     out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+FINGERPRINTS_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS tk
+    FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+                        list_transform(tk, x -> CAST(md5_number_lower(x) AS HUGEINT))),
+           (a, b) -> (a * 1000003 + b) % 2305843009213693951
+       ) AS BIGINT) AS fingerprint
+FROM toks
+ORDER BY doc_id
+"""

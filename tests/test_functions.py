@@ -31,8 +31,12 @@ def _oracle_names():
         "events_by_type",
         "order_lineitem_revenue",
         "dedup_exact",
+        "dedup_ngram_jaccard",
         "doc_token_stats",
         "source_token_totals",
+        "doc_quality",
+        "doc_langid",
+        "doc_fingerprints",
         "ann_cosine_topk",
         "sessionize",
         "hourly_event_counts",
