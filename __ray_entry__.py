@@ -37,20 +37,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mlscraper_ray.functions import aggregates, dedup, joins, similarity, streams, textstats
     from mlscraper_ray.pipelines import crawl_pipeline
 
-    def multimodal_decode(sf_dir: str):
+    def _payload_ds(sf_dir: str):
+        # documents' text bytes stand in for an opaque media column;
+        # schema/batch plumbing is identical to a real binary payload
         import os
 
+        import pyarrow as pa
         import ray.data
-
-        from mlscraper_ray.stages.multimodal import DecodeStub, FeatureExtractStub
 
         docs = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
 
         def to_payload(t):
-            import pyarrow as pa
-
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
@@ -58,43 +57,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        payloads = docs.map_batches(to_payload, batch_format="pyarrow")
-        decoded = payloads.map_batches(
-            DecodeStub, fn_constructor_kwargs={"payload_col": "payload"},
+        return docs.map_batches(to_payload, batch_format="pyarrow")
+
+    def _mm_stage(sf_dir: str, cls, **kwargs):
+        import pyarrow as pa
+
+        staged = _payload_ds(sf_dir).map_batches(
+            cls, fn_constructor_kwargs={"payload_col": "payload", **kwargs},
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
-        import pyarrow as pa
-
-        out = decoded.to_pandas().sort_values("doc_id", ignore_index=True)
+        out = staged.to_pandas().sort_values("doc_id", ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def embed_features(sf_dir: str):
-        import os
+    def multimodal_decode(sf_dir: str):
+        from mlscraper_ray.stages.multimodal import DecodeStub
 
+        return _mm_stage(sf_dir, DecodeStub)
+
+    def embed_features(sf_dir: str):
         import pyarrow as pa
-        import ray.data
 
         from mlscraper_ray.stages.multimodal import FeatureExtractStub
 
-        docs = ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-
-        def to_payload(t):
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "payload": pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary()),
-                }
-            )
-
-        feats = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        feats = _payload_ds(sf_dir).map_batches(
             FeatureExtractStub, fn_constructor_kwargs={"payload_col": "payload"},
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
         out = feats.to_pandas().sort_values("doc_id", ignore_index=True)
         out["features"] = out["features"].map(lambda v: list(v))
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    def multimodal_resize(sf_dir: str):
+        import pyarrow as pa
+
+        from mlscraper_ray.stages.multimodal import ResizeStub
+
+        out = _mm_stage(sf_dir, ResizeStub, target_w=128, target_h=96).to_pandas()
+        # payload bytes are stub-deterministic; hash-compare via length
+        out["payload_len"] = out["payload"].map(len)
+        return pa.Table.from_pandas(
+            out[["doc_id", "width", "height", "payload_len"]], preserve_index=False
+        )
+
+    def multimodal_frames(sf_dir: str):
+        import pyarrow as pa
+
+        from mlscraper_ray.stages.multimodal import FrameSampleStub
+
+        staged = _payload_ds(sf_dir).map_batches(
+            FrameSampleStub, fn_constructor_kwargs={"payload_col": "payload", "k": 4},
+            batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
+        )
+        out = staged.to_pandas().sort_values("doc_id", ignore_index=True)
+        out["n_frames"] = out["frames"].map(len)
+        out["frame_bytes"] = out["frames"].map(lambda fs: sum(len(f) for f in fs))
+        return pa.Table.from_pandas(
+            out[["doc_id", "n_frames", "frame_bytes"]], preserve_index=False
+        )
 
     return {
         # relational / aggregate surface (SQL-checked)
@@ -124,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codecs)
         "multimodal_decode": multimodal_decode,
         "multimodal_features": embed_features,
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
         "crawl_order": crawl_pipeline.crawl_order_query,
         "extract_all": crawl_pipeline.extract_all_query,

@@ -4,10 +4,12 @@ submit -> admit -> fetch/parse/extract -> link discovery -> checkpoint.
 Ray-Data-first structure per round k:
 
 1. **submit**: candidate dataset (seeds at round 0, else round k-1's
-   extracted links, read back with column pruning) ->
-   ``map_batches(submit_fn)`` routing rows to the owning
-   :class:`FrontierShard` actor (seen-set dedup + robots + politeness
-   enqueue happen inside the actor).
+   extracted links, read back with column pruning) -> per-batch
+   min-depth pre-dedup -> ``map_batches(submit_fn)`` routing rows to
+   the owning :class:`FrontierShard` actor, whose round buffer resolves
+   the global min depth per url (min is commutative, so this replaces a
+   per-round all-to-all ``groupby(url).min(depth)`` with shard-local
+   state; seen-set dedup + robots gating happen at the admit flush).
 2. **admit**: each shard actor emits its politeness-admitted Arrow
    table; ``ray.data.from_arrow_refs`` assembles the round's frontier
    without driver materialization.
@@ -48,25 +50,13 @@ from mlscraper_ray.frontier.shard import FrontierShard
 from mlscraper_ray.stages.crawl_stages import fetch_parse_extract_task, make_submit_fn
 
 
-def _dedup_candidates(candidates: ray.data.Dataset) -> ray.data.Dataset:
-    """Intra-round candidate dedup: a URL discovered by several pages in
-    one round gets its MINIMUM depth, independent of task arrival order
-    (without this, first-submission-wins would leak scheduler
-    nondeterminism into crawl priorities). Slim (url, depth) rows, so
-    the per-round shuffle is cheap; partial min-per-batch first keeps
-    the exchanged volume at one row per distinct url per batch."""
-
-    def partial_min(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        grouped = batch.group_by("url").aggregate([("depth", "min")])
-        return grouped.rename_columns(["url", "depth"])
-
-    pre = candidates.map_batches(partial_min, batch_format="pyarrow")
-    agg = pre.groupby("url").min("depth")
-    return agg.map_batches(
-        lambda t: t.rename_columns(["url", "depth"]), batch_format="pyarrow"
-    )
+def _batch_min_depth(batch: pa.Table) -> pa.Table:
+    """Per-batch candidate pre-dedup (min depth per url). The GLOBAL
+    min-per-url is resolved inside the owning shard's round buffer —
+    min is commutative, so no cross-batch shuffle is needed; this
+    partial pass just shrinks the actor-RPC volume."""
+    grouped = batch.group_by("url").aggregate([("depth", "min")])
+    return grouped.rename_columns(["url", "depth"])
 
 
 def _round_dir(out_dir: str, k: int) -> str:
@@ -147,7 +137,7 @@ class RayCrawler:
             )
 
         exploded = ds.map_batches(explode, batch_format="pyarrow")
-        return _dedup_candidates(exploded)
+        return exploded.map_batches(_batch_min_depth, batch_format="pyarrow")
 
     def _checkpoint(self, k: int, round_stats: dict) -> None:
         ckpt = _ckpt_dir(self.out_dir, k)
@@ -177,12 +167,10 @@ class RayCrawler:
         stats: dict = {"rounds": []}
         for k in range(start_round, self.cfg.max_rounds):
             if k == 0:
-                candidates = _dedup_candidates(
-                    ray.data.read_parquet(
-                        seeds_path or os.path.join(self.corpus_dir, "seeds.parquet"),
-                        columns=["url", "depth"],
-                    )
-                )
+                candidates = ray.data.read_parquet(
+                    seeds_path or os.path.join(self.corpus_dir, "seeds.parquet"),
+                    columns=["url", "depth"],
+                ).map_batches(_batch_min_depth, batch_format="pyarrow")
             else:
                 prev_results = os.path.join(_round_dir(self.out_dir, k - 1), "results")
                 candidates = self._candidates_from_results(prev_results)

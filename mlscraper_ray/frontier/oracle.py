@@ -55,8 +55,8 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
         return robots[host]
 
     for round_k in range(config.max_rounds):
-        # intra-round dedup: min depth per url (mirrors the crawler's
-        # groupby(url).min(depth) pre-aggregation)
+        # intra-round dedup: min depth per url (mirrors the shard
+        # actors' round-buffer min resolution)
         best: dict[str, int] = {}
         for url, depth in candidates:
             if url not in best or depth < best[url]:

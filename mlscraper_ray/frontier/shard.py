@@ -50,6 +50,7 @@ class FrontierShard:
         self.shard_id = shard_id
         self.cfg = cfg
         self.bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpr)
+        self.round_buffer: dict[str, int] = {}
         self.heaps: dict[str, list] = {}
         self.robots: dict[str, RobotsRules] = {}
         self.reader = CorpusReader(corpus_dir, cfg.n_buckets)
@@ -65,12 +66,29 @@ class FrontierShard:
             self.robots[host] = rules
         return rules
 
-    # -- submission (candidate URLs -> pending heaps) -------------------
+    # -- submission (candidate URLs -> round buffer) --------------------
     def submit(self, urls: list[str], depths: list[int]) -> dict:
-        """Dedup + robots-gate + enqueue. Order-insensitive within a
-        round: the seen-set is a set, the heap key is intrinsic."""
-        c = Counter()
+        """Buffer candidates at their MINIMUM submitted depth for this
+        round. Min is commutative, so concurrent duplicate submissions
+        (the same url discovered by several pages) resolve identically
+        regardless of task arrival order — this replaces a per-round
+        driver-side ``groupby(url).min(depth)`` all-to-all shuffle with
+        shard-local state (every url routes to exactly one shard)."""
+        buf = self.round_buffer
         for url, depth in zip(urls, depths):
+            prev = buf.get(url)
+            if prev is None or depth < prev:
+                buf[url] = depth
+        self.counters["submitted"] += len(urls)
+        return {"submitted": len(urls)}
+
+    def _flush_round(self) -> None:
+        """Dedup + robots-gate + enqueue the buffered round candidates,
+        in sorted url order (determinism; mirrors the oracle's
+        ``for url, depth in sorted(best.items())``)."""
+        c = Counter()
+        for url in sorted(self.round_buffer):
+            depth = self.round_buffer[url]
             if depth > self.cfg.max_depth:
                 c["dropped_depth"] += 1
                 continue
@@ -83,14 +101,15 @@ class FrontierShard:
                 continue
             heapq.heappush(self.heaps.setdefault(host, []), (depth, url))
             c["enqueued"] += 1
+        self.round_buffer = {}
         self.counters.update(c)
-        return dict(c)
 
     # -- admission (politeness gate) ------------------------------------
     def admit(self) -> pa.Table:
-        """Pop up to ``tokens_per_round`` URLs per host, in (depth, url)
-        order; hosts processed in sorted order so the emitted table is
-        deterministic."""
+        """Flush the round buffer, then pop up to ``tokens_per_round``
+        URLs per host, in (depth, url) order; hosts processed in sorted
+        order so the emitted table is deterministic."""
+        self._flush_round()
         urls, hosts, depths = [], [], []
         for host in sorted(self.heaps):
             heap = self.heaps[host]
@@ -129,6 +148,7 @@ class FrontierShard:
             {
                 "shard_id": self.shard_id,
                 "bloom": self.bloom.to_bytes(),
+                "round_buffer": self.round_buffer,
                 "heaps": self.heaps,
                 "robots": {h: r.disallow_prefixes for h, r in self.robots.items()},
                 "counters": dict(self.counters),
@@ -139,6 +159,7 @@ class FrontierShard:
         state = pickle.loads(data)
         assert state["shard_id"] == self.shard_id, "shard id mismatch on restore"
         self.bloom = BloomFilter.from_bytes(state["bloom"])
+        self.round_buffer = state.get("round_buffer", {})
         self.heaps = state["heaps"]
         self.robots = {h: RobotsRules(p) for h, p in state["robots"].items()}
         self.counters = Counter(state["counters"])

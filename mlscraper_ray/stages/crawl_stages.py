@@ -163,7 +163,7 @@ def make_submit_fn(shard_handles: list, n_shards: int):
         refs = [
             shard_handles[sid].submit.remote(us, ds) for sid, (us, ds) in by_shard.items()
         ]
-        total = {"enqueued": 0, "dropped_seen": 0, "dropped_robots": 0, "dropped_depth": 0}
+        total = {"submitted": 0}
         for res in ray.get(refs):
             for k, v in res.items():
                 total[k] = total.get(k, 0) + v

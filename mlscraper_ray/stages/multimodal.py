@@ -80,6 +80,47 @@ class FeatureExtractStub:
         )
 
 
+class ResizeStub:
+    """binary payload -> resized binary payload + output dims. STUB:
+    emits a deterministic content-hash-derived payload of a size
+    proportional to target area; a real implementation decodes,
+    resamples (e.g. PIL ``Image.resize``), and re-encodes. Output
+    schema (payload stays binary, dims typed) is the real contract the
+    downstream stages consume."""
+
+    def __init__(self, payload_col: str = "payload", target_w: int = 256, target_h: int = 256,
+                 real_codecs: bool = False):
+        self.payload_col = payload_col
+        self.target_w = target_w
+        self.target_h = target_h
+        self.real_codecs = real_codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_codecs:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "plug decode->resize->encode here"
+            )
+        out_payloads, ws, hs = [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            payload = payload or b""
+            seed = hashlib.blake2b(
+                payload + struct.pack("<II", self.target_w, self.target_h), digest_size=32
+            ).digest()
+            # deterministic fake "re-encoded" bytes, ~1 byte per 64 px
+            n = max(16, (self.target_w * self.target_h) // 64)
+            reps = (n + len(seed) - 1) // len(seed)
+            out_payloads.append((seed * reps)[:n])
+            ws.append(self.target_w)
+            hs.append(self.target_h)
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("payload", pa.array(out_payloads, pa.binary()))
+            .append_column("width", pa.array(ws, pa.int32()))
+            .append_column("height", pa.array(hs, pa.int32()))
+        )
+
+
 class FrameSampleStub:
     """video payload -> k deterministic "frame" payloads (list<binary>).
     STUB: slices the payload; a real implementation seeks key frames."""

@@ -105,16 +105,32 @@ class TestFrontierShard:
         assert t2["url"].to_pylist() == ["http://h0000.example/p/2"]
 
     def test_dedup_and_depth_gate(self, shard):
+        # duplicates collapse in the round buffer; re-submission across
+        # rounds is caught by the seen-set at flush time
         res = shard.submit(["http://h0000.example/p/0"] * 2, [0, 0])
-        assert res["enqueued"] == 1 and res["dropped_seen"] == 1
-        res = shard.submit(["http://h0000.example/p/99"], [99])
-        assert res["dropped_depth"] == 1
+        assert res["submitted"] == 2
+        assert shard.admit().num_rows == 1
+        assert shard.counters["enqueued"] == 1
+        shard.submit(["http://h0000.example/p/0"], [0])
+        assert shard.admit().num_rows == 0
+        assert shard.counters["dropped_seen"] == 1
+        shard.submit(["http://h0000.example/p/99"], [99])
+        shard.admit()
+        assert shard.counters["dropped_depth"] == 1
+
+    def test_min_depth_wins_in_round_buffer(self, shard):
+        # same url submitted at depths 5 then 2 in one round: admitted
+        # at depth 2 regardless of submission order
+        shard.submit(["http://h0000.example/p/0"], [5])
+        shard.submit(["http://h0000.example/p/0"], [2])
+        t = shard.admit()
+        assert t["depth"].to_pylist() == [2]
 
     def test_robots_gate(self, shard):
         # h0000 (h%5==0) disallows /private/
-        res = shard.submit(["http://h0000.example/private/7"], [1])
-        assert res["dropped_robots"] == 1
+        shard.submit(["http://h0000.example/private/7"], [1])
         assert shard.admit().num_rows == 0
+        assert shard.counters["dropped_robots"] == 1
 
     def test_checkpoint_restore(self, shard, tmp_path):
         from mlscraper_ray.frontier.shard import FrontierShard
