@@ -145,11 +145,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": embed_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        # sources/sinks
+        "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
         "crawl_order": crawl_pipeline.crawl_order_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
     }
+
+
+def _warc_roundtrip(sf_dir: str):
+    """Pages -> sharded .warc.gz -> Dataset; returns per-url html byte
+    counts (proves the round-trip without shipping html to the driver)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    from mlscraper_ray.sources.warc import read_warc, write_warc_from_pages
+
+    corpus_dir, _ = corpus_for_sf(sf_of_dir(sf_dir))
+    with tempfile.TemporaryDirectory(prefix="warc_rt_") as warc_dir:
+        write_warc_from_pages(os.path.join(corpus_dir, "pages"), warc_dir)
+
+        def sizes(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"url": batch["url"], "html_bytes": pc.binary_length(batch["html"])}
+            )
+
+        out = (
+            read_warc(warc_dir)
+            .map_batches(sizes, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _simhash_pairs(sf_dir: str):

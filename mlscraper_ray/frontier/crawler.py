@@ -3,13 +3,15 @@ submit -> admit -> fetch/parse/extract -> link discovery -> checkpoint.
 
 Ray-Data-first structure per round k:
 
-1. **submit**: candidate dataset (seeds at round 0, else round k-1's
-   extracted links, read back with column pruning) -> per-batch
-   min-depth pre-dedup -> ``map_batches(submit_fn)`` routing rows to
-   the owning :class:`FrontierShard` actor, whose round buffer resolves
-   the global min depth per url (min is commutative, so this replaces a
-   per-round all-to-all ``groupby(url).min(depth)`` with shard-local
-   state; seen-set dedup + robots gating happen at the admit flush).
+1. **submit**: seeds (round 0 only) go through a per-batch min-depth
+   pre-dedup -> ``map_batches(submit_fn)`` routing rows to the owning
+   :class:`FrontierShard` actor. Rounds >= 1 have no submit pass at
+   all: the previous round's fetch/extract stage pushed discovered
+   links to the shards in-stage. Either way the shard round buffer
+   resolves the global min depth per url (min is commutative, so this
+   replaces a per-round all-to-all ``groupby(url).min(depth)`` with
+   shard-local state; seen-set dedup + robots gating happen at the
+   admit flush).
 2. **admit**: each shard actor emits its politeness-admitted Arrow
    table; ``ray.data.from_arrow_refs`` assembles the round's frontier
    without driver materialization.
@@ -114,30 +116,16 @@ class RayCrawler:
                 "n_buckets": self.cfg.n_buckets,
                 "plan": self.cfg.plan,
                 "round_k": k,
+                # in-stage link submission: round k+1's candidates go
+                # straight to their shard actors, not through parquet
+                "shard_handles": self.shards,
+                "n_shards": self.cfg.n_shards,
             },
             batch_format="pyarrow",
             batch_size=256,
         )
         stage.write_parquet(results_dir)
         return results_dir
-
-    def _candidates_from_results(self, results_dir: str) -> ray.data.Dataset:
-        ds = ray.data.read_parquet(results_dir, columns=["depth", "links"])
-
-        def explode(batch: pa.Table) -> pa.Table:
-            urls, depths = [], []
-            for depth, links in zip(
-                batch["depth"].to_pylist(), batch["links"].to_pylist()
-            ):
-                for link in links:
-                    urls.append(link)
-                    depths.append(depth + 1)
-            return pa.table(
-                {"url": pa.array(urls, pa.string()), "depth": pa.array(depths, pa.int32())}
-            )
-
-        exploded = ds.map_batches(explode, batch_format="pyarrow")
-        return exploded.map_batches(_batch_min_depth, batch_format="pyarrow")
 
     def _checkpoint(self, k: int, round_stats: dict) -> None:
         ckpt = _ckpt_dir(self.out_dir, k)
@@ -167,19 +155,21 @@ class RayCrawler:
         stats: dict = {"rounds": []}
         for k in range(start_round, self.cfg.max_rounds):
             if k == 0:
-                candidates = ray.data.read_parquet(
+                # seeds are the only candidates that enter through a
+                # dedicated submit pass; rounds >= 1 get their candidates
+                # pushed from inside the previous fetch/extract stage
+                # (round buffers are part of the checkpoint, so resume
+                # needs no re-read either)
+                seeds = ray.data.read_parquet(
                     seeds_path or os.path.join(self.corpus_dir, "seeds.parquet"),
                     columns=["url", "depth"],
                 ).map_batches(_batch_min_depth, batch_format="pyarrow")
-            else:
-                prev_results = os.path.join(_round_dir(self.out_dir, k - 1), "results")
-                candidates = self._candidates_from_results(prev_results)
-            submit_totals = self._submit_dataset(candidates)
+                self._submit_dataset(seeds)
             admitted, n_admitted = self._admit()
             if n_admitted == 0:
                 break
             self._fetch_extract(admitted, k, n_admitted)
-            round_stats = {"round": k, "admitted": n_admitted, **submit_totals}
+            round_stats = {"round": k, "admitted": n_admitted}
             stats["rounds"].append(round_stats)
             self._checkpoint(k, round_stats)
         stats["seen"] = sum(ray.get([s.seen_count.remote() for s in self.shards]))

@@ -131,12 +131,42 @@ def get_fetch_stage(corpus_dir: str, n_buckets: int, plan: dict) -> FetchParseEx
 
 
 def fetch_parse_extract_task(
-    batch: pa.Table, *, corpus_dir: str, n_buckets: int, plan: dict, round_k: int
+    batch: pa.Table,
+    *,
+    corpus_dir: str,
+    n_buckets: int,
+    plan: dict,
+    round_k: int,
+    shard_handles: list | None = None,
+    n_shards: int = 0,
 ) -> pa.Table:
     """Stateless-task flavor of :class:`FetchParseExtract` for the BSP
     round loop (state cached per worker process); appends the round
-    constant so the driver doesn't need an extra stage."""
+    constant so the driver doesn't need an extra stage.
+
+    When ``shard_handles`` is given, discovered links are submitted to
+    their owning shard actors from INSIDE the stage — the next round's
+    candidates never round-trip through parquet + a second Dataset
+    execution. Safe under task retries: the shard round buffer takes a
+    commutative min per url and the seen-set dedups across rounds, so
+    double-submission is idempotent."""
+    import zlib
+
+    import ray
+
     out = get_fetch_stage(corpus_dir, n_buckets, plan)(batch)
+    if shard_handles is not None:
+        by_shard: dict[int, tuple[list, list]] = {}
+        for depth, links in zip(out["depth"].to_pylist(), out["links"].to_pylist()):
+            for link in links:
+                sid = zlib.crc32(url_host(link).encode()) % n_shards
+                bucket = by_shard.setdefault(sid, ([], []))
+                bucket[0].append(link)
+                bucket[1].append(depth + 1)
+        refs = [
+            shard_handles[sid].submit.remote(us, ds) for sid, (us, ds) in by_shard.items()
+        ]
+        ray.get(refs)  # barrier: stage completion implies links submitted
     return out.append_column("round", pa.array([round_k] * out.num_rows, pa.int32()))
 
 

@@ -1,0 +1,24 @@
+"""WARC source/sink round-trip: pages parquet -> sharded .warc.gz ->
+Dataset, byte-identical html per url."""
+import os
+
+import pyarrow.parquet as pq
+
+
+def test_warc_roundtrip(ray_session, tmp_path):
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources.warc import read_warc, write_warc_from_pages
+
+    corpus_dir, _ = corpus_for_sf(0.001)
+    pages_dir = os.path.join(corpus_dir, "pages")
+    warc_dir = str(tmp_path / "warc")
+
+    n = write_warc_from_pages(pages_dir, warc_dir)
+    orig = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"])
+    assert n == orig.num_rows
+
+    back = read_warc(warc_dir).to_pandas().sort_values("url", ignore_index=True)
+    odf = orig.to_pandas().sort_values("url", ignore_index=True)
+    assert back["url"].tolist() == odf["url"].tolist()
+    assert [bytes(b) for b in back["html"]] == [bytes(b) for b in odf["html"]]
+    assert back["warc_ts"].tolist() == odf["warc_ts"].tolist()
