@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": aggregates.q1_lineitem,
         "revenue_by_nation": aggregates.revenue_by_nation,
         "events_by_type": aggregates.events_by_type,
+        "top_users_by_value": aggregates.top_users_by_value,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
         # dedup (exact SQL-checked; near-dup rows-only)
         "dedup_exact": dedup.exact_dedup,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": crawl_pipeline.crawl_order_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
+        "learn_plan_parallel": crawl_pipeline.learn_plan_parallel_query,
     }
 
 
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": aggregates.Q1_SQL,
         "revenue_by_nation": aggregates.REVENUE_BY_NATION_SQL,
         "events_by_type": aggregates.EVENTS_BY_TYPE_SQL,
+        "top_users_by_value": aggregates.TOP_USERS_BY_VALUE_SQL,
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),

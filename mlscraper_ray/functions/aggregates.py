@@ -179,3 +179,50 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
+    """Sort/top-k over a wide groupby: per-user event value totals,
+    top k by (total desc, user_id asc). Partial-agg inside map_batches
+    first, then ``Dataset.sort`` on the (small) aggregated keyspace and
+    a driver-side limit — the all-to-all moves one row per user, and
+    the sort ranks those partials, never raw events."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("value_milli", "sum"), ("value_milli", "count")])
+        return g.rename_columns(["user_id", "value_milli", "n_events"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("value_milli", alias_name="total_value_milli"),
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        )
+        .sort([("total_value_milli"), ("user_id")], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    agg["total_value_milli"] = agg["total_value_milli"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return pa.Table.from_pandas(agg[["user_id", "total_value_milli", "n_events"]], preserve_index=False)
+
+
+TOP_USERS_BY_VALUE_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS total_value_milli,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value_milli DESC, user_id
+LIMIT 25
+"""

@@ -43,22 +43,26 @@ def get_match_combination_priority(matches) -> float:
     return mean(m1.get_similarity_to(m2) for m1, m2 in combinations(matches, 2))
 
 
-def train_scraper(training_set: TrainingSet, complexity: int = 100):
-    """Search for a scraper reproducing the training samples
-    (reference ``training.py:36-78``): per sample, matches span-sorted
+def prioritized_combinations(training_set: TrainingSet) -> list:
+    """The deterministic search order: per sample, matches span-sorted
     ascending and truncated to the top 100; cartesian product across
-    samples; combinations tried in priority order (stable sort, so ties
-    keep product order); first success wins."""
+    samples; sorted by priority descending (stable sort, so ties keep
+    product order). Shared by the sequential and the speculative-
+    parallel searchers so both try combination i at the same index."""
     sample_matches = [
         sorted(s.get_matches(), key=lambda m: m.span)[:100]
         for s in training_set.item.samples
     ]
     match_combinations = list(product(*sample_matches))
-    logger.info("trying %d match combinations", len(match_combinations))
+    return sorted(match_combinations, key=get_match_combination_priority, reverse=True)
 
-    match_combinations_prioritized = sorted(
-        match_combinations, key=get_match_combination_priority, reverse=True
-    )
+
+def train_scraper(training_set: TrainingSet, complexity: int = 100):
+    """Search for a scraper reproducing the training samples
+    (reference ``training.py:36-78``): combinations tried in priority
+    order; first success wins."""
+    match_combinations_prioritized = prioritized_combinations(training_set)
+    logger.info("trying %d match combinations", len(match_combinations_prioritized))
 
     ctx = SelectorContext()
     roots = [s.page for s in training_set.item.samples]

@@ -128,3 +128,21 @@ def learn_plan_query(sf_dir: str) -> pa.Table:
     corpus_dir, spec = corpus_for_sf(sf)
     plan = learn_plan(corpus_dir, spec)
     return pa.table({"plan_json": pa.array([json.dumps(plan, sort_keys=True)], pa.string())})
+
+
+def learn_plan_parallel_query(sf_dir: str) -> pa.Table:
+    """Same learned artifact via the speculative-parallel searcher
+    (learn/parallel.py): must equal learn_plan's output exactly."""
+    from mlscraper_ray.learn.parallel import train_scraper_parallel
+    from mlscraper_ray.sources.corpus import CorpusReader
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    reader = CorpusReader(corpus_dir, spec.n_buckets)
+    samples = []
+    with open(os.path.join(corpus_dir, "samples.json")) as f:
+        for s in json.load(f):
+            html = reader.lookup([s["url"]])["html"][0].as_py()
+            samples.append((html, json.dumps(s["value"])))
+    plan = train_scraper_parallel(samples, complexity=2)
+    return pa.table({"plan_json": pa.array([json.dumps(plan, sort_keys=True)], pa.string())})

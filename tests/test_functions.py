@@ -29,6 +29,7 @@ def _oracle_names():
         "q1_pricing_summary",
         "revenue_by_nation",
         "events_by_type",
+        "top_users_by_value",
         "order_lineitem_revenue",
         "dedup_exact",
         "dedup_ngram_jaccard",
