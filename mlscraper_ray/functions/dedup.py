@@ -29,10 +29,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-
-def _ncpus() -> int:
-    return int(ray.cluster_resources().get("CPU", 8))
-
 # -- exact dedup ---------------------------------------------------------
 
 
@@ -122,26 +118,52 @@ class MinHashStage:
         )
 
 
-def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=64, bands=16, shingle_n=3, seed=42) -> pa.Table:
-    """LSH candidate pairs: docs sharing any band bucket. The shuffle
-    moves only (band, bucket, doc_id) rows."""
-    sigs = ds_docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, _ncpus()),
-    )
+# worker-process-global stage cache: stateless tasks skip actor-pool
+# startup on short jobs while still amortizing the permutation setup
+_MINHASH_CACHE: dict = {}
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out_a, out_b = [], []
+
+def minhash_stage_task(batch: pa.Table, *, num_perm: int, bands: int, shingle_n: int, seed: int) -> pa.Table:
+    key = (num_perm, bands, shingle_n, seed)
+    stage = _MINHASH_CACHE.get(key)
+    if stage is None:
+        if len(_MINHASH_CACHE) > 4:
+            _MINHASH_CACHE.clear()
+        stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, bands, shingle_n, seed)
+    return stage(batch)
+
+
+def _emit_pairs_by_key(g: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Pairs of doc_ids sharing ``key``, vectorized pre-filter: only
+    keys held by >1 distinct doc reach the (tiny) Python pair loop."""
+    d = g.drop_duplicates([key, "doc_id"])
+    counts = d[key].value_counts()
+    d = d[d[key].isin(counts[counts > 1].index)]
+    out_a, out_b = [], []
+    for _, sub in d.groupby(key, sort=False):
+        ids = sorted(sub["doc_id"].tolist())
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(pairs_in_group, batch_format="pandas")
+
+def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=64, bands=16, shingle_n=3, seed=42) -> pa.Table:
+    """LSH candidate pairs: docs sharing any band bucket. The shuffle
+    moves only (band, bucket, doc_id) rows, and the groupby key is the
+    BAND (16 coarse groups), with the per-bucket work vectorized in
+    pandas inside each group — thousands of tiny per-bucket map_groups
+    calls collapse into ~``bands`` map calls."""
+    sigs = ds_docs.map_batches(
+        minhash_stage_task,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "seed": seed},
+        batch_format="pyarrow",
+    )
+
+    pairs = sigs.groupby("band").map_groups(
+        lambda g: _emit_pairs_by_key(g, "bucket"), batch_format="pandas"
+    )
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
@@ -213,7 +235,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        grams, ids = [], []
+        grams, ids, buckets = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             words = text.split()
             if len(words) < n:
@@ -222,7 +244,16 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
                 gset = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
             grams.extend(gset)
             ids.extend([doc_id] * len(gset))
-        return pa.table({"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())})
+            buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                # coarse groupby key: per-gram work happens vectorized
+                # inside ~256 groups instead of one map call per gram
+                "gram_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
 
@@ -233,22 +264,33 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
     )
     n_grams = dict(zip(counts_df["doc_id"], counts_df["n_grams"]))
 
-    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if df_cap is not None and len(ids) > df_cap:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if df_cap is not None:
+            freq = g.groupby("gram", sort=False)["doc_id"].transform("nunique")
+            g = g[freq <= df_cap]
+        p = _emit_pairs_by_key(g, "gram")
+        # pre-aggregate within the bucket and pack the pair into ONE
+        # int64 key + a coarse bucket. A raw groupby(["doc_a","doc_b"])
+        # here is pathological in Ray Data (sort-based aggregate over
+        # ~10^6 distinct 2-col groups); the coarse-bucket + in-group
+        # pandas pattern keeps the shuffle key tiny and the combine
+        # vectorized.
+        key = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
+        part = key.value_counts().rename_axis("pair_key").reset_index(name="inter")
+        part["pair_bucket"] = (part["pair_key"] % 241).astype("int32")
+        return part
+
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair_key", sort=False)["inter"].sum().reset_index()
+        s["doc_a"] = (s["pair_key"] // (1 << 31)).astype("int64")
+        s["doc_b"] = (s["pair_key"] % (1 << 31)).astype("int64")
+        return s[["doc_a", "doc_b", "inter"]]
 
     inter = (
-        exploded.groupby("gram")
-        .map_groups(pairs_in_gram, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(ray.data.aggregate.Count(alias_name="inter"))
+        exploded.groupby("gram_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(combine_bucket, batch_format="pandas")
         .to_pandas()
     )
     if len(inter) == 0:
@@ -355,22 +397,28 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3) -> pa
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = [h & ((1 << 64) - 1) for h in g["simhash"].tolist()]
+        # one BAND group; per-key work vectorized in pandas (only keys
+        # shared by >1 doc reach the pair loop)
+        d = g.drop_duplicates(["key", "doc_id"])
+        counts = d["key"].value_counts()
+        d = d[d["key"].isin(counts[counts > 1].index)]
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+        for _, sub in d.groupby("key", sort=False):
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].tolist()
+            hs = [h & ((1 << 64) - 1) for h in sub["simhash"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    dist = bin(hs[i] ^ hs[j]).count("1")
+                    if dist <= max_hamming:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_d.append(dist)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
 
     res = (
         ds_docs.map_batches(sig, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("band")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )

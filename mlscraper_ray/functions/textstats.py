@@ -12,10 +12,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-
-def _ncpus() -> int:
-    return int(ray.cluster_resources().get("CPU", 8))
-
 _WORD_RE = re.compile(r"\S+")
 
 _STOPWORDS = {
@@ -124,10 +120,15 @@ class QualityScorer:
         return pd.DataFrame(out)
 
 
+# worker-process-global instances: stateless tasks reuse Ray's warm
+# worker processes, skipping actor-pool startup on short jobs
+_QUALITY = QualityScorer()
+
+
 def quality_scores(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, _ncpus()))
+        ds.map_batches(lambda b: _QUALITY(b), batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
@@ -189,10 +190,13 @@ class LangIdStage:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_score_milli": scores})
 
 
+_LANGID = LangIdStage()
+
+
 def langid(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, _ncpus()))
+        ds.map_batches(lambda b: _LANGID(b), batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
