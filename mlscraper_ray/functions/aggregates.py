@@ -201,12 +201,15 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
         g = t.group_by("user_id").aggregate([("value_milli", "sum"), ("value_milli", "count")])
         return g.rename_columns(["user_id", "value_milli", "n_events"])
 
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    # user cardinality scales with the data -> coarse-bucket combine of
+    # the partials, then a Dataset.sort over one slim row per user
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            ray.data.aggregate.Sum("value_milli", alias_name="total_value_milli"),
-            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["user_id"],
+            {"total_value_milli": ("value_milli", "sum"), "n_events": ("n_events", "sum")},
         )
         .sort([("total_value_milli"), ("user_id")], descending=[True, False])
         .limit(k)

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
 # -- exact dedup ---------------------------------------------------------
 
 
@@ -42,15 +44,14 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         return pa.table({"h": pa.array(hashes, pa.string()), "doc_id": batch["doc_id"]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # distinct-hash cardinality scales with the corpus -> coarse-bucket
+    # aggregate (see functions/bucketed.py), never a native groupby
     out = (
-        hashed.groupby("h")
-        .aggregate(
-            ray.data.aggregate.Min("doc_id", alias_name="doc_id"),
-            ray.data.aggregate.Count(alias_name="n_dups"),
-        )
+        bucketed_aggregate(hashed, ["h"], {"doc_id": ("doc_id", "min"), "n_dups": ("doc_id", "count")})
         .to_pandas()
         .sort_values("h", ignore_index=True)
     )
+    out["n_dups"] = out["n_dups"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -218,11 +219,15 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
     """Exact word-n-gram Jaccard similarity join over documents.
 
     Distributed plan (no driver-side pair loop):
-      1. map_batches: explode each doc to DISTINCT (gram, doc_id) rows;
-      2. groupby(gram).map_groups: emit candidate (doc_a, doc_b) rows —
-         complete, since jaccard > 0 implies a shared gram;
-      3. groupby(doc_a, doc_b).count: |A ∩ B| without ever holding a
-         doc's gram set outside its own batch;
+      1. map_batches: explode each doc to DISTINCT (gram, doc_id) rows
+         tagged with a coarse gram-hash bucket;
+      2. groupby(gram_bucket).map_groups: per-gram candidate pairs
+         emitted vectorized inside each bucket — complete, since
+         jaccard > 0 implies a shared gram — pre-counted per batch
+         with the pair packed into one int64 key;
+      3. groupby(pair_bucket).map_groups: sum |A ∩ B| per pair inside
+         coarse buckets (see functions/bucketed.py for why native
+         high-cardinality aggregates are avoided);
       4. join |A| and |B| (slim doc_id -> n_grams broadcast) and filter
          by integer-exact floor(100*i/(na+nb-i)) >= threshold_pct.
 
@@ -257,11 +262,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
 
-    counts_df = (
-        exploded.groupby("doc_id")
-        .aggregate(ray.data.aggregate.Count(alias_name="n_grams"))
-        .to_pandas()
-    )
+    counts_df = bucketed_aggregate(
+        exploded, ["doc_id"], {"n_grams": ("gram", "count")}
+    ).to_pandas()
     n_grams = dict(zip(counts_df["doc_id"], counts_df["n_grams"]))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -166,10 +166,25 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int 
                     out_s.append(int(round(sims[i, j] * 10000)))
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "score_x10k": out_s})
 
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse group holds many LSH buckets; resolve them with a
+        # vectorized pandas groupby instead of one map call per bucket
+        frames = [pairs(sub) for _, sub in g.groupby("bucket", sort=False) if len(sub) > 1]
+        if not frames:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "score_x10k": []})
+        return pd.concat(frames, ignore_index=True)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        coarse = pc2.cast(pc2.bit_wise_and(batch["bucket"], pa.scalar(255, pa.int64())), pa.int32())
+        return batch.append_column("coarse", coarse)
+
     res = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
         .to_pandas()
     )
     if len(res) == 0:

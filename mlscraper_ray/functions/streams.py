@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Sessions per user: a new session starts when the gap from the
@@ -91,14 +93,19 @@ def hourly_event_counts(sf_dir: str) -> pa.Table:
         )
         return g.rename_columns(["event_type", "window_start", "sum_value_milli", "n_events"])
 
+    # window count scales with the covered time range -> coarse-bucket
+    # combine of the per-batch partials (functions/bucketed.py)
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .sum(["sum_value_milli", "n_events"])
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "window_start"],
+            {"sum_value_milli": ("sum_value_milli", "sum"), "n_events": ("n_events", "sum")},
+        )
         .to_pandas()
-        .rename(columns={"sum(sum_value_milli)": "sum_value_milli", "sum(n_events)": "n_events"})
         .sort_values(["event_type", "window_start"], ignore_index=True)
     )
+    out["sum_value_milli"] = out["sum_value_milli"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -170,3 +170,25 @@ class TestMultimodalPlumbing:
         t = pa.table({"payload": pa.array([b"x"], pa.binary())})
         with pytest.raises(NotImplementedError):
             DecodeStub(real_codecs=True)(t)
+
+
+class TestEmbeddingNearDupCrafted:
+    def test_planted_neardups_found(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.similarity import embedding_neardup_pairs
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        vecs = list(base)
+        vecs.append(base[0] + rng.standard_normal(16).astype(np.float32) * 0.01)  # near 0
+        vecs.append(base[5])  # exact dup of 5
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(22), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 22, pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = embedding_neardup_pairs(str(tmp_path), threshold=0.92).to_pandas()
+        got = set(zip(out["vec_a"], out["vec_b"]))
+        assert (0, 20) in got and (5, 21) in got
