@@ -186,30 +186,49 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
                 "jaccard_pct": pa.array([], pa.int64()),
             }
         )
-    cand_ids = set(candidates["doc_a"].to_pylist()) | set(candidates["doc_b"].to_pylist())
-    import pyarrow.parquet as pq
+    # distributed verify: candidate texts are filtered AT THE READ
+    # (docs table scan with an is_in predicate — only candidate rows
+    # leave storage), broadcast once via ray.put, and the pair loop
+    # runs inside map_batches over the (slim) candidate-pair dataset
+    cand_ids = sorted(set(candidates["doc_a"].to_pylist()) | set(candidates["doc_b"].to_pylist()))
+    cand_arr = pa.array(cand_ids, pa.int64())
 
-    texts_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    mask = pc.is_in(texts_tbl["doc_id"], value_set=pa.array(sorted(cand_ids), pa.int64()))
-    texts_tbl = texts_tbl.filter(mask)
-    texts = dict(zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()))
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_arr))
 
-    out_a, out_b, out_j = [], [], []
-    for a_id, b_id in zip(candidates["doc_a"].to_pylist(), candidates["doc_b"].to_pylist()):
-        sa, sb = word_shingles(texts[a_id]), word_shingles(texts[b_id])
-        union = len(sa | sb)
-        j = len(sa & sb) / union if union else 0.0
-        if j >= threshold:
-            out_a.append(a_id)
-            out_b.append(b_id)
-            out_j.append(int(round(j * 100)))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard_pct": pa.array(out_j, pa.int64()),
-        }
+    texts_tbl = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .to_pandas()
     )
+    texts_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa, sb = word_shingles(texts[a_id]), word_shingles(texts[b_id])
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(int(round(j * 100)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(candidates)
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # -- n-gram Jaccard (exact similarity join) ------------------------------
