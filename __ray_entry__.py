@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
+        "embed_kmeans": similarity.embedding_kmeans,
         # stream-shaped
         "sessionize": streams.sessionize,
         "hourly_event_counts": streams.hourly_event_counts,

@@ -9,6 +9,10 @@
   to the query's n_probe nearest clusters.
 - :func:`embedding_neardup_pairs` — LSH (random hyperplane simhash)
   bucketing -> in-bucket exact cosine -> pairs over threshold.
+- :func:`kmeans_fit` / :func:`embedding_kmeans` — distributed Lloyd's
+  iterations: one streaming pass per iteration emitting per-batch
+  (cluster, sum, count) partials, deterministic driver fold, broadcast
+  of the updated centroids. The scale path for IVF centroid training.
 
 Scores are reported as fixed-point ``score_x10k`` ints (float64 math)
 so results hash-compare against the DuckDB oracle.
@@ -193,3 +197,101 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int 
         )
     res = res.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"], ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+# -- distributed k-means (iterative algorithm over the Dataset) ----------
+
+
+def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embeddings table.
+
+    Each iteration is ONE streaming pass: map_batches assigns rows to
+    the broadcast centroids and emits per-batch partial (cluster,
+    sum_vec, count) rows — k rows per batch, never the vectors — and
+    the driver folds the partials in a deterministic order (sorted by
+    batch key) so float summation order cannot vary between runs. The
+    per-iteration exchange is O(k * dim * n_batches), independent of
+    row count; this is the scale path for IVF centroid training.
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+    n = meta.num_rows
+    rng = np.random.RandomState(seed)
+    init_rows = sorted(rng.choice(n, size=min(n_clusters, n), replace=False).tolist())
+    t0 = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    centroids = np.stack(
+        [np.asarray(t0["embedding"][i].as_py(), dtype=np.float64) for i in init_rows]
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    for _ in range(n_iters):
+        cents_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cents_ref)
+            ids, mat = _batch_matrix(batch)
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            rows = {"batch_key": [], "cluster": [], "count": [], "vec_sum": []}
+            for c in np.unique(assign):
+                members = mat[assign == c]
+                rows["batch_key"].append(int(ids.min()))
+                rows["cluster"].append(int(c))
+                rows["count"].append(int(len(members)))
+                rows["vec_sum"].append(members.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "batch_key": pa.array(rows["batch_key"], pa.int64()),
+                    "cluster": pa.array(rows["cluster"], pa.int32()),
+                    "count": pa.array(rows["count"], pa.int64()),
+                    "vec_sum": pa.array(rows["vec_sum"], pa.list_(pa.float64())),
+                }
+            )
+
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["cluster", "batch_key"], ignore_index=True)
+        )
+        new_centroids = centroids.copy()
+        for c, sub in parts.groupby("cluster", sort=True):
+            total = sub["count"].sum()
+            if total > 0:
+                s = np.sum(np.stack([np.asarray(v) for v in sub["vec_sum"]]), axis=0)
+                new_centroids[c] = s / total
+        centroids = new_centroids
+    return centroids
+
+
+def embedding_kmeans(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> pa.Table:
+    """Final k-means assignment per vector: (vec_id, cluster) plus the
+    fixed-point distance to its centroid. Deterministic (seeded init,
+    order-independent folds), rows-only oracle."""
+    centroids = kmeans_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters)
+    cents_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        ids, mat = _batch_matrix(batch)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(ids)), assign])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int32)),
+                "dist_x10k": pa.array(np.round(dist * 10000).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

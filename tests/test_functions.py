@@ -192,3 +192,21 @@ class TestEmbeddingNearDupCrafted:
         out = embedding_neardup_pairs(str(tmp_path), threshold=0.92).to_pandas()
         got = set(zip(out["vec_a"], out["vec_b"]))
         assert (0, 20) in got and (5, 21) in got
+
+
+class TestKMeans:
+    def test_deterministic_and_covering(self, ray_session):
+        from mlscraper_ray.functions.similarity import embedding_kmeans
+
+        a = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=3).to_pandas()
+        b = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=3).to_pandas()
+        assert a.equals(b)  # seeded init + ordered partial folds
+        assert set(a["cluster"]) == set(range(8))
+        assert (a["dist_x10k"] >= 0).all()
+
+    def test_iterations_tighten_clusters(self, ray_session):
+        from mlscraper_ray.functions.similarity import embedding_kmeans
+
+        one = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=1).to_pandas()
+        five = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=5).to_pandas()
+        assert five["dist_x10k"].mean() <= one["dist_x10k"].mean()
