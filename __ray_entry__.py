@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped
         "sessionize": streams.sessionize,
         "hourly_event_counts": streams.hourly_event_counts,
+        "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
         # multimodal plumbing (stubbed codecs)
         "multimodal_decode": multimodal_decode,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
+        "sliding_window_counts": streams.sliding_window_counts_sql(),
         "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
     }
 

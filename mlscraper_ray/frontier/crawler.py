@@ -127,6 +127,30 @@ class RayCrawler:
         stage.write_parquet(results_dir)
         return results_dir
 
+    def _round_lineage(self, k: int) -> dict:
+        """Per-partition lineage for round k: every results file with
+        its row count and content hash, so a resume (or an auditor) can
+        check exactly which partitions are complete and unchanged."""
+        import hashlib
+
+        files = []
+        for path in sorted(
+            glob.glob(os.path.join(_round_dir(self.out_dir, k), "results", "*.parquet"))
+        ):
+            h = hashlib.sha256()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files.append(
+                {
+                    "file": os.path.basename(path),
+                    "bytes": os.path.getsize(path),
+                    "rows": pq.read_metadata(path).num_rows,
+                    "sha256": h.hexdigest(),
+                }
+            )
+        return {"results_files": files, "n_rows": sum(f["rows"] for f in files)}
+
     def _checkpoint(self, k: int, round_stats: dict) -> None:
         ckpt = _ckpt_dir(self.out_dir, k)
         os.makedirs(ckpt, exist_ok=True)
@@ -143,6 +167,7 @@ class RayCrawler:
             "round_stats": round_stats,
             "shard_counters": counters,
             "n_shards": self.cfg.n_shards,
+            "lineage": self._round_lineage(k),
         }
         tmp = os.path.join(ckpt, "MANIFEST.json.tmp")
         with open(tmp, "w") as f:

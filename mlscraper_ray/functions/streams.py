@@ -164,3 +164,74 @@ FROM (
 WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def sliding_window_counts(sf_dir: str, window_hours: int = 24, slide_hours: int = 6) -> pa.Table:
+    """Sliding event-time windows per event_type (window_hours wide,
+    sliding every slide_hours): each event belongs to
+    window_hours/slide_hours windows. The explode happens per batch
+    (numpy), partials are pre-aggregated per batch, and the global
+    combine is the coarse-bucket idiom — the shuffle carries one row
+    per (type, window) per batch, never per event. Window keys are
+    epoch seconds (integer) so the DuckDB oracle compares bit-exact."""
+    assert window_hours % slide_hours == 0
+    k_windows = window_hours // slide_hours
+    slide_s = slide_hours * 3600
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        slot = (df["ts"].astype("int64") // 1_000_000) // slide_s
+        vm = (df["value"] * 1000).round().astype("int64")
+        frames = []
+        for k in range(k_windows):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start_epoch": (slot - k) * slide_s,
+                        "vm": vm,
+                    }
+                )
+            )
+        exploded = pd.concat(frames, ignore_index=True)
+        g = exploded.groupby(["event_type", "window_start_epoch"], sort=False).agg(
+            sum_value_milli=("vm", "sum"), n_events=("vm", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "window_start_epoch"],
+            {"sum_value_milli": ("sum_value_milli", "sum"), "n_events": ("n_events", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start_epoch"], ignore_index=True)
+    )
+    out["sum_value_milli"] = out["sum_value_milli"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sliding_window_counts_sql(window_hours: int = 24, slide_hours: int = 6) -> str:
+    k = window_hours // slide_hours
+    s = slide_hours * 3600
+    return f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(epoch(ts) AS BIGINT) // {s} AS slot,
+           CAST(ROUND(value * 1000) AS BIGINT) AS vm
+    FROM events
+),
+exploded AS (
+    SELECT event_type, (slot - t.k) * {s} AS window_start_epoch, vm
+    FROM ev, UNNEST(generate_series(0, {k - 1})) AS t(k)
+)
+SELECT event_type, window_start_epoch,
+       CAST(SUM(vm) AS BIGINT) AS sum_value_milli,
+       COUNT(*) AS n_events
+FROM exploded
+GROUP BY event_type, window_start_epoch
+ORDER BY event_type, window_start_epoch
+"""

@@ -41,6 +41,7 @@ def _oracle_names():
         "ann_cosine_topk",
         "sessionize",
         "hourly_event_counts",
+        "sliding_window_counts",
         "top_event_per_user",
     ]
 
