@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
         "crawl_order": crawl_pipeline.crawl_order_query,
         "extract_all": crawl_pipeline.extract_all_query,
+        "extract_from_warc": crawl_pipeline.extract_from_warc_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
         "learn_plan_parallel": crawl_pipeline.learn_plan_parallel_query,
     }

@@ -227,11 +227,48 @@ def run_scaling_worker() -> dict:
     }
 
 
+def run_stats() -> dict:
+    """Per-stage Ray Data stats for the headline extract pipeline
+    (the 'read ds.stats() and iterate' evidence loop): prints the full
+    stats report to stderr, returns a compact summary."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, learn_plan, sf_of_dir
+    from mlscraper_ray.sources.corpusgen import spec_for_scale
+    from mlscraper_ray.stages.apply import apply_scraper_task
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, _ = corpus_for_sf(sf)
+    plan_json = json.dumps(learn_plan(corpus_dir, spec_for_scale(sf)), sort_keys=True)
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+    done = pages.map_batches(
+        apply_scraper_task, fn_kwargs={"plan_json": plan_json},
+        batch_format="pyarrow", batch_size=256,
+    )
+    m = done.materialize()
+    n = m.count()
+    stats = m.stats()
+    print(stats, file=sys.stderr)
+    summary = [l.strip() for l in stats.splitlines() if "Remote wall time" in l or "Operator" in l]
+    return {"metric": "extract_stage_stats", "rows": n, "sf": sf, "num_cpus": num_cpus,
+            "stage_lines": summary[:8]}
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         result = run_scaling_worker()
     elif "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--stats" in sys.argv:
+        result = run_stats()
     else:
         result = run_bench()
     print(json.dumps(result))

@@ -146,3 +146,28 @@ def learn_plan_parallel_query(sf_dir: str) -> pa.Table:
             samples.append((html, json.dumps(s["value"])))
     plan = train_scraper_parallel(samples, complexity=2)
     return pa.table({"plan_json": pa.array([json.dumps(plan, sort_keys=True)], pa.string())})
+
+
+def extract_from_warc_query(sf_dir: str) -> pa.Table:
+    """Source composition: corpus pages -> sharded .warc.gz (cached) ->
+    read_warc Dataset -> learned-scraper apply. Demonstrates that the
+    extraction stage is source-agnostic (same rows as extract_all)."""
+    import ray.data
+
+    from mlscraper_ray.sources.warc import read_warc, write_warc_from_pages
+    from mlscraper_ray.stages.apply import apply_scraper_task
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    warc_dir = os.path.join(corpus_dir, "warc")
+    if not os.path.isdir(warc_dir) or not os.listdir(warc_dir):
+        write_warc_from_pages(os.path.join(corpus_dir, "pages"), warc_dir)
+    extracted = read_warc(warc_dir).map_batches(
+        apply_scraper_task,
+        fn_kwargs={"plan_json": json.dumps(plan, sort_keys=True)},
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+    out = extracted.to_pandas().sort_values("url", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

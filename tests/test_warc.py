@@ -22,3 +22,14 @@ def test_warc_roundtrip(ray_session, tmp_path):
     assert back["url"].tolist() == odf["url"].tolist()
     assert [bytes(b) for b in back["html"]] == [bytes(b) for b in odf["html"]]
     assert back["warc_ts"].tolist() == odf["warc_ts"].tolist()
+
+
+def test_extract_from_warc_equals_extract_all(ray_session):
+    """The learned-scraper apply stage is source-agnostic: parquet
+    pages and the WARC round-trip yield identical extraction rows."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    a = qs["extract_all"]("/root/testdata/sf0.001").to_pandas()
+    b = qs["extract_from_warc"]("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b[a.columns])
