@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": aggregates.events_by_type,
         "top_users_by_value": aggregates.top_users_by_value,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
+        "customers_without_orders": joins.customers_without_orders,
         # dedup (exact SQL-checked; near-dup rows-only)
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
         "doc_token_stats": textstats.doc_token_stats,
+        "doc_bpe_token_stats": textstats.bpe_token_stats,
         "source_token_totals": textstats.source_token_totals,
         "doc_quality": textstats.quality_scores,
         "doc_langid": textstats.langid,
@@ -212,9 +214,11 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": aggregates.EVENTS_BY_TYPE_SQL,
         "top_users_by_value": aggregates.TOP_USERS_BY_VALUE_SQL,
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
+        "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
+        "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_langid": textstats.LANGID_SQL,

@@ -41,6 +41,7 @@ import glob
 import json
 import os
 import re
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -190,13 +191,24 @@ class RayCrawler:
                     columns=["url", "depth"],
                 ).map_batches(_batch_min_depth, batch_format="pyarrow")
                 self._submit_dataset(seeds)
+            t0 = time.monotonic()
             admitted, n_admitted = self._admit()
+            t_admit = time.monotonic() - t0
             if n_admitted == 0:
                 break
+            t0 = time.monotonic()
             self._fetch_extract(admitted, k, n_admitted)
-            round_stats = {"round": k, "admitted": n_admitted}
+            t_fetch = time.monotonic() - t0
+            t0 = time.monotonic()
+            round_stats = {
+                "round": k,
+                "admitted": n_admitted,
+                "sec_admit": round(t_admit, 3),
+                "sec_fetch_extract": round(t_fetch, 3),
+            }
             stats["rounds"].append(round_stats)
             self._checkpoint(k, round_stats)
+            round_stats["sec_checkpoint"] = round(time.monotonic() - t0, 3)
         stats["seen"] = sum(ray.get([s.seen_count.remote() for s in self.shards]))
         stats["counters"] = {}
         for c in ray.get([s.get_counters.remote() for s in self.shards]):

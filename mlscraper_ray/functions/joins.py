@@ -137,3 +137,54 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Broadcast ANTI-join: customers with no orders. The small side's
+    key set (distinct o_custkey) is collected once, broadcast via
+    ray.put, and the probe is a vectorized is_in filter per batch — no
+    shuffle. At scale, if the key set outgrows the object store,
+    switch to the bucketed cogroup path with an anti flag."""
+    import pyarrow.compute as pc
+
+    custkeys = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+        .map_batches(
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=keys))
+        return batch.filter(mask)
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name", "c_nationkey"]
+        )
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int32()),
+            }
+        )
+    out = out.sort_values("c_custkey", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""

@@ -272,3 +272,40 @@ SELECT doc_id,
 FROM toks
 ORDER BY doc_id
 """
+
+
+# BPE-ish tokenization: GPT-2-flavored pattern restricted to constructs
+# both Python re and DuckDB RE2 implement with leftmost-first
+# alternation (no lookahead, no unicode property classes), so the
+# oracle compares exactly.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_stats(sf_dir: str) -> pa.Table:
+    """Per-doc BPE-ish token counts (subword-style regex segmentation,
+    the 'how many training tokens' estimator) next to whitespace
+    counts."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": batch["text"].str.findall(_BPE_RE).str.len().astype("int64"),
+                "n_ws_tokens": batch["text"].str.findall(_WORD_RE).str.len().astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+"""

@@ -31,9 +31,11 @@ def _oracle_names():
         "events_by_type",
         "top_users_by_value",
         "order_lineitem_revenue",
+        "customers_without_orders",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "doc_token_stats",
+        "doc_bpe_token_stats",
         "source_token_totals",
         "doc_quality",
         "doc_langid",
