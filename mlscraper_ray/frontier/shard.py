@@ -130,6 +130,25 @@ class FrontierShard:
             }
         )
 
+    def admit_parts(self, n_parts: int):
+        """Admit, split into bucket-aligned parts: part r holds the
+        hosts whose corpus bucket satisfies bucket % n_parts == r. The
+        crawler's fetch stage then gets one block per (shard, part),
+        each touching only n_buckets/n_parts corpus bucket files —
+        full-pool parallelism without a Dataset shuffle."""
+        import pyarrow.compute as pc
+
+        from mlscraper_ray.sources.corpusgen import host_bucket
+
+        t = self.admit()
+        if n_parts == 1:
+            return t
+        parts = pa.array(
+            [host_bucket(h, self.cfg.n_buckets) % n_parts for h in t["host"].to_pylist()],
+            pa.int32(),
+        )
+        return tuple(t.filter(pc.equal(parts, r)) for r in range(n_parts))
+
     def last_admitted(self) -> int:
         return self._last_admitted
 

@@ -67,7 +67,7 @@ def url_host(url: str) -> str:
 
 @dataclass
 class CorpusSpec:
-    version: int = 4  # bump to invalidate cached corpora on format change
+    version: int = 5  # bump to invalidate cached corpora on format change
     n_hosts: int = 12
     pages_per_host: int = 10
     n_buckets: int = 16
@@ -266,9 +266,12 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None) -> dict:
                 "lang": pa.array(cols["lang"], pa.string()),
             }
         )
-        # sort by url so the fetch join can binary-search if it wants to
+        # url-sorted with small row groups: the fetch lookup reads with
+        # an url predicate and row-group min/max stats prune everything
+        # but the touched groups (cold lookup cost ~ hits, not bucket
+        # size — the property that matters at 100 TB)
         table = table.sort_by("url")
-        pq.write_table(table, os.path.join(bdir, "part-0.parquet"))
+        pq.write_table(table, os.path.join(bdir, "part-0.parquet"), row_group_size=256)
 
     # seeds: first page of the first n_seeds hosts
     seed_urls = [spec.page_url(h, 1) for h in range(min(spec.n_seeds, spec.n_hosts))]
