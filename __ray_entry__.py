@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": aggregates.revenue_by_nation,
         "events_by_type": aggregates.events_by_type,
         "top_users_by_value": aggregates.top_users_by_value,
+        "event_value_percentiles": aggregates.event_value_percentiles,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
         "customers_without_orders": joins.customers_without_orders,
         # dedup (exact SQL-checked; near-dup rows-only)
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": aggregates.REVENUE_BY_NATION_SQL,
         "events_by_type": aggregates.EVENTS_BY_TYPE_SQL,
         "top_users_by_value": aggregates.TOP_USERS_BY_VALUE_SQL,
+        "event_value_percentiles": aggregates.EVENT_VALUE_PERCENTILES_SQL,
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "dedup_exact": dedup_exact_sql(),

@@ -229,3 +229,63 @@ GROUP BY user_id
 ORDER BY total_value_milli DESC, user_id
 LIMIT 25
 """
+
+
+def event_value_percentiles(sf_dir: str) -> pa.Table:
+    """Exact discrete percentiles (p50/p90/p99) of event value per
+    event_type: grouped shuffle of SLIM (type, value_milli) rows, then
+    sorted selection inside map_groups using DuckDB's quantile_disc
+    index rule (element at ceil(q*n)-1) so the oracle matches exactly.
+    At 100 TB swap the exact sort for a mergeable sketch (t-digest /
+    KLL) computed as per-batch partials."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()
+                ),
+            }
+        )
+
+    def pctl(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value_milli"].to_numpy())
+        n = len(v)
+
+        def disc(q: float) -> int:
+            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_milli": [disc(0.50)],
+                "p90_milli": [disc(0.90)],
+                "p99_milli": [disc(0.99)],
+                "n_events": [n],
+            }
+        )
+
+    out = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(pctl, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_disc(CAST(ROUND(value*1000) AS BIGINT), 0.50) AS p50_milli,
+       quantile_disc(CAST(ROUND(value*1000) AS BIGINT), 0.90) AS p90_milli,
+       quantile_disc(CAST(ROUND(value*1000) AS BIGINT), 0.99) AS p99_milli,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

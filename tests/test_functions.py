@@ -30,6 +30,7 @@ def _oracle_names():
         "revenue_by_nation",
         "events_by_type",
         "top_users_by_value",
+        "event_value_percentiles",
         "order_lineitem_revenue",
         "customers_without_orders",
         "dedup_exact",
