@@ -229,6 +229,19 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
+        # multimodal decode stub is md5-derived, so even the stubbed
+        # codec path is value-checked against SQL
+        "multimodal_decode": """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE 64 + (md5_number_upper(text) & 65535) % 1024 END AS width,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE 64 + ((md5_number_upper(text) >> 16) & 65535) % 1024 END AS height,
+       CASE WHEN length(text) = 0 THEN 0 ELSE 3 END AS n_channels,
+       length(text) > 0 AS decode_ok
+FROM documents
+ORDER BY doc_id
+""",
         "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
     }
 

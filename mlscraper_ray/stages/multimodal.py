@@ -44,7 +44,10 @@ class DecodeStub:
             if not payload:
                 widths.append(0), heights.append(0), channels.append(0), oks.append(False)
                 continue
-            d = hashlib.blake2b(payload, digest_size=8).digest()
+            # md5-derived fake dims: the first 8 digest bytes as a
+            # little-endian u64 equal DuckDB's md5_number_upper, so the
+            # stub's output is SQL-reproducible (oracle-checked)
+            d = hashlib.md5(payload).digest()
             w, h = struct.unpack("<HH", d[:4])
             widths.append(64 + w % 1024)
             heights.append(64 + h % 1024)

@@ -45,6 +45,7 @@ def _oracle_names():
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",
+        "multimodal_decode",
         "top_event_per_user",
     ]
 
