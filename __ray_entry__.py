@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percentiles": aggregates.event_value_percentiles,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
         "customers_without_orders": joins.customers_without_orders,
-        # dedup (exact SQL-checked; near-dup rows-only)
+        # dedup (exact/simhash/ngram SQL-checked; minhash rows-only)
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
@@ -219,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
@@ -256,3 +257,9 @@ def _ngram_jaccard_sql() -> str:
     from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
 
     return NGRAM_JACCARD_SQL
+
+
+def _simhash_pairs_sql() -> str:
+    from mlscraper_ray.functions.dedup import SIMHASH_PAIRS_SQL
+
+    return SIMHASH_PAIRS_SQL

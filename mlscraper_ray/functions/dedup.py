@@ -371,13 +371,19 @@ ORDER BY doc_a, doc_b
 # -- simhash -------------------------------------------------------------
 
 
+_SIMHASH_J = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
+    """64-bit simhash over the distinct-word set. Word hash = low 8
+    md5 bytes little-endian (== DuckDB md5_number_lower) and output
+    bit j is sign(acc_j) of input bit j — a bit-order-clean definition
+    that a SQL oracle reproduces term for term."""
     acc = np.zeros(64, dtype=np.int64)
     for word in set(text.split()):
-        h = struct.unpack("<Q", hashlib.blake2b(word.encode(), digest_size=8).digest())[0]
-        bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
+        h = np.uint64(int.from_bytes(hashlib.md5(word.encode()).digest()[8:], "little"))
+        acc += ((h >> _SIMHASH_J) & np.uint64(1)).astype(np.int64) * 2 - 1
+    return int(((acc > 0).astype(np.uint64) << _SIMHASH_J).sum())
 
 
 def simhash_table(sf_dir: str) -> pa.Table:
@@ -450,3 +456,39 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3) -> pa
         )
     res = res.drop_duplicates().sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+# Brute-force O(n^2) oracle for the banded simhash pipeline: the bands
+# guarantee (pigeonhole over 4x16 bits) that EVERY pair within Hamming
+# distance 3 shares an exact band, so the LSH output must equal the
+# exhaustive join — this checks the recall guarantee itself, not just
+# the arithmetic.
+SIMHASH_PAIRS_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS w
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (md5_number_lower(w) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM words, UNNEST(generate_series(0, 63)) AS s(j)
+    GROUP BY doc_id, j
+),
+sig0 AS (
+    SELECT doc_id,
+           SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END) AS u
+    FROM bits GROUP BY doc_id
+),
+sig AS (
+    SELECT d.doc_id,
+           CAST(CASE WHEN COALESCE(s.u, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                THEN COALESCE(s.u, 0) - CAST('18446744073709551616' AS HUGEINT)
+                ELSE COALESCE(s.u, 0) END AS BIGINT) AS s
+    FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.s, b.s)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY doc_a, doc_b
+"""

@@ -35,6 +35,7 @@ def _oracle_names():
         "customers_without_orders",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
