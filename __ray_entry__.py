@@ -243,6 +243,19 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
+        "multimodal_resize": """
+SELECT doc_id, CAST(128 AS INTEGER) AS width, CAST(96 AS INTEGER) AS height,
+       CAST(greatest(16, (128 * 96) // 64) AS BIGINT) AS payload_len
+FROM documents
+ORDER BY doc_id
+""",
+        "multimodal_frames": """
+SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+       (SELECT CAST(SUM(greatest(0, least(length(text) - k * greatest(1, length(text) // 4), 16))) AS BIGINT)
+        FROM UNNEST(generate_series(0, 3)) t(k)) AS frame_bytes
+FROM documents
+ORDER BY doc_id
+""",
         "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
     }
 

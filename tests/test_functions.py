@@ -47,6 +47,8 @@ def _oracle_names():
         "hourly_event_counts",
         "sliding_window_counts",
         "multimodal_decode",
+        "multimodal_resize",
+        "multimodal_frames",
         "top_event_per_user",
     ]
 
