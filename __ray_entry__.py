@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_totals": textstats.source_token_totals,
         "doc_quality": textstats.quality_scores,
         "doc_langid": textstats.langid,
+        "doc_clean": textstats.clean_text,
+        "doc_sample_10pct": textstats.sample_documents,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -225,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_langid": textstats.LANGID_SQL,
+        "doc_clean": textstats.CLEAN_TEXT_SQL,
+        "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "sessionize": streams.sessionize_sql(),

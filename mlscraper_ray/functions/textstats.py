@@ -309,3 +309,62 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def clean_text(sf_dir: str) -> pa.Table:
+    """Canonical text cleaning: lowercase + whitespace collapse + trim
+    (the first stage of most training-data pipelines). Vectorized
+    pandas str ops per batch; output text hash-compares against the
+    SQL oracle byte-for-byte."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        cleaned = (
+            batch["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "clean_text": cleaned,
+             "n_chars_clean": cleaned.str.len().astype("int64")}
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CLEAN_TEXT_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_clean
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def sample_documents(sf_dir: str, pct: int = 10) -> pa.Table:
+    """Deterministic hash sampling (seedless, rerun- and
+    cluster-stable): keep docs where md5(doc_id) mod 100 < pct. The
+    canonical downsampling op — the same rows survive on any worker
+    count, unlike random_shuffle-based sampling."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 100 < pct
+            for d in batch["doc_id"].to_pylist()
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+ORDER BY doc_id
+"""

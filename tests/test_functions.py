@@ -41,6 +41,8 @@ def _oracle_names():
         "source_token_totals",
         "doc_quality",
         "doc_langid",
+        "doc_clean",
+        "doc_sample_10pct",
         "doc_fingerprints",
         "ann_cosine_topk",
         "sessionize",
