@@ -79,14 +79,20 @@ def run_bench() -> dict:
     table_ops = [
         "q1_pricing_summary",
         "order_lineitem_revenue",
+        "top_users_by_value",
+        "event_value_percentiles",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_ngram_jaccard",
         "source_token_totals",
+        "doc_bpe_token_stats",
         "doc_quality",
         "ann_cosine_topk",
         "embed_neardup_pairs",
+        "embed_kmeans",
         "sessionize",
         "hourly_event_counts",
+        "sliding_window_counts",
     ]
     qmap = entry_mod.queries()
     for name in table_ops:
