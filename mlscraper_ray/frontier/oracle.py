@@ -37,9 +37,10 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
     seeds_table = pq.read_table(
         seeds_path or f"{corpus_dir}/seeds.parquet", columns=["url", "depth"]
     )
-    candidates = list(
-        zip(seeds_table["url"].to_pylist(), seeds_table["depth"].to_pylist())
-    )
+    candidates = [
+        (u, d, 0)
+        for u, d in zip(seeds_table["url"].to_pylist(), seeds_table["depth"].to_pylist())
+    ]
 
     seen: set[str] = set()
     heaps: dict[str, list] = {}
@@ -55,14 +56,16 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
         return robots[host]
 
     for round_k in range(config.max_rounds):
-        # intra-round dedup: min depth per url (mirrors the shard
-        # actors' round-buffer min resolution)
-        best: dict[str, int] = {}
-        for url, depth in candidates:
-            if url not in best or depth < best[url]:
-                best[url] = depth
+        # intra-round dedup: min (depth, warc_ts) per url (mirrors the
+        # shard actors' round-buffer tuple-min resolution)
+        best: dict[str, tuple] = {}
+        for url, depth, ts in candidates:
+            key = (depth, ts)
+            if url not in best or key < best[url]:
+                best[url] = key
         # submit
-        for url, depth in sorted(best.items()):
+        for url in sorted(best):
+            depth, ts = best[url]
             if depth > config.max_depth:
                 counters["dropped_depth"] += 1
                 continue
@@ -74,7 +77,7 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
             if not robots_for(host).allowed(url_path(url)):
                 counters["dropped_robots"] += 1
                 continue
-            heapq.heappush(heaps.setdefault(host, []), (depth, url))
+            heapq.heappush(heaps.setdefault(host, []), (depth, ts, url))
             counters["enqueued"] += 1
         candidates = []
 
@@ -83,7 +86,7 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
         for host in sorted(heaps):
             heap = heaps[host]
             for _ in range(min(config.tokens_per_round, len(heap))):
-                depth, url = heapq.heappop(heap)
+                depth, _ts, url = heapq.heappop(heap)
                 admitted.append((url, host, depth))
             if not heap:
                 del heaps[host]
@@ -93,11 +96,12 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
 
         # fetch + parse + extract + discover
         for url, host, depth in admitted:
-            rows = reader.lookup([url], columns=("url", "html"))
+            rows = reader.lookup([url], columns=("url", "warc_ts", "html"))
             if rows.num_rows == 0:
                 counters["fetch_miss"] += 1
                 continue
             fetches.append((round_k, depth, host, url))
+            page_ts = rows["warc_ts"][0].cast("int64").as_py()
             doc = parse_html(rows["html"][0].as_py())
             if scraper is not None:
                 try:
@@ -105,7 +109,7 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
                 except SelectorMissException:
                     extracted[url] = None
             for link in extract_links(doc, url):
-                candidates.append((link, depth + 1))
+                candidates.append((link, depth + 1, page_ts if page_ts is not None else 0))
 
     fetches.sort()
     return fetches, seen, extracted, dict(counters)

@@ -8,10 +8,11 @@ and holds, per the north-star design:
 - per-host politeness state: a token-bucket refilled each BSP round
   (``tokens_per_round``), plus a robots.txt rules cache lazily loaded
   from the corpus,
-- a per-host heap-based priority queue keyed ``(depth, url)`` — depth
-  first (BFS-flavored politeness), url as the deterministic total-order
-  tiebreaker standing in for warc_ts (which is only known post-fetch
-  in this corpus). The key is intrinsic to the row, never
+- a per-host heap-based priority queue keyed ``(depth, warc_ts, url)``
+  (the north-star key: host budget enforced structurally by the
+  per-host token pop, then depth — BFS-flavored politeness — then the
+  discovering page's capture time, then url as the deterministic
+  total-order tiebreaker). The key is intrinsic to the row, never
   arrival-order, so parallel submission cannot change the crawl order.
 
 The class is deliberately plain Python: the distributed crawler wraps
@@ -67,28 +68,32 @@ class FrontierShard:
         return rules
 
     # -- submission (candidate URLs -> round buffer) --------------------
-    def submit(self, urls: list[str], depths: list[int]) -> dict:
-        """Buffer candidates at their MINIMUM submitted depth for this
-        round. Min is commutative, so concurrent duplicate submissions
-        (the same url discovered by several pages) resolve identically
-        regardless of task arrival order — this replaces a per-round
-        driver-side ``groupby(url).min(depth)`` all-to-all shuffle with
-        shard-local state (every url routes to exactly one shard)."""
+    def submit(self, urls: list[str], depths: list[int], ts_list: list[int] | None = None) -> dict:
+        """Buffer candidates at their MINIMUM (depth, warc_ts_us) for
+        this round — warc_ts is the discovering page's capture time
+        (seeds use 0), the north-star's priority component. Tuple-min
+        is commutative, so concurrent duplicate submissions resolve
+        identically regardless of task arrival order — this replaces a
+        per-round driver-side ``groupby(url).min(...)`` all-to-all
+        shuffle with shard-local state (every url routes to exactly one
+        shard)."""
+        if ts_list is None:
+            ts_list = [0] * len(urls)
         buf = self.round_buffer
-        for url, depth in zip(urls, depths):
+        for url, depth, ts in zip(urls, depths, ts_list):
             prev = buf.get(url)
-            if prev is None or depth < prev:
-                buf[url] = depth
+            key = (depth, ts)
+            if prev is None or key < prev:
+                buf[url] = key
         self.counters["submitted"] += len(urls)
         return {"submitted": len(urls)}
 
     def _flush_round(self) -> None:
         """Dedup + robots-gate + enqueue the buffered round candidates,
-        in sorted url order (determinism; mirrors the oracle's
-        ``for url, depth in sorted(best.items())``)."""
+        in sorted url order (determinism; mirrors the oracle)."""
         c = Counter()
         for url in sorted(self.round_buffer):
-            depth = self.round_buffer[url]
+            depth, ts = self.round_buffer[url]
             if depth > self.cfg.max_depth:
                 c["dropped_depth"] += 1
                 continue
@@ -99,7 +104,11 @@ class FrontierShard:
             if not self._robots_for(host).allowed(url_path(url)):
                 c["dropped_robots"] += 1
                 continue
-            heapq.heappush(self.heaps.setdefault(host, []), (depth, url))
+            # the north-star priority key: host budget is enforced
+            # structurally by admit's per-host token pop; within a host
+            # the heap orders (depth, warc_ts, url) — url as the final
+            # deterministic tiebreaker
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, ts, url))
             c["enqueued"] += 1
         self.round_buffer = {}
         self.counters.update(c)
@@ -114,7 +123,7 @@ class FrontierShard:
         for host in sorted(self.heaps):
             heap = self.heaps[host]
             for _ in range(min(self.cfg.tokens_per_round, len(heap))):
-                depth, url = heapq.heappop(heap)
+                depth, _ts, url = heapq.heappop(heap)
                 urls.append(url)
                 hosts.append(host)
                 depths.append(depth)

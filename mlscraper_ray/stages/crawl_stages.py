@@ -156,15 +156,25 @@ def fetch_parse_extract_task(
 
     out = get_fetch_stage(corpus_dir, n_buckets, plan)(batch)
     if shard_handles is not None:
-        by_shard: dict[int, tuple[list, list]] = {}
-        for depth, links in zip(out["depth"].to_pylist(), out["links"].to_pylist()):
+        import pyarrow.compute as pc
+
+        by_shard: dict[int, tuple[list, list, list]] = {}
+        ts_micros = pc.cast(out["warc_ts"], pa.int64()).to_pylist()  # tz-free epoch us
+        for depth, ts_val, links in zip(
+            out["depth"].to_pylist(), ts_micros, out["links"].to_pylist()
+        ):
+            # links inherit the discovering page's capture time — the
+            # warc_ts component of the frontier priority key
+            ts_us = ts_val if ts_val is not None else 0
             for link in links:
                 sid = zlib.crc32(url_host(link).encode()) % n_shards
-                bucket = by_shard.setdefault(sid, ([], []))
+                bucket = by_shard.setdefault(sid, ([], [], []))
                 bucket[0].append(link)
                 bucket[1].append(depth + 1)
+                bucket[2].append(ts_us)
         refs = [
-            shard_handles[sid].submit.remote(us, ds) for sid, (us, ds) in by_shard.items()
+            shard_handles[sid].submit.remote(us, ds, ts)
+            for sid, (us, ds, ts) in by_shard.items()
         ]
         ray.get(refs)  # barrier: stage completion implies links submitted
     return out.append_column("round", pa.array([round_k] * out.num_rows, pa.int32()))

@@ -118,6 +118,19 @@ class TestFrontierShard:
         shard.admit()
         assert shard.counters["dropped_depth"] == 1
 
+    def test_warc_ts_orders_within_depth(self, shard):
+        # same host, same depth: the earlier-captured parent's link is
+        # admitted first ((depth, warc_ts, url) heap key); and a later
+        # duplicate submission with a smaller ts wins the buffer min
+        shard.submit(["http://h0000.example/p/9"], [1], [5_000_000])
+        shard.submit(["http://h0000.example/p/1"], [1], [9_000_000])
+        shard.submit(["http://h0000.example/p/1"], [1], [2_000_000])  # min ts wins
+        t = shard.admit()
+        assert t["url"].to_pylist()[:2] == [
+            "http://h0000.example/p/1",  # ts 2s beats ts 5s despite larger url
+            "http://h0000.example/p/9",
+        ]
+
     def test_min_depth_wins_in_round_buffer(self, shard):
         # same url submitted at depths 5 then 2 in one round: admitted
         # at depth 2 regardless of submission order
