@@ -32,7 +32,7 @@ restores every shard, and continues with round K+1 — producing
 byte-identical output to an uninterrupted run (tested).
 
 Determinism: crawl order is a pure function of (corpus, seeds,
-config). Ordering comes from data keys — (depth, url) heaps, per-host
+config). Ordering comes from data keys — (depth, warc_ts, url) heaps, per-host
 token quotas, BSP barriers — never from task arrival order, so Ray's
 scheduling nondeterminism cannot leak into results. The canonical
 order is materialized by :func:`crawl_order` as

@@ -3,7 +3,7 @@
 Independently-written reference implementation of the crawl semantics
 (the reference library has none — mlscraper never fetches): plain
 dicts + heaps + an EXACT seen set, same policy parameters
-(tokens_per_round, max_depth, robots, (depth, url) priority, BSP
+(tokens_per_round, max_depth, robots, (depth, warc_ts, url) priority, BSP
 rounds). The distributed crawler must reproduce its fetched-URL order
 and seen-set exactly; any bloom false positive in the distributed run
 would surface here as a diff (at test scale, FPR 1e-9 makes that

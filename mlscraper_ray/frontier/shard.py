@@ -116,7 +116,7 @@ class FrontierShard:
     # -- admission (politeness gate) ------------------------------------
     def admit(self) -> pa.Table:
         """Flush the round buffer, then pop up to ``tokens_per_round``
-        URLs per host, in (depth, url) order; hosts processed in sorted
+        URLs per host, in (depth, warc_ts, url) order; hosts processed in sorted
         order so the emitted table is deterministic."""
         self._flush_round()
         urls, hosts, depths = [], [], []
