@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the stdlib DOM + CSS engine —
+invariants that must hold on ANY generated document, beyond the golden
+cases (the reference suite has no property tests; SURVEY.md §5)."""
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from mlscraper_ray.htmlcore.dom import get_root_node, parse_html
+
+TAGS = ["div", "p", "span", "ul", "li", "a", "section", "b"]
+CLASSES = ["alpha", "beta", "gamma", "delta"]
+WORDS = ["lorem", "ipsum", "dolor", "sit", "amet", "42", "x"]
+
+
+@st.composite
+def html_tree(draw, depth=0):
+    tag = draw(st.sampled_from(TAGS))
+    classes = draw(st.lists(st.sampled_from(CLASSES), max_size=2, unique=True))
+    attr = f' class="{" ".join(classes)}"' if classes else ""
+    if depth >= 3:
+        body = draw(st.sampled_from(WORDS))
+    else:
+        n_children = draw(st.integers(0, 3))
+        parts = []
+        for _ in range(n_children):
+            if draw(st.booleans()):
+                parts.append(draw(html_tree(depth=depth + 1)))
+            else:
+                parts.append(draw(st.sampled_from(WORDS)))
+        body = " ".join(parts)
+    return f"<{tag}{attr}>{body}</{tag}>"
+
+
+def _doc(inner: str):
+    return parse_html(f"<html><body>{inner}</body></html>".encode())
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_select_results_in_document_order_and_complete(inner):
+    doc = _doc(inner)
+    for tag in TAGS:
+        hits = doc.select(tag)
+        walked = [e for e in doc.iter_elements() if e.tag_name == tag]
+        assert hits == walked  # same nodes, same (document) order
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_select_limit_is_a_prefix(inner):
+    doc = _doc(inner)
+    hits = doc.select("div")
+    # limit=0 means "no limit" (bs4/find_all convention), so start at 1
+    for k in range(1, len(hits) + 2):
+        assert doc.select("div", limit=k) == hits[:k]
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_class_selector_equivalence(inner):
+    doc = _doc(inner)
+    for cl in CLASSES:
+        by_css = doc.select(f".{cl}")
+        by_walk = [e for e in doc.iter_elements() if cl in e.classes]
+        assert by_css == by_walk
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_text_is_concat_of_descendant_text_nodes(inner):
+    doc = _doc(inner)
+    for e in doc.iter_elements():
+        assert e.text == "".join(t.data for t in e.iter_text_nodes())
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_root_node_is_common_ancestor(inner):
+    doc = _doc(inner)
+    elems = list(doc.iter_elements())
+    if len(elems) < 2:
+        return
+    nodes = [elems[0], elems[-1]]
+    root = get_root_node(nodes)
+    for n in nodes:
+        assert n is root or n.has_ancestor(root)
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_tree())
+def test_descendant_combinator_subset_of_child(inner):
+    doc = _doc(inner)
+    child_hits = set(id(e) for e in doc.select("div > p"))
+    desc_hits = set(id(e) for e in doc.select("div p"))
+    assert child_hits <= desc_hits
