@@ -134,18 +134,30 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["scaling_sec"] / r_hi["scaling_sec"]) / (hi / lo)
+    # alternate the levels twice and take per-level medians: host noise
+    # on this shared VM is +/-10% per run, which compounds to +/-25% on
+    # a single-pair ratio
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    import statistics
+
+    sec_lo = statistics.median(r["scaling_sec"] for r in runs_lo)
+    sec_hi = statistics.median(r["scaling_sec"] for r in runs_hi)
+    eff = (sec_lo / sec_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        f"sec_{lo}": r_lo["scaling_sec"],
-        f"sec_{hi}": r_hi["scaling_sec"],
-        f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
-        f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
-        "pipeline": "extract (parse+select+extract, 3x-replicated corpus, streaming count, load-equalized, best-of-2)",
-        "sf": r_lo["sf"],
+        f"sec_{lo}": sec_lo,
+        f"sec_{hi}": sec_hi,
+        f"sec_{lo}_runs": [r["scaling_sec"] for r in runs_lo],
+        f"sec_{hi}_runs": [r["scaling_sec"] for r in runs_hi],
+        f"pages_per_sec_{lo}": round(runs_lo[0]["pages_per_sec"] * runs_lo[0]["scaling_sec"] / sec_lo, 1),
+        f"pages_per_sec_{hi}": round(runs_hi[0]["pages_per_sec"] * runs_hi[0]["scaling_sec"] / sec_hi, 1),
+        "pipeline": "extract (parse+select+extract, 3x-replicated corpus, streaming count, load-equalized, best-of-3, 2 alternating process-pairs, per-level medians)",
+        "sf": runs_lo[0]["sf"],
     }
 
 
@@ -217,14 +229,14 @@ def run_scaling_worker() -> dict:
         time.sleep(1)
     try:
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n_pages = one_pass()
             times.append(time.time() - t0)
     finally:
         for p in spinners:
             p.kill()
-    dt = min(times)  # best-of-2 damps scheduler jitter
+    dt = min(times)  # best-of-3 damps scheduler/thermal jitter
     return {
         "scaling_sec": round(dt, 3),
         "pages_per_sec": round(n_pages / dt, 1),
