@@ -92,3 +92,36 @@ def test_descendant_combinator_subset_of_child(inner):
     child_hits = set(id(e) for e in doc.select("div > p"))
     desc_hits = set(id(e) for e in doc.select("div p"))
     assert child_hits <= desc_hits
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_tree())
+def test_tag_class_selector_is_intersection(inner):
+    doc = _doc(inner)
+    for tag in ("div", "p"):
+        for cl in CLASSES:
+            combined = doc.select(f"{tag}.{cl}")
+            manual = [e for e in doc.select(tag) if cl in e.classes]
+            assert combined == manual
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_tree())
+def test_multi_class_order_irrelevant(inner):
+    doc = _doc(inner)
+    a, b = CLASSES[0], CLASSES[1]
+    assert doc.select(f".{a}.{b}") == doc.select(f".{b}.{a}")
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_tree())
+def test_select_is_scoped_to_subtree(inner):
+    # selecting from a child scope returns only that subtree's matches
+    doc = _doc(inner)
+    for scope in doc.select("div")[:3]:
+        inside = set(id(e) for e in scope.select("span"))
+        walked = set(
+            id(e) for e in doc.iter_elements()
+            if e.tag_name == "span" and (e is not scope and e.has_ancestor(scope))
+        )
+        assert inside == walked
