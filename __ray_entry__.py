@@ -124,7 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percentiles": aggregates.event_value_percentiles,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
         "customers_without_orders": joins.customers_without_orders,
-        # dedup (exact/simhash/ngram SQL-checked; minhash rows-only)
+        # dedup (all four SQL-checked; minhash/simhash oracles are
+        # exhaustive O(n^2) joins that verify LSH recall itself)
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
@@ -222,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        # exhaustive similarity joins verify the LSH pipelines' recall
+        # guarantees themselves (see MINHASH_DEDUP_SQL docs)
+        "dedup_minhash": _minhash_dedup_sql(),
+        "embed_neardup_pairs": similarity.embedding_neardup_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
@@ -280,3 +286,9 @@ def _simhash_pairs_sql() -> str:
     from mlscraper_ray.functions.dedup import SIMHASH_PAIRS_SQL
 
     return SIMHASH_PAIRS_SQL
+
+
+def _minhash_dedup_sql() -> str:
+    from mlscraper_ray.functions.dedup import MINHASH_DEDUP_SQL
+
+    return MINHASH_DEDUP_SQL

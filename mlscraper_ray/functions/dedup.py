@@ -82,6 +82,18 @@ def word_shingles(text: str, n: int = 3) -> set[int]:
     return {zlib.crc32(" ".join(words[i : i + n]).encode()) for i in range(len(words) - n + 1)}
 
 
+def word_gram_set(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-grams as STRINGS (no hash collisions) — the
+    exact-verify counterpart of :func:`word_shingles`, term-for-term
+    reproducible in SQL (see MINHASH_DEDUP_SQL)."""
+    words = text.split()
+    if not words:
+        return set()
+    if len(words) < n:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
 def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if not shingles:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -172,63 +184,188 @@ def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=64, bands=16, sh
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+def _jaccard_pct_rows(pairs: list[tuple[int, int]], texts: dict[int, str], threshold_pct: int) -> pa.Table:
+    """Exact integer Jaccard percent over string-gram sets; floor
+    division keeps the Ray and SQL sides bit-identical."""
+    out_a, out_b, out_j = [], [], []
+    gram_cache: dict[int, set[str]] = {}
+    for a_id, b_id in pairs:
+        sa = gram_cache.get(a_id)
+        if sa is None:
+            sa = gram_cache[a_id] = word_gram_set(texts[a_id])
+        sb = gram_cache.get(b_id)
+        if sb is None:
+            sb = gram_cache[b_id] = word_gram_set(texts[b_id])
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jp = (100 * inter) // union if union else 0
+        if jp >= threshold_pct:
+            out_a.append(a_id)
+            out_b.append(b_id)
+            out_j.append(jp)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_pct": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard_pct": pa.array([], pa.int64()),
+    }
+)
+
+
+def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 100_000) -> pa.Table:
     """Near-duplicate pairs on documents: MinHash-LSH candidates, then
-    exact word-3-gram Jaccard verification (text rejoined only for the
-    candidate set via a broadcast lookup)."""
+    exact word-3-gram Jaccard verification.
+
+    Verification uses string-gram sets (no hash collisions) and integer
+    floor percent, so the output equals the exhaustive similarity join
+    (MINHASH_DEDUP_SQL) whenever LSH recall is total — which the 16x4
+    banding makes overwhelmingly likely above ~0.8 Jaccard (miss prob
+    (1-j^4)^16 ~ 2e-4 at j=0.8, ~1e-7 at j=0.9), verified against
+    DuckDB at sf0.001/0.01/0.1.
+
+    Two verify paths:
+    - candidate set <= ``broadcast_limit``: texts filtered AT THE READ
+      (is_in predicate, only candidate rows leave storage) and
+      broadcast once via ``ray.put``; pair loop in map_batches.
+    - larger: bucketed cogroup joins attach text_a/text_b to the pair
+      rows — no driver-sized structure anywhere.
+    """
+    from mlscraper_ray.functions.joins import cogroup_join
+
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     candidates = minhash_candidate_pairs(docs)
     if candidates.num_rows == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
+        return _EMPTY_PAIRS
+    cand_id_set = set(candidates["doc_a"].to_pylist()) | set(candidates["doc_b"].to_pylist())
+
+    if len(cand_id_set) <= broadcast_limit:
+        cand_arr = pa.array(sorted(cand_id_set), pa.int64())
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_arr))
+
+        texts_tbl = (
+            ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+            .map_batches(keep_candidates, batch_format="pyarrow")
+            .to_pandas()
         )
-    # distributed verify: candidate texts are filtered AT THE READ
-    # (docs table scan with an is_in predicate — only candidate rows
-    # leave storage), broadcast once via ray.put, and the pair loop
-    # runs inside map_batches over the (slim) candidate-pair dataset
-    cand_ids = sorted(set(candidates["doc_a"].to_pylist()) | set(candidates["doc_b"].to_pylist()))
-    cand_arr = pa.array(cand_ids, pa.int64())
+        texts_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_arr))
+        def verify(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            return _jaccard_pct_rows(
+                list(zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())), texts, threshold_pct
+            )
 
-    texts_tbl = (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        .map_batches(keep_candidates, batch_format="pyarrow")
-        .to_pandas()
-    )
-    texts_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+        verified = ray.data.from_arrow(candidates).map_batches(verify, batch_format="pyarrow")
+    else:
+        # bucketed fallback: two cogroup joins rejoin text to the pair
+        # rows; text crosses the shuffle only for candidate docs
+        cand_ds = ray.data.from_arrow(candidates)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        out_a, out_b, out_j = [], [], []
-        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = word_shingles(texts[a_id]), word_shingles(texts[b_id])
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= threshold:
-                out_a.append(a_id)
-                out_b.append(b_id)
-                out_j.append(int(round(j * 100)))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_pct": pa.array(out_j, pa.int64()),
-            }
+        def a_as_key(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch["doc_a"], "doc_b": batch["doc_b"]})
+
+        texts_a = docs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "text_a": t["text"]}), batch_format="pyarrow"
         )
+        j1 = cogroup_join(cand_ds.map_batches(a_as_key, batch_format="pyarrow"), texts_a, "doc_id")
 
-    out = (
-        ray.data.from_arrow(candidates)
-        .map_batches(verify, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["doc_a", "doc_b"], ignore_index=True)
-    )
+        def b_as_key(batch: pa.Table) -> pa.Table:
+            # doc_b came through the first join's null-padded union as
+            # float64; cast back so the second join's key hash + merge
+            # see int64 on both sides
+            return pa.table(
+                {
+                    "doc_a": pc.cast(batch["doc_id"], pa.int64()),
+                    "doc_id": pc.cast(batch["doc_b"], pa.int64()),
+                    "text_a": batch["text_a"],
+                }
+            )
+
+        texts_b = docs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "text_b": t["text"]}), batch_format="pyarrow"
+        )
+        j2 = cogroup_join(j1.map_batches(b_as_key, batch_format="pyarrow"), texts_b, "doc_id")
+
+        def verify_joined(batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a_id, b_id, ta, tb in zip(
+                pc.cast(batch["doc_a"], pa.int64()).to_pylist(),
+                pc.cast(batch["doc_id"], pa.int64()).to_pylist(),
+                batch["text_a"].to_pylist(),
+                batch["text_b"].to_pylist(),
+            ):
+                sa, sb = word_gram_set(ta), word_gram_set(tb)
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                jp = (100 * inter) // union if union else 0
+                if jp >= threshold_pct:
+                    out_a.append(a_id)
+                    out_b.append(b_id)
+                    out_j.append(jp)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard_pct": pa.array(out_j, pa.int64()),
+                }
+            )
+
+        verified = j2.map_batches(verify_joined, batch_format="pyarrow")
+
+    out = verified.to_pandas()
+    if len(out) == 0:
+        return _EMPTY_PAIRS
+    out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Exhaustive similarity-join oracle for the MinHash-LSH pipeline: any
+# pair at floor(100*J) >= 70 must surface as an LSH candidate (16
+# bands x 4 rows: miss probability (1-J^4)^16, negligible at the
+# verified thresholds) and then pass the exact string-gram verify, so
+# the banded pipeline's output must equal this O(n^2) join — checking
+# the recall guarantee itself, like SIMHASH_PAIRS_SQL.
+MINHASH_DEDUP_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (100 * i) // (ca.n + cb.n - i) AS jaccard_pct
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE (100 * i) // (ca.n + cb.n - i) >= 70
+ORDER BY doc_a, doc_b
+"""
 
 
 # -- n-gram Jaccard (exact similarity join) ------------------------------
@@ -246,9 +383,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
          with the pair packed into one int64 key;
       3. groupby(pair_bucket).map_groups: sum |A ∩ B| per pair inside
          coarse buckets (see functions/bucketed.py for why native
-         high-cardinality aggregates are avoided);
-      4. join |A| and |B| (slim doc_id -> n_grams broadcast) and filter
-         by integer-exact floor(100*i/(na+nb-i)) >= threshold_pct.
+         high-cardinality aggregates are avoided) and filter by
+         integer-exact floor(100*i/(na+nb-i)) >= threshold_pct there.
+
+    |A| (a doc's distinct-gram count) is known LOCALLY at explode time
+    — it's len(gram_set) of that one doc — so it rides along on every
+    (gram, doc_id) row and no count join (and no driver-side count
+    dict) exists anywhere in the plan.
 
     ``df_cap`` drops grams whose document frequency exceeds the cap
     (stopword-gram pruning) — the standard 100TB-scale guard against
@@ -259,7 +400,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        grams, ids, buckets = [], [], []
+        grams, ids, buckets, ngrams = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             words = text.split()
             if len(words) < n:
@@ -269,6 +410,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
             grams.extend(gset)
             ids.extend([doc_id] * len(gset))
             buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
+            ngrams.extend([len(gset)] * len(gset))
         return pa.table(
             {
                 "gram": pa.array(grams, pa.string()),
@@ -276,15 +418,12 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
                 # coarse groupby key: per-gram work happens vectorized
                 # inside ~256 groups instead of one map call per gram
                 "gram_bucket": pa.array(buckets, pa.int32()),
+                # the doc's own distinct-gram count, known locally here
+                "n_grams": pa.array(ngrams, pa.int64()),
             }
         )
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
-
-    counts_df = bucketed_aggregate(
-        exploded, ["doc_id"], {"n_grams": ("gram", "count")}
-    ).to_pandas()
-    n_grams = dict(zip(counts_df["doc_id"], counts_df["n_grams"]))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if df_cap is not None:
@@ -299,40 +438,33 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
         # vectorized.
         key = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
         part = key.value_counts().rename_axis("pair_key").reset_index(name="inter")
+        nmap = dict(zip(g["doc_id"], g["n_grams"]))  # per-bucket, worker-local
+        part["na"] = (part["pair_key"] // (1 << 31)).map(nmap).astype("int64")
+        part["nb"] = (part["pair_key"] % (1 << 31)).map(nmap).astype("int64")
         part["pair_bucket"] = (part["pair_key"] % 241).astype("int32")
         return part
 
     def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("pair_key", sort=False)["inter"].sum().reset_index()
+        s = g.groupby("pair_key", sort=False).agg(
+            inter=("inter", "sum"), na=("na", "first"), nb=("nb", "first")
+        ).reset_index()
+        union = s["na"] + s["nb"] - s["inter"]
+        s["jaccard_pct"] = (100 * s["inter"]) // union
+        s = s[s["jaccard_pct"] >= threshold_pct]
         s["doc_a"] = (s["pair_key"] // (1 << 31)).astype("int64")
         s["doc_b"] = (s["pair_key"] % (1 << 31)).astype("int64")
-        return s[["doc_a", "doc_b", "inter"]]
+        return s[["doc_a", "doc_b", "jaccard_pct"]]
 
-    inter = (
+    out = (
         exploded.groupby("gram_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby("pair_bucket")
         .map_groups(combine_bucket, batch_format="pandas")
         .to_pandas()
     )
-    if len(inter) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
-    inter["doc_a"] = inter["doc_a"].astype("int64")
-    inter["doc_b"] = inter["doc_b"].astype("int64")
-    na = inter["doc_a"].map(n_grams).astype("int64")
-    nb = inter["doc_b"].map(n_grams).astype("int64")
-    union = na + nb - inter["inter"].astype("int64")
-    inter["jaccard_pct"] = (100 * inter["inter"].astype("int64")) // union
-    out = (
-        inter[inter["jaccard_pct"] >= threshold_pct][["doc_a", "doc_b", "jaccard_pct"]]
-        .sort_values(["doc_a", "doc_b"], ignore_index=True)
-    )
+    if len(out) == 0:
+        return _EMPTY_PAIRS
+    out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

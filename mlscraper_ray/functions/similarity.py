@@ -89,17 +89,51 @@ LIMIT {k}
 """
 
 
-def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_clusters: int = 16, n_probe: int = 4) -> pa.Table:
-    """IVF-flavored ANN: centroids = deterministic sample of stored
-    vectors; search only the query's n_probe nearest clusters. Returns
-    the same schema as cosine_topk (approximate contents)."""
-    import pyarrow.parquet as pq
+def _md5_sample_ids(sf_dir: str, table: str, id_col: str, n_sample: int) -> list[int]:
+    """Deterministic distributed sample of ``n_sample`` ids: the ids
+    with the smallest md5(str(id)) digests. One slim-column pass with
+    per-batch partial top-n (only ``n_sample`` rows per batch leave
+    each task) — never a full-table driver read — and the selection is
+    reproducible in SQL (``ORDER BY md5(CAST(id AS VARCHAR)), id``)."""
+    import hashlib
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    n = t.num_rows
-    rng = np.random.RandomState(42)
-    centroid_rows = sorted(rng.choice(n, size=min(n_clusters, n), replace=False).tolist())
-    centroids = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in centroid_rows])
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ranked = sorted(((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids))[:n_sample]
+        return pa.table(
+            {
+                "h": pa.array([h for h, _ in ranked], pa.string()),
+                id_col: pa.array([i for _, i in ranked], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=[id_col])
+    parts = ds.map_batches(partial_topn, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["h", id_col], ignore_index=True).head(n_sample)
+    return parts[id_col].tolist()
+
+
+def _read_vectors_by_id(sf_dir: str, ids: list[int]) -> np.ndarray:
+    """Read ONLY the given vec_id rows (is_in predicate pushed to the
+    parquet scan — row-group pruned, never a full-table read); returns
+    vectors ordered by the order of ``ids``."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(ids)
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), (np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist())))
+    return np.stack([by_id[i] for i in ids])
+
+
+def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_clusters: int = 16, n_probe: int = 4) -> pa.Table:
+    """IVF-flavored ANN: centroids = deterministic md5-ordered sample
+    of stored vectors (SQL-reproducible, see IVF_TOPK_SQL); search only
+    the query's n_probe nearest clusters. Same schema as cosine_topk."""
+    centroid_ids = _md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters)
+    centroids = _read_vectors_by_id(sf_dir, centroid_ids)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
     q = _load_query_vec(sf_dir, query_vec_id)
@@ -129,6 +163,40 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_clusters: int = 
     partials = partials[partials["vec_id"] != query_vec_id]
     out = partials.sort_values(["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_clusters: int = 16, n_probe: int = 4) -> str:
+    """DuckDB oracle reproducing ivf_topk term for term: md5-ordered
+    centroid sample, cosine argmax assignment (ties -> md5 order),
+    n_probe nearest clusters to the query, exact cosine within them."""
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+    FROM embeddings
+    QUALIFY rk <= {n_clusters}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c.cid FROM cents c, q
+    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.rk
+    LIMIT {n_probe}
+),
+assign AS (
+    SELECT e.vec_id,
+           (SELECT c.cid FROM cents c
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v) DESC, c.rk
+            LIMIT 1) AS cid
+    FROM embeddings e
+)
+SELECT e.vec_id,
+       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+            (SELECT v FROM q)) * 10000) AS BIGINT) AS score_x10k
+FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id != {query_vec_id}
+ORDER BY score_x10k DESC, e.vec_id
+LIMIT {k}
+"""
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int = 16) -> pa.Table:
@@ -199,10 +267,29 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int 
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def embedding_neardup_sql(threshold: float = 0.92) -> str:
+    """Exhaustive O(n^2) cosine-join oracle for the hyperplane-LSH
+    near-dup pipeline. With 16 shared hyperplanes, pairs at cos >=
+    0.92 (angle <= ~23 deg) collide in the full 16-bit bucket with
+    probability (1 - theta/pi)^16; the pipeline's recall on planted
+    near-identical pairs is additionally pinned by
+    tests/test_similarity.py, and this oracle checks that NO
+    over-threshold pair escapes at driver scale."""
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS score_x10k
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 # -- distributed k-means (iterative algorithm over the Dataset) ----------
 
 
-def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5, seed: int = 42) -> np.ndarray:
+def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> np.ndarray:
     """Distributed Lloyd's k-means over the embeddings table.
 
     Each iteration is ONE streaming pass: map_batches assigns rows to
@@ -213,16 +300,11 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5, seed: int = 
     per-iteration exchange is O(k * dim * n_batches), independent of
     row count; this is the scale path for IVF centroid training.
     """
-    import pyarrow.parquet as pq
-
-    meta = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
-    n = meta.num_rows
-    rng = np.random.RandomState(seed)
-    init_rows = sorted(rng.choice(n, size=min(n_clusters, n), replace=False).tolist())
-    t0 = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    centroids = np.stack(
-        [np.asarray(t0["embedding"][i].as_py(), dtype=np.float64) for i in init_rows]
-    )
+    # deterministic md5-ordered sample for init: one slim vec_id pass
+    # with per-batch partial top-n, then an is_in-predicate read of
+    # ONLY the sampled rows — never a full-table driver read
+    init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
+    centroids = _read_vectors_by_id(sf_dir, init_ids)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -269,8 +351,8 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5, seed: int = 
 
 def embedding_kmeans(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> pa.Table:
     """Final k-means assignment per vector: (vec_id, cluster) plus the
-    fixed-point distance to its centroid. Deterministic (seeded init,
-    order-independent folds), rows-only oracle."""
+    fixed-point distance to its centroid. Deterministic (md5-ordered
+    init, ordered partial folds), rows-only oracle."""
     centroids = kmeans_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters)
     cents_ref = ray.put(centroids)
 

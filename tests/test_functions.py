@@ -101,7 +101,7 @@ class TestNearDupCrafted:
     def test_minhash_finds_exact_and_near_dups(self, ray_session, docs_dir):
         from mlscraper_ray.functions.dedup import minhash_dedup
 
-        pairs = minhash_dedup(docs_dir, threshold=0.5).to_pandas()
+        pairs = minhash_dedup(docs_dir, threshold_pct=50).to_pandas()
         got = set(zip(pairs["doc_a"], pairs["doc_b"]))
         assert (0, 1) in got  # exact dup
         assert (0, 2) in got and (1, 2) in got  # near dup
@@ -120,15 +120,22 @@ class TestNearDupCrafted:
         assert zero["hamming"].iloc[0] == 0
 
     def test_jaccard_values_are_exact(self, ray_session, docs_dir):
-        from mlscraper_ray.functions.dedup import minhash_dedup, word_shingles
+        from mlscraper_ray.functions.dedup import minhash_dedup, word_gram_set
 
-        pairs = minhash_dedup(docs_dir, threshold=0.5).to_pandas()
+        pairs = minhash_dedup(docs_dir, threshold_pct=50).to_pandas()
         base = "the quick brown fox jumps over the lazy dog again and again today"
         near = base.replace("lazy", "sleepy")
-        sa, sb = word_shingles(base), word_shingles(near)
-        expected = int(round(100 * len(sa & sb) / len(sa | sb)))
+        sa, sb = word_gram_set(base), word_gram_set(near)
+        expected = (100 * len(sa & sb)) // len(sa | sb)
         row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)]
         assert row["jaccard_pct"].iloc[0] == expected
+
+    def test_minhash_bucketed_verify_path_matches_broadcast(self, ray_session, docs_dir):
+        from mlscraper_ray.functions.dedup import minhash_dedup
+
+        broadcast = minhash_dedup(docs_dir, threshold_pct=50).to_pandas()
+        bucketed = minhash_dedup(docs_dir, threshold_pct=50, broadcast_limit=0).to_pandas()
+        assert broadcast.equals(bucketed)
 
 
 class TestSimilarityCrafted:
@@ -202,6 +209,41 @@ class TestEmbeddingNearDupCrafted:
         out = embedding_neardup_pairs(str(tmp_path), threshold=0.92).to_pandas()
         got = set(zip(out["vec_a"], out["vec_b"]))
         assert (0, 20) in got and (5, 21) in got
+
+    def test_planted_neardups_match_exhaustive_sql(self, ray_session, tmp_path):
+        """Non-vacuous oracle check: on a corpus that HAS over-threshold
+        pairs, the LSH pipeline equals the exhaustive O(n^2) DuckDB
+        cosine join (the driver-side oracle is vacuous on the shipped
+        embeddings table, whose max pairwise cosine is ~0.51)."""
+        import duckdb
+
+        from mlscraper_ray.functions.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_sql,
+        )
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        vecs = list(base)
+        for i in range(6):  # plant near-identical copies of vectors 0..5
+            vecs.append(base[i] + rng.standard_normal(16).astype(np.float32) * 0.005)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = embedding_neardup_pairs(str(tmp_path), threshold=0.92).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+        )
+        oracle = con.execute(embedding_neardup_sql(0.92)).fetchdf()
+        assert len(oracle) >= 6  # the planted pairs are really over threshold
+        assert out["vec_a"].tolist() == oracle["vec_a"].tolist()
+        assert out["vec_b"].tolist() == oracle["vec_b"].tolist()
+        assert out["score_x10k"].tolist() == oracle["score_x10k"].tolist()
 
 
 class TestKMeans:
