@@ -30,6 +30,13 @@ class CrawlConfig:
     max_rounds: int = 64
     bloom_capacity: int = 1 << 17  # per shard; test-scale default
     bloom_fpr: float = 1e-9
+    # hot-host salting: a host whose admitted rows this round exceed
+    # max(salt_min_rows, ceil(admitted/n_parts)) is spread round-robin
+    # across ALL fetch parts instead of its bucket-aligned part, so one
+    # mega-host cannot serialize the fetch pool. Politeness is already
+    # enforced at admission (owner shard), so salting never changes
+    # WHAT is fetched — only where.
+    salt_min_rows: int = 256
     seed: int = 42
     plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
 

@@ -22,7 +22,8 @@ Ray-Data-first structure per round k:
    over the bucket-aligned blocks ->
    ``write_parquet(out/rounds/round=K/results)``. html bytes live only
    inside this stage; per-host skew is bounded by the politeness
-   budget and the bucket-part interleaving.
+   budget, the bucket-part interleaving, and hot-host salting
+   (``FrontierShard.admit_parts``).
 4. **checkpoint**: every shard snapshots (bloom + heaps + robots +
    counters) to ``out/checkpoint/round=K/shard-i.bin``; the driver
    writes ``MANIFEST.json`` last — the atomic commit point.
@@ -62,7 +63,9 @@ def _batch_min_depth(batch: pa.Table) -> pa.Table:
     min is commutative, so no cross-batch shuffle is needed; this
     partial pass just shrinks the actor-RPC volume."""
     grouped = batch.group_by("url").aggregate([("depth", "min")])
-    return grouped.rename_columns(["url", "depth"])
+    # select by NAME: aggregate output column order differed across
+    # pyarrow versions (keys-first vs aggregates-first)
+    return pa.table({"url": grouped["url"], "depth": grouped["depth_min"]})
 
 
 def _round_dir(out_dir: str, k: int) -> str:
@@ -124,9 +127,9 @@ class RayCrawler:
     def _fetch_extract(self, admitted: ray.data.Dataset, k: int, n_admitted: int = 0) -> str:
         results_dir = os.path.join(_round_dir(self.out_dir, k), "results")
         # blocks arrive bucket-aligned from admit_parts (see _admit);
-        # per-host skew within a round is already bounded by the
-        # politeness token budget, and the part split interleaves hosts
-        # so one hot host cannot serialize the pool
+        # per-host skew within a round is bounded by the politeness
+        # token budget, and hosts hot enough to dominate a part are
+        # salted round-robin across parts (shard.admit_parts)
         stage = admitted.map_batches(
             fetch_parse_extract_task,
             fn_kwargs={
@@ -269,17 +272,54 @@ class RayCrawler:
         return crawler, k + 1
 
 
-def crawl_order(out_dir: str) -> pa.Table:
-    """The canonical deterministic crawl order: fetched urls sorted by
-    (round, depth, host, url) with a global rank column."""
-    results = sorted(glob.glob(os.path.join(out_dir, "rounds", "round=*", "results", "*.parquet")))
-    tables = [
-        pq.read_table(f, columns=["round", "depth", "host", "url", "fetch_ok"])
-        for f in results
-    ]
-    table = pa.concat_tables(tables)
-    table = table.filter(table["fetch_ok"]).drop_columns(["fetch_ok"])
-    table = table.sort_by(
-        [("round", "ascending"), ("depth", "ascending"), ("host", "ascending"), ("url", "ascending")]
+@ray.remote
+def _rank_block(block: pa.Table, offset: int) -> pa.Table:
+    import numpy as np
+
+    return block.append_column(
+        "rank", pa.array(np.arange(offset, offset + block.num_rows), pa.int64())
     )
-    return table.append_column("rank", pa.array(range(table.num_rows), pa.int64()))
+
+
+def crawl_order_dataset(out_dir: str) -> ray.data.Dataset:
+    """The canonical deterministic crawl order as a DISTRIBUTED
+    Dataset: fetched urls sorted by (round, depth, host, url) with a
+    global rank column.
+
+    Scale path (nothing row-sized touches the driver):
+    1. ``read_parquet`` over the per-round results (column-pruned);
+    2. per-batch ``fetch_ok`` filter;
+    3. Ray Data distributed sort on the total key — url is unique, so
+       block boundaries are value-deterministic;
+    4. rank = exclusive prefix sum of per-block row counts (driver
+       reads only O(n_blocks) METADATA via ``iter_internal_ref_bundles``,
+       never block contents) + a per-block arange added by remote tasks.
+    """
+    results = sorted(glob.glob(os.path.join(out_dir, "rounds", "round=*", "results", "*.parquet")))
+    ds = ray.data.read_parquet(results, columns=["round", "depth", "host", "url", "fetch_ok"])
+
+    def keep_fetched(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["fetch_ok"]).drop_columns(["fetch_ok"])
+
+    sorted_ds = ds.map_batches(keep_fetched, batch_format="pyarrow").sort(
+        ["round", "depth", "host", "url"]
+    )
+    block_refs, counts = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for block_ref, block_md in zip(bundle.block_refs, bundle.metadata):
+            block_refs.append(block_ref)
+            counts.append(block_md.num_rows)
+    offset = 0
+    ranked_refs = []
+    for block_ref, n in zip(block_refs, counts):
+        ranked_refs.append(_rank_block.remote(block_ref, offset))
+        offset += n
+    return ray.data.from_arrow_refs(ranked_refs)
+
+
+def crawl_order(out_dir: str) -> pa.Table:
+    """Driver-contract convenience: the distributed crawl order pulled
+    into one Arrow table (test-scale result; at the 10^10-url design
+    point consume :func:`crawl_order_dataset` with ``write_parquet``)."""
+    out = crawl_order_dataset(out_dir).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)

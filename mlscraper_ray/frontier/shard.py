@@ -144,7 +144,18 @@ class FrontierShard:
         hosts whose corpus bucket satisfies bucket % n_parts == r. The
         crawler's fetch stage then gets one block per (shard, part),
         each touching only n_buckets/n_parts corpus bucket files —
-        full-pool parallelism without a Dataset shuffle."""
+        full-pool parallelism without a Dataset shuffle.
+
+        HOT-HOST SALTING: a host whose admitted rows exceed
+        max(cfg.salt_min_rows, ceil(total/n_parts)) would dominate its
+        bucket-aligned part and serialize the fetch pool; its rows are
+        instead dealt round-robin across ALL parts (deterministic: the
+        admit order is deterministic, so the deal is too). Politeness
+        was already enforced by the per-host token pop above, so
+        salting changes only WHERE rows are fetched, never what or how
+        many. Cost: salted parts touch the hot host's corpus bucket
+        file too — bounded, because lookups are per-host range
+        predicates whose row-read cost is ~ hits (sources/corpus.py)."""
         import pyarrow.compute as pc
 
         from mlscraper_ray.sources.corpusgen import host_bucket
@@ -152,10 +163,21 @@ class FrontierShard:
         t = self.admit()
         if n_parts == 1:
             return t
-        parts = pa.array(
-            [host_bucket(h, self.cfg.n_buckets) % n_parts for h in t["host"].to_pylist()],
-            pa.int32(),
-        )
+        hosts = t["host"].to_pylist()
+        counts = Counter(hosts)
+        threshold = max(self.cfg.salt_min_rows, -(-len(hosts) // n_parts))
+        part_ids: list[int] = []
+        dealt: Counter = Counter()
+        for h in hosts:
+            if counts[h] > threshold:
+                part_ids.append(dealt[h] % n_parts)
+                dealt[h] += 1
+            else:
+                part_ids.append(host_bucket(h, self.cfg.n_buckets) % n_parts)
+        if dealt:
+            self.counters["salted_rows"] += sum(dealt.values())
+            self.counters["salted_hosts"] += len(dealt)
+        parts = pa.array(part_ids, pa.int32())
         return tuple(t.filter(pc.equal(parts, r)) for r in range(n_parts))
 
     def last_admitted(self) -> int:

@@ -56,8 +56,16 @@ def q1_lineitem(sf_dir: str) -> pa.Table:
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("base_cents", "sum"), ("qty", "count")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "count_order"]
+        # select by NAME (not positional rename): aggregate column order
+        # differed across pyarrow versions (keys-first vs aggregates-first)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["qty_sum"],
+                "sum_base_cents": g["base_cents_sum"],
+                "count_order": g["qty_count"],
+            }
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -111,7 +119,9 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             }
         )
         g = t.group_by("n_name").aggregate([("revenue_cents", "sum"), ("n_name", "count")])
-        return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+        return pa.table(
+            {"n_name": g["n_name"], "revenue_cents": g["revenue_cents_sum"], "n_orders": g["n_name_count"]}
+        )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
@@ -152,7 +162,15 @@ def events_by_type(sf_dir: str) -> pa.Table:
         g = t.group_by("event_type").aggregate(
             [("value_milli", "sum"), ("ts", "min"), ("ts", "max"), ("event_type", "count")]
         )
-        return g.rename_columns(["event_type", "sum_value_milli", "first_ts", "last_ts", "n_events"])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_value_milli": g["value_milli_sum"],
+                "first_ts": g["ts_min"],
+                "last_ts": g["ts_max"],
+                "n_events": g["event_type_count"],
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = (
@@ -199,7 +217,9 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
             }
         )
         g = t.group_by("user_id").aggregate([("value_milli", "sum"), ("value_milli", "count")])
-        return g.rename_columns(["user_id", "value_milli", "n_events"])
+        return pa.table(
+            {"user_id": g["user_id"], "value_milli": g["value_milli_sum"], "n_events": g["value_milli_count"]}
+        )
 
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 

@@ -116,7 +116,15 @@ def order_lineitem_revenue(sf_dir: str) -> pa.Table:
         g = batch.group_by("o_orderpriority").aggregate(
             [("price_cents", "sum"), ("o_orderkey", "count")]
         )
-        return g.rename_columns(["o_orderpriority", "revenue_cents", "n_lineitems"])
+        # select by NAME: aggregate column order differed across pyarrow
+        # versions (keys-first vs aggregates-first)
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "revenue_cents": g["price_cents_sum"],
+                "n_lineitems": g["o_orderkey_count"],
+            }
+        )
 
     out = (
         joined.map_batches(partial, batch_format="pyarrow")

@@ -91,7 +91,16 @@ def hourly_event_counts(sf_dir: str) -> pa.Table:
         g = t.group_by(["event_type", "window_start"]).aggregate(
             [("value_milli", "sum"), ("window_start", "count")]
         )
-        return g.rename_columns(["event_type", "window_start", "sum_value_milli", "n_events"])
+        # select by NAME: aggregate output column order differed across
+        # pyarrow versions (keys-first vs aggregates-first)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "sum_value_milli": g["value_milli_sum"],
+                "n_events": g["window_start_count"],
+            }
+        )
 
     # window count scales with the covered time range -> coarse-bucket
     # combine of the per-batch partials (functions/bucketed.py)

@@ -27,7 +27,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from mlscraper_ray.sources.corpusgen import host_bucket, url_host
+from mlscraper_ray.sources.corpusgen import PAGES_SCHEMA, host_bucket, url_host
+
+
+def _typed_empty(columns: tuple) -> pa.Table:
+    """Schema-correct empty table (a bare ``pa.table({c: []})`` makes
+    null-typed columns, which breaks downstream is_in filters)."""
+    return pa.table(
+        {
+            c: pa.array([], PAGES_SCHEMA.field(c).type if PAGES_SCHEMA.get_field_index(c) >= 0 else pa.string())
+            for c in columns
+        }
+    )
 
 
 class CorpusReader:
@@ -68,7 +79,7 @@ class CorpusReader:
         if table is None:
             files = self._bucket_files(hb)
             if not files:
-                table = pa.table({c: [] for c in columns})
+                table = _typed_empty(columns)
             else:
                 parts = [pq.read_table(f, columns=list(columns)) for f in files]
                 table = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
@@ -121,7 +132,7 @@ class CorpusReader:
                 if t.num_rows:
                     parts.append(t)
         if not parts:
-            return pa.table({c: [] for c in columns})
+            return _typed_empty(columns)
         return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     def get_text(self, url: str) -> str | None:

@@ -12,8 +12,11 @@ Throughput notes for the 100 TB design point:
 - per-document parsing is inherently row-wise Python, but everything
   around it is columnar; batch size is tuned for ~1-4 MB of html per
   batch so actor heap stays bounded;
-- the admitted frontier is repartitioned by url-hash before this stage
-  (salting), so one hot host cannot serialize the actor pool.
+- the admitted frontier arrives as bucket-aligned parts from
+  ``FrontierShard.admit_parts`` (each block touches only a slice of
+  the corpus bucket files); hosts hot enough to dominate a part are
+  SALTED — dealt round-robin across all parts — so one mega-host
+  cannot serialize the pool (see frontier/shard.py admit_parts).
 """
 from __future__ import annotations
 

@@ -175,3 +175,87 @@ def test_manifest_records_per_partition_lineage(crawl_run):
                 assert hashlib.sha256(f.read()).hexdigest() == entry["sha256"]
             checked += 1
     assert checked > 0
+
+
+class TestHotHostSalting:
+    def test_hot_host_rows_dealt_across_parts(self, small_corpus):
+        """A host whose admitted rows would dominate one fetch part is
+        salted round-robin across ALL parts; cold hosts stay on their
+        bucket-aligned part; the union of parts equals plain admit()."""
+        from mlscraper_ray.frontier.shard import FrontierShard
+        from mlscraper_ray.sources.corpusgen import host_bucket
+
+        corpus, spec = small_corpus
+        cfg = CrawlConfig(
+            n_shards=1, tokens_per_round=100, salt_min_rows=8, max_depth=9
+        )
+        mk = lambda: FrontierShard(0, cfg, corpus)
+
+        def submit_all(shard):
+            hot = [f"http://mega.example/p{i:03d}" for i in range(40)]
+            cold = [f"http://tiny{j}.example/p{i}" for j in range(3) for i in range(2)]
+            shard.submit(hot + cold, [1] * (len(hot) + len(cold)))
+
+        n_parts = 4
+        shard = mk()
+        submit_all(shard)
+        parts = shard.admit_parts(n_parts)
+        assert len(parts) == n_parts
+        by_part_hosts = [set(p["host"].to_pylist()) for p in parts]
+        # the hot host landed in EVERY part ...
+        assert all("mega.example" in hosts for hosts in by_part_hosts)
+        hot_counts = [
+            p.filter(pa.compute.equal(p["host"], "mega.example")).num_rows for p in parts
+        ]
+        assert max(hot_counts) - min(hot_counts) <= 1  # even deal
+        # ... cold hosts stayed bucket-aligned
+        for p_idx, hosts in enumerate(by_part_hosts):
+            for h in hosts - {"mega.example"}:
+                assert host_bucket(h, cfg.n_buckets) % n_parts == p_idx
+        assert shard.get_counters()["salted_rows"] == 40
+        # the parts are a partition of plain admit()
+        shard2 = mk()
+        submit_all(shard2)
+        plain = shard2.admit()
+        merged = sorted(
+            row
+            for p in parts
+            for row in zip(p["url"].to_pylist(), p["depth"].to_pylist())
+        )
+        assert merged == sorted(zip(plain["url"].to_pylist(), plain["depth"].to_pylist()))
+
+    def test_mega_host_crawl_matches_oracle(
+        self, ray_session, tmp_path_factory
+    ):
+        """End-to-end pathological corpus (one host with ~10x everyone
+        else's pages): the salted fetch path must still reproduce the
+        single-process oracle's order, seen set, and counters."""
+        from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+        d = str(tmp_path_factory.mktemp("megacorpus"))
+        spec = CorpusSpec(
+            n_hosts=4, pages_per_host=3, skew_factors=(32,), n_seeds=3
+        )
+        generate_corpus(d, spec)
+        cfg = CrawlConfig(
+            n_shards=2,
+            tokens_per_round=48,
+            max_rounds=8,
+            max_depth=6,
+            salt_min_rows=4,
+        )
+        out = str(tmp_path_factory.mktemp("megaout"))
+        stats = RayCrawler(d, out, cfg).run()
+        order = crawl_order(out)
+        fetches, seen, _, _ = oracle_crawl(d, cfg)
+        ray_order = list(
+            zip(
+                order["round"].to_pylist(),
+                order["depth"].to_pylist(),
+                order["host"].to_pylist(),
+                order["url"].to_pylist(),
+            )
+        )
+        assert ray_order == fetches
+        assert stats["seen"] == len(seen)
+        assert stats["counters"].get("salted_rows", 0) > 0  # salting did engage
