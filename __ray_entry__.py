@@ -166,8 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _warc_roundtrip(sf_dir: str):
-    """Pages -> sharded .warc.gz -> Dataset; returns per-url html byte
-    counts (proves the round-trip without shipping html to the driver)."""
+    """Pages -> sharded .warc.gz -> Dataset; returns per-url html
+    sha256 + byte count, so the round-trip is CONTENT-pinned (any
+    corruption flips the hash) without shipping html to the driver."""
     import os
     import tempfile
 
@@ -180,16 +181,25 @@ def _warc_roundtrip(sf_dir: str):
     with tempfile.TemporaryDirectory(prefix="warc_rt_") as warc_dir:
         write_warc_from_pages(os.path.join(corpus_dir, "pages"), warc_dir)
 
-        def sizes(batch: pa.Table) -> pa.Table:
+        def digests(batch: pa.Table) -> pa.Table:
+            import hashlib
+
             import pyarrow.compute as pc
 
+            hashes = [
+                hashlib.sha256(h).hexdigest() for h in batch["html"].to_pylist()
+            ]
             return pa.table(
-                {"url": batch["url"], "html_bytes": pc.binary_length(batch["html"])}
+                {
+                    "url": batch["url"],
+                    "html_sha256": pa.array(hashes, pa.string()),
+                    "html_bytes": pc.binary_length(batch["html"]),
+                }
             )
 
         out = (
             read_warc(warc_dir)
-            .map_batches(sizes, batch_format="pyarrow")
+            .map_batches(digests, batch_format="pyarrow")
             .to_pandas()
             .sort_values("url", ignore_index=True)
         )

@@ -37,6 +37,13 @@ class CrawlConfig:
     # enforced at admission (owner shard), so salting never changes
     # WHAT is fetched — only where.
     salt_min_rows: int = 256
+    # recrawl/TTL policy: 0 = crawl-once (bloom seen set). N > 0 =
+    # delete-capable cuckoo seen set; a url fetched in round k is
+    # EVICTED at round k+N and becomes re-crawlable when its links are
+    # rediscovered. The per-round eviction schedule is the round's own
+    # admitted-url list (at the 10^10 design point that list is the
+    # round's results parquet, streamed back at eviction time).
+    recrawl_after_rounds: int = 0
     seed: int = 42
     plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
 

@@ -55,7 +55,19 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
             robots[host] = RobotsRules.parse(body) if body else RobotsRules.ALLOW_ALL
         return robots[host]
 
+    # recrawl/TTL: (admit_round, [urls]) ring mirroring FrontierShard
+    expiry_ring: list[tuple[int, list[str]]] = []
+
     for round_k in range(config.max_rounds):
+        # evict urls admitted >= recrawl_after_rounds rounds ago BEFORE
+        # the submit flush (mirrors FrontierShard._evict_expired)
+        if config.recrawl_after_rounds > 0:
+            while expiry_ring and round_k - expiry_ring[0][0] >= config.recrawl_after_rounds:
+                _, old_urls = expiry_ring.pop(0)
+                for url in old_urls:
+                    if url in seen:
+                        seen.discard(url)
+                        counters["recrawl_evicted"] += 1
         # intra-round dedup: min (depth, warc_ts) per url (mirrors the
         # shard actors' round-buffer tuple-min resolution)
         best: dict[str, tuple] = {}
@@ -93,6 +105,8 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
         if not admitted:
             break
         counters["admitted"] += len(admitted)
+        if config.recrawl_after_rounds > 0:
+            expiry_ring.append((round_k, [u for u, _, _ in admitted]))
 
         # fetch + parse + extract + discover
         for url, host, depth in admitted:

@@ -38,6 +38,7 @@ from mlscraper_ray.frontier.robots import RobotsRules
 from mlscraper_ray.sources.corpus import CorpusReader
 from mlscraper_ray.sources.corpusgen import url_host
 from mlscraper_ray.state.bloom import BloomFilter
+from mlscraper_ray.state.cuckoo import CuckooFilter
 
 
 def url_path(url: str) -> str:
@@ -50,7 +51,15 @@ class FrontierShard:
         cfg = config if isinstance(config, CrawlConfig) else CrawlConfig.from_dict(config)
         self.shard_id = shard_id
         self.cfg = cfg
-        self.bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpr)
+        # crawl-once -> bloom; recrawl/TTL -> delete-capable cuckoo
+        # (north_star: "cuckoo fallback for deletes")
+        if cfg.recrawl_after_rounds > 0:
+            self.seen: BloomFilter | CuckooFilter = CuckooFilter(cfg.bloom_capacity)
+        else:
+            self.seen = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpr)
+        # TTL eviction ring: (admit_round, [urls admitted that round])
+        self.expiry_ring: list[tuple[int, list[str]]] = []
+        self.round_counter = 0
         self.round_buffer: dict[str, int] = {}
         self.heaps: dict[str, list] = {}
         self.robots: dict[str, RobotsRules] = {}
@@ -88,6 +97,28 @@ class FrontierShard:
         self.counters["submitted"] += len(urls)
         return {"submitted": len(urls)}
 
+    def _seen_add(self, url: str) -> bool:
+        """True if url was NOT seen and is now marked seen."""
+        if isinstance(self.seen, BloomFilter):
+            return self.seen.add(url)
+        if url in self.seen:
+            return False
+        self.seen.add(url)
+        return True
+
+    def _evict_expired(self) -> None:
+        """Recrawl/TTL: delete urls admitted >= recrawl_after_rounds
+        rounds ago from the (cuckoo) seen set, making them
+        re-crawlable on rediscovery. No-op in crawl-once mode."""
+        ttl = self.cfg.recrawl_after_rounds
+        if ttl <= 0:
+            return
+        while self.expiry_ring and self.round_counter - self.expiry_ring[0][0] >= ttl:
+            _, urls = self.expiry_ring.pop(0)
+            for url in urls:
+                if self.seen.delete(url):
+                    self.counters["recrawl_evicted"] += 1
+
     def _flush_round(self) -> None:
         """Dedup + robots-gate + enqueue the buffered round candidates,
         in sorted url order (determinism; mirrors the oracle)."""
@@ -97,7 +128,7 @@ class FrontierShard:
             if depth > self.cfg.max_depth:
                 c["dropped_depth"] += 1
                 continue
-            if not self.bloom.add(url):
+            if not self._seen_add(url):
                 c["dropped_seen"] += 1
                 continue
             host = url_host(url)
@@ -118,6 +149,7 @@ class FrontierShard:
         """Flush the round buffer, then pop up to ``tokens_per_round``
         URLs per host, in (depth, warc_ts, url) order; hosts processed in sorted
         order so the emitted table is deterministic."""
+        self._evict_expired()
         self._flush_round()
         urls, hosts, depths = [], [], []
         for host in sorted(self.heaps):
@@ -131,6 +163,9 @@ class FrontierShard:
                 del self.heaps[host]
         self._last_admitted = len(urls)
         self.counters["admitted"] += len(urls)
+        if self.cfg.recrawl_after_rounds > 0 and urls:
+            self.expiry_ring.append((self.round_counter, list(urls)))
+        self.round_counter += 1
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -190,14 +225,20 @@ class FrontierShard:
         return dict(self.counters)
 
     def seen_count(self) -> int:
-        return self.bloom.n_added
+        if isinstance(self.seen, BloomFilter):
+            return self.seen.n_added
+        return self.seen.n_items  # currently tracked (post-eviction)
 
     # -- checkpoint/restore ---------------------------------------------
     def state_bytes(self) -> bytes:
+        is_bloom = isinstance(self.seen, BloomFilter)
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
-                "bloom": self.bloom.to_bytes(),
+                "seen_kind": "bloom" if is_bloom else "cuckoo",
+                "seen": self.seen.to_bytes(),
+                "expiry_ring": self.expiry_ring,
+                "round_counter": self.round_counter,
                 "round_buffer": self.round_buffer,
                 "heaps": self.heaps,
                 "robots": {h: r.disallow_prefixes for h, r in self.robots.items()},
@@ -208,7 +249,12 @@ class FrontierShard:
     def restore(self, data: bytes) -> None:
         state = pickle.loads(data)
         assert state["shard_id"] == self.shard_id, "shard id mismatch on restore"
-        self.bloom = BloomFilter.from_bytes(state["bloom"])
+        if state["seen_kind"] == "bloom":
+            self.seen = BloomFilter.from_bytes(state["seen"])
+        else:
+            self.seen = CuckooFilter.from_bytes(state["seen"])
+        self.expiry_ring = [tuple(e) for e in state.get("expiry_ring", [])]
+        self.round_counter = state.get("round_counter", 0)
         self.round_buffer = state.get("round_buffer", {})
         self.heaps = state["heaps"]
         self.robots = {h: RobotsRules(p) for h, p in state["robots"].items()}

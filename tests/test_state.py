@@ -156,4 +156,4 @@ class TestFrontierShard:
         clone.restore_from(path)
         assert clone.pending() == shard.pending()
         assert clone.admit().to_pylist() == shard.admit().to_pylist()
-        assert clone.bloom.to_bytes() == shard.bloom.to_bytes()
+        assert clone.seen.to_bytes() == shard.seen.to_bytes()

@@ -33,3 +33,23 @@ def test_extract_from_warc_equals_extract_all(ray_session):
     a = qs["extract_all"]("/root/testdata/sf0.001").to_pandas()
     b = qs["extract_from_warc"]("/root/testdata/sf0.001").to_pandas()
     assert a.equals(b[a.columns])
+
+
+def test_warc_roundtrip_query_is_sha256_pinned(ray_session):
+    """The driver-facing warc_roundtrip query reports per-url sha256;
+    it must equal hashes computed directly from the source pages."""
+    import hashlib
+
+    import __ray_entry__ as E
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+
+    out = E.queries()["warc_roundtrip"]("/root/testdata/sf0.001").to_pandas()
+    corpus_dir, _ = corpus_for_sf(0.001)
+    pages = (
+        pq.read_table(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert out["url"].tolist() == pages["url"].tolist()
+    expected = [hashlib.sha256(bytes(h)).hexdigest() for h in pages["html"]]
+    assert out["html_sha256"].tolist() == expected
