@@ -147,37 +147,78 @@ ORDER BY o_orderpriority
 """
 
 
-def customers_without_orders(sf_dir: str) -> pa.Table:
-    """Broadcast ANTI-join: customers with no orders. The small side's
-    key set (distinct o_custkey) is collected once, broadcast via
-    ray.put, and the probe is a vectorized is_in filter per batch — no
-    shuffle. At scale, if the key set outgrows the object store,
-    switch to the bucketed cogroup path with an anti flag."""
+def customers_without_orders(sf_dir: str, broadcast_limit: int = 5_000_000) -> pa.Table:
+    """ANTI-join: customers with no orders.
+
+    Two paths, picked by the probe-side key cardinality:
+    - distinct o_custkey count <= ``broadcast_limit``: keys collected
+      once, broadcast via ray.put, vectorized is_in filter per batch —
+      no shuffle;
+    - larger: bucketed cogroup anti — customers left-join a marker
+      column on hashed key buckets, keep null-marker rows. One
+      shuffle, nothing driver-sized anywhere.
+    """
     import pyarrow.compute as pc
 
-    custkeys = (
-        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-        .map_batches(
-            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+    customers = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    order_keys = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+        batch_format="pyarrow",
+    )
+    # path choice from parquet METADATA (row count bounds the distinct
+    # key count from above) — deciding by collecting the keys would
+    # already pay the broadcast cost
+    n_orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).count()
+    if n_orders <= broadcast_limit:
+        custkeys = order_keys.to_pandas()["o_custkey"].unique()
+        keys_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
+
+        def anti(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=keys))
+            return batch.filter(mask)
+
+        out = customers.map_batches(anti, batch_format="pyarrow").to_pandas()
+    else:
+        left = customers.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["c_custkey"],
+                    "c_custkey": t["c_custkey"],
+                    "c_name": t["c_name"],
+                    "c_nationkey": t["c_nationkey"],
+                }
+            ),
             batch_format="pyarrow",
         )
-        .to_pandas()["o_custkey"]
-        .unique()
-    )
-    keys_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=keys))
-        return batch.filter(mask)
-
-    out = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name", "c_nationkey"]
+        right = order_keys.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["o_custkey"],
+                    "__has_order": pa.array([1] * t.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+        joined = cogroup_join(left, right, "key", how="left")
+
+        def keep_anti(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["__has_order"].isna()]
+            return pd.DataFrame(
+                {
+                    "c_custkey": keep["c_custkey"].astype("int64"),
+                    "c_name": keep["c_name"].astype(str),
+                    "c_nationkey": keep["c_nationkey"].astype("int32"),
+                }
+            )
+
+        out = joined.map_batches(keep_anti, batch_format="pandas").to_pandas()
     if out.empty:
         return pa.table(
             {

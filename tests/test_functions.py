@@ -262,3 +262,56 @@ class TestKMeans:
         one = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=1).to_pandas()
         five = embedding_kmeans(SF_DIR, n_clusters=8, n_iters=5).to_pandas()
         assert five["dist_x10k"].mean() <= one["dist_x10k"].mean()
+
+
+class TestAntiJoinPaths:
+    def test_bucketed_anti_matches_broadcast_and_oracle(self, ray_session):
+        """Forcing the bucketed cogroup anti path must reproduce the
+        broadcast path and the DuckDB oracle exactly."""
+        import sys
+
+        import duckdb
+
+        from mlscraper_ray.functions.joins import (
+            CUSTOMERS_WITHOUT_ORDERS_SQL,
+            customers_without_orders,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        broadcast = customers_without_orders(sf).to_pandas()
+        bucketed = customers_without_orders(sf, broadcast_limit=0).to_pandas()
+        assert broadcast.equals(bucketed)
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        oracle = con.execute(CUSTOMERS_WITHOUT_ORDERS_SQL).fetchdf()
+        assert len(bucketed) == len(oracle)
+        if len(oracle):
+            assert bucketed["c_custkey"].tolist() == oracle["c_custkey"].tolist()
+
+    def test_bucketed_anti_nonempty_crafted(self, ray_session, tmp_path):
+        """Non-vacuous check (the shipped tables have no order-less
+        customers): crafted data where 40 of 100 customers lack orders."""
+        from mlscraper_ray.functions.joins import customers_without_orders
+
+        cust = pa.table(
+            {
+                "c_custkey": pa.array(range(100), pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(100)]),
+                "c_nationkey": pa.array([i % 25 for i in range(100)], pa.int32()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_custkey": pa.array(
+                    [i for i in range(100) if i % 5 < 3 for _ in range(2)], pa.int64()
+                )
+            }
+        )
+        pq.write_table(cust, str(tmp_path / "customer.parquet"))
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        expected = sorted(i for i in range(100) if i % 5 >= 3)
+        broadcast = customers_without_orders(str(tmp_path)).to_pandas()
+        bucketed = customers_without_orders(str(tmp_path), broadcast_limit=0).to_pandas()
+        assert broadcast["c_custkey"].tolist() == expected
+        assert broadcast.equals(bucketed)

@@ -125,3 +125,115 @@ def test_select_is_scoped_to_subtree(inner):
             if e.tag_name == "span" and (e is not scope and e.has_ancestor(scope))
         )
         assert inside == walked
+
+
+# -- attribute selectors + :nth-child (the selector generator's full
+# grammar: tag/class/[attr]/[attr="v"]/:nth-child compositions) -------
+
+ATTRS = ["data-k", "title", "href"]
+VALS = ["v1", "v2", "a b"]  # incl. a space-containing value
+
+
+@st.composite
+def html_tree_attrs(draw, depth=0):
+    tag = draw(st.sampled_from(TAGS))
+    classes = draw(st.lists(st.sampled_from(CLASSES), max_size=2, unique=True))
+    parts = [f' class="{" ".join(classes)}"'] if classes else []
+    for a in ATTRS:
+        if draw(st.booleans()):
+            parts.append(f' {a}="{draw(st.sampled_from(VALS))}"')
+    attr_str = "".join(parts)
+    if depth >= 3:
+        body = draw(st.sampled_from(WORDS))
+    else:
+        body = " ".join(
+            draw(html_tree_attrs(depth=depth + 1)) if draw(st.booleans()) else draw(st.sampled_from(WORDS))
+            for _ in range(draw(st.integers(0, 3)))
+        )
+    return f"<{tag}{attr_str}>{body}</{tag}>"
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_attr_presence_selector_equivalence(inner):
+    doc = _doc(inner)
+    for a in ATTRS:
+        by_css = doc.select(f"[{a}]")
+        by_walk = [e for e in doc.iter_elements() if a in e.attrs]
+        assert by_css == by_walk
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_attr_value_selector_equivalence(inner):
+    doc = _doc(inner)
+    for a in ATTRS:
+        for v in VALS:
+            by_css = doc.select(f'[{a}="{v}"]')
+            by_walk = [e for e in doc.iter_elements() if e.attrs.get(a) == v]
+            assert by_css == by_walk
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_tag_attr_composition_is_intersection(inner):
+    doc = _doc(inner)
+    for tag in ("div", "p"):
+        for a in ATTRS:
+            assert doc.select(f"{tag}[{a}]") == [
+                e for e in doc.select(tag) if a in e.attrs
+            ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_nth_child_equivalence(inner):
+    """:nth-child(n) == 1-based position among ELEMENT siblings (the
+    generator's sibling-position quirk, htmlcore/dom.py _finalize)."""
+    doc = _doc(inner)
+    for n in (1, 2, 3):
+        by_css = doc.select(f"div:nth-child({n})")
+        by_walk = [
+            e for e in doc.iter_elements()
+            if e.tag_name == "div" and e.child_index == n
+        ]
+        assert by_css == by_walk
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_class_nth_child_composition(inner):
+    doc = _doc(inner)
+    for cl in CLASSES[:2]:
+        for n in (1, 2):
+            combined = doc.select(f".{cl}:nth-child({n})")
+            manual = [
+                e for e in doc.iter_elements()
+                if cl in e.classes and e.child_index == n
+            ]
+            assert combined == manual
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_tree_attrs())
+def test_generated_selectors_roundtrip(inner):
+    """Generator contracts on arbitrary documents: every non-nth node
+    selector's result set contains the node; every ``:nth-child``
+    variant's BASE selector, run from the parent, has the node at
+    position n-1 (the generator's sibling-position quirk indexes into
+    the parent's select() hits, not css nth-child semantics)."""
+    from mlscraper_ray.learn.selectors import SelectorContext
+
+    doc = _doc(inner)
+    elems = [e for e in doc.iter_elements() if e.tag_name not in ("html", "body")][:6]
+    ctx = SelectorContext()
+    for e in elems:
+        for sel in ctx.get_node_selectors(e)[:24]:
+            if ":nth-child(" in sel:
+                base, _, n_part = sel.rpartition(":nth-child(")
+                n = int(n_part.rstrip(")"))
+                parent = e.parent if e.parent is not None else e.doc
+                hits = parent.select(base)
+                assert len(hits) >= n and hits[n - 1] is e, sel
+            else:
+                assert any(h is e for h in doc.select(sel)), sel
