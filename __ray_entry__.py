@@ -84,8 +84,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
         out = feats.to_pandas().sort_values("doc_id", ignore_index=True)
-        out["features"] = out["features"].map(lambda v: list(v))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # explode to one scalar column per component: list cells don't
+        # hash-compare across pandas/duckdb string forms
+        for i in range(16):
+            out[f"f{i:02d}"] = out["features"].map(lambda v, i=i: float(v[i]))
+        return pa.Table.from_pandas(
+            out[["doc_id"] + [f"f{i:02d}" for i in range(16)]], preserve_index=False
+        )
 
     def multimodal_resize(sf_dir: str):
         import pyarrow as pa
@@ -277,7 +282,14 @@ FROM documents
 ORDER BY doc_id
 """,
         "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
+        "multimodal_features": _feature_stub_sql(),
     }
+
+
+def _feature_stub_sql() -> str:
+    from mlscraper_ray.stages.multimodal import feature_stub_sql
+
+    return feature_stub_sql()
 
 
 def dedup_exact_sql() -> str:

@@ -72,15 +72,41 @@ class FeatureExtractStub:
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # component i = md5-derived exact fixed-point in [-1, 1]:
+        # (md5_number_lower(payload|i) % 2000001 - 10^6) / 10^6. Both
+        # the modulus and the division of exact ints are bit-identical
+        # in DuckDB (md5_number_lower == int.from_bytes(md5[8:],'le')),
+        # so even the stubbed embedding is SQL-value-checkable.
         feats = []
         for payload in batch[self.payload_col].to_pylist():
-            digest = hashlib.blake2b(payload or b"", digest_size=self.dim * 4).digest()
-            vec = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
-            vec = (vec / np.iinfo(np.uint32).max * 2 - 1).round(6)
-            feats.append(vec.tolist())
+            vec = [
+                (
+                    int.from_bytes(
+                        hashlib.md5((payload or b"") + b"|" + str(i).encode()).digest()[8:],
+                        "little",
+                    )
+                    % 2000001
+                    - 1_000_000
+                )
+                / 1_000_000.0
+                for i in range(self.dim)
+            ]
+            feats.append(vec)
         return batch.drop_columns([self.payload_col]).append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
         )
+
+
+def feature_stub_sql(dim: int = 16) -> str:
+    """DuckDB oracle for FeatureExtractStub over documents.text, one
+    scalar column per component (list cells don't hash-compare across
+    pandas/duckdb string forms)."""
+    cols = ",\n       ".join(
+        f"(CAST(md5_number_lower(text || '|{i}') % 2000001 AS BIGINT) - 1000000)"
+        f" / 1000000.0 AS f{i:02d}"
+        for i in range(dim)
+    )
+    return f"SELECT doc_id,\n       {cols}\nFROM documents\nORDER BY doc_id\n"
 
 
 class ResizeStub:

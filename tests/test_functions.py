@@ -315,3 +315,23 @@ class TestAntiJoinPaths:
         bucketed = customers_without_orders(str(tmp_path), broadcast_limit=0).to_pandas()
         assert broadcast["c_custkey"].tolist() == expected
         assert broadcast.equals(bucketed)
+
+
+def test_feature_stub_matches_sql_oracle(ray_session):
+    """The md5-derived feature stub is bit-identical to its DuckDB
+    oracle (exact fixed-point components)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["multimodal_features"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = con.execute(E.oracle_sql()["multimodal_features"]).fetchdf()
+    assert out["doc_id"].tolist() == oracle["doc_id"].tolist()
+    for c in (f"f{i:02d}" for i in range(16)):
+        assert out[c].tolist() == oracle[c].tolist(), c
