@@ -34,7 +34,7 @@ def _mm_ncpus() -> int:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mlscraper_ray.functions import aggregates, dedup, joins, similarity, streams, textstats
+    from mlscraper_ray.functions import aggregates, curate, dedup, joins, similarity, streams, textstats
     from mlscraper_ray.pipelines import crawl_pipeline
 
     def _payload_ds(sf_dir: str):
@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         "doc_sample_10pct": textstats.sample_documents,
+        # composite curation pipeline: lang filter -> quality gate ->
+        # exact dedup -> deterministic sample, one streaming pass
+        "corpus_curate": curate.curate_corpus,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -163,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
         "crawl_order": crawl_pipeline.crawl_order_query,
+        "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "extract_from_warc": crawl_pipeline.extract_from_warc_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
@@ -251,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
+        "corpus_curate": _curate_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
@@ -290,6 +295,12 @@ def _feature_stub_sql() -> str:
     from mlscraper_ray.stages.multimodal import feature_stub_sql
 
     return feature_stub_sql()
+
+
+def _curate_sql() -> str:
+    from mlscraper_ray.functions.curate import CURATE_CORPUS_SQL
+
+    return CURATE_CORPUS_SQL
 
 
 def dedup_exact_sql() -> str:

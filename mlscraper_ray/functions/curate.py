@@ -1,0 +1,126 @@
+"""End-to-end corpus curation: the composite pipeline a training-data
+engineer actually runs — language filter -> quality gate -> exact
+dedup -> deterministic downsample — expressed as ONE streaming pass
+plus one slim bucketed aggregate.
+
+Plan shape (100 TB-ready):
+1. ``map_batches`` computes langid + quality + content hash per batch
+   and FILTERS there — rejected rows never leave the task, text never
+   crosses a shuffle (only the slim (hash, doc_id, stats) survivors);
+2. exact dedup = coarse-bucket aggregate on the content hash, keeping
+   the minimum doc_id (see functions/bucketed.py for why native
+   high-cardinality groupby is avoided);
+3. deterministic md5(doc_id)-mod sampling — worker-count-stable, the
+   same rows survive on any cluster.
+
+All arithmetic is integer (floor division), so CURATE_CORPUS_SQL
+reproduces the output bit-for-bit.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+from mlscraper_ray.functions.textstats import _LANGID, _QUALITY, _sql_stopword_list
+
+
+def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50) -> pa.Table:
+    """Curated-corpus manifest: (doc_id, n_tokens, quality_x10, n_dups)
+    for the surviving documents."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def feat_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _QUALITY(batch)
+        lang = _LANGID(batch)["lang_pred"]
+        keep = (lang == "en").to_numpy() & (q["quality_x10"] >= min_quality_x10).to_numpy()
+        out = pd.DataFrame(
+            {
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
+                "doc_id": q["doc_id"],
+                "n_tokens": q["n_tokens"],
+                "quality_x10": q["quality_x10"],
+            }
+        )
+        return out[keep]
+
+    survivors = ds.map_batches(feat_filter, batch_format="pandas")
+    deduped = bucketed_aggregate(
+        survivors,
+        ["h"],
+        {
+            "doc_id": ("doc_id", "min"),
+            "n_tokens": ("n_tokens", "min"),
+            "quality_x10": ("quality_x10", "min"),
+            "n_dups": ("doc_id", "count"),
+        },
+    )
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 100 < sample_pct
+            for d in df["doc_id"]
+        ]
+        out = df[pd.Series(mask, index=df.index)]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_tokens": out["n_tokens"].astype("int64"),
+                "quality_x10": out["quality_x10"].astype("int64"),
+                "n_dups": out["n_dups"].astype("int64"),
+            }
+        )
+
+    out = (
+        deduped.map_batches(sample, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CURATE_CORPUS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS tk
+    FROM documents
+),
+q AS (
+    SELECT doc_id, text, len(tk) AS n_tokens,
+           (100 * length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')))
+               // greatest(1, length(text)) AS alpha_pct,
+           (100 * len(list_filter(tk, x -> list_contains({_sql_stopword_list('en')}, lower(x)))))
+               // greatest(1, len(tk)) AS stopword_pct,
+           list_transform(tk[1:500], x -> lower(x)) AS ltk
+    FROM base
+),
+v AS (
+    SELECT doc_id, text, n_tokens,
+           least(100, n_tokens // 2) * 4 + alpha_pct * 4 + least(stopword_pct, 40) * 5
+               AS quality_x10,
+           len(list_filter(ltk, x -> list_contains({_sql_stopword_list('en')}, x))) AS en_v,
+           len(list_filter(ltk, x -> list_contains({_sql_stopword_list('de')}, x))) AS de_v,
+           len(list_filter(ltk, x -> list_contains({_sql_stopword_list('fr')}, x))) AS fr_v
+    FROM q
+),
+kept AS (
+    SELECT * FROM v
+    WHERE quality_x10 >= 500
+      AND en_v > 0 AND en_v >= de_v AND en_v >= fr_v
+),
+dd AS (
+    SELECT md5(text) AS h, MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+           MIN(quality_x10) AS quality_x10, COUNT(*) AS n_dups
+    FROM kept GROUP BY md5(text)
+)
+SELECT doc_id, n_tokens, quality_x10, n_dups
+FROM dd
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50
+ORDER BY doc_id
+"""

@@ -100,6 +100,25 @@ def crawl_order_query(sf_dir: str) -> pa.Table:
     return crawl_order(out_dir)
 
 
+def crawl_order_recrawl_query(sf_dir: str) -> pa.Table:
+    """Crawl order under the recrawl/TTL policy (cuckoo seen set with
+    eviction after 3 rounds): same deterministic-order contract, pages
+    re-fetched on rediscovery. Pinned by tests/test_crawl.py
+    TestRecrawlTTL against the single-process oracle."""
+    from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan, tokens_per_round=8, max_rounds=10)
+    cfg.recrawl_after_rounds = 3
+    out_dir = os.path.join(DATA_ROOT, f"recrawl_sf{sf}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    RayCrawler(corpus_dir, out_dir, cfg).run()
+    return crawl_order(out_dir)
+
+
 def extract_all_query(sf_dir: str):
     """The M1 slice: apply the learned scraper to EVERY corpus page via
     an actor-pool map_batches; returns (url, value_json) rows."""

@@ -44,7 +44,12 @@ def _oracle_names():
         "doc_clean",
         "doc_sample_10pct",
         "doc_fingerprints",
+        "corpus_curate",
+        "dedup_minhash",
         "ann_cosine_topk",
+        "ann_ivf_topk",
+        "embed_neardup_pairs",
+        "multimodal_features",
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",
