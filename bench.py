@@ -98,6 +98,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_ngram_jaccard",
+        "corpus_curate",
         "source_token_totals",
         "doc_bpe_token_stats",
         "doc_quality",

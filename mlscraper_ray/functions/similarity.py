@@ -39,12 +39,14 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
-    import pyarrow.parquet as pq
+    """One-row read with the predicate pushed into the parquet scan
+    (row-group pruned) — never a full-table driver read."""
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    row = t.filter(pc.equal(t["vec_id"], query_vec_id))
-    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = dset.to_table(columns=["embedding"], filter=pc.field("vec_id") == query_vec_id)
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:

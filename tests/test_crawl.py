@@ -339,3 +339,47 @@ class TestRecrawlTTL:
         assert next_round == 4
         crawler.run(start_round=next_round)
         assert crawl_order(part_out).to_pylist() == full_order
+
+
+def test_recrawl_query_matches_oracle(ray_session):
+    """The driver-visible crawl_order_recrawl query reproduces the
+    single-process oracle under the same recrawl config."""
+    from mlscraper_ray.pipelines.crawl_pipeline import (
+        corpus_for_sf,
+        crawl_config_for,
+        crawl_order_recrawl_query,
+        learn_plan,
+    )
+
+    order = crawl_order_recrawl_query("/root/testdata/sf0.001")
+    corpus_dir, spec = corpus_for_sf(0.001)
+    cfg = crawl_config_for(spec, learn_plan(corpus_dir, spec), tokens_per_round=8, max_rounds=10)
+    cfg.recrawl_after_rounds = 3
+    fetches, _, _, _ = oracle_crawl(corpus_dir, cfg)
+    ray_order = list(
+        zip(
+            order["round"].to_pylist(),
+            order["depth"].to_pylist(),
+            order["host"].to_pylist(),
+            order["url"].to_pylist(),
+        )
+    )
+    assert ray_order == fetches
+
+
+def test_crawl_order_dataset_write_parquet_roundtrip(crawl_run, tmp_path):
+    """The scale-path consumer: crawl_order_dataset -> write_parquet
+    reproduces the driver-contract table exactly (rank assignment is
+    value-deterministic, not block-layout-dependent)."""
+    from mlscraper_ray.frontier.crawler import crawl_order, crawl_order_dataset
+
+    _, out_dir, _, _ = crawl_run
+    dest = str(tmp_path / "order_parquet")
+    crawl_order_dataset(out_dir).write_parquet(dest)
+    back = (
+        pq.read_table(dest)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    direct = crawl_order(out_dir).to_pandas()
+    assert back[direct.columns.tolist()].equals(direct)
