@@ -340,3 +340,36 @@ def test_feature_stub_matches_sql_oracle(ray_session):
     assert out["doc_id"].tolist() == oracle["doc_id"].tolist()
     for c in (f"f{i:02d}" for i in range(16)):
         assert out[c].tolist() == oracle[c].tolist(), c
+
+
+def test_ngram_df_cap_prunes_hot_grams(ray_session, tmp_path):
+    """The hot-gram guard: grams shared by more than df_cap docs are
+    dropped from candidate generation, so pairs whose ONLY overlap is
+    a stopword-gram vanish while high-overlap pairs survive."""
+    from mlscraper_ray.functions.dedup import ngram_jaccard_pairs
+
+    hot = "the common boilerplate header"  # 4 words -> shared 3-grams
+    texts = [
+        f"{hot} alpha beta gamma delta",      # 0
+        f"{hot} alpha beta gamma delta",      # 1: exact dup of 0
+        f"{hot} epsilon zeta eta theta",      # 2: overlaps 0/1 only via hot grams
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    uncapped = ngram_jaccard_pairs(str(tmp_path), threshold_pct=10).to_pandas()
+    got = set(zip(uncapped["doc_a"], uncapped["doc_b"]))
+    assert (0, 1) in got and (0, 2) in got  # hot grams connect 0-2
+    # cap at df 2: the hot grams (df=3) are pruned; 0-1 still share
+    # their unique tail grams, 0-2 share nothing else
+    capped = ngram_jaccard_pairs(str(tmp_path), threshold_pct=10, df_cap=2).to_pandas()
+    got_capped = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert (0, 1) in got_capped
+    assert (0, 2) not in got_capped
