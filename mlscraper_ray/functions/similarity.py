@@ -308,9 +308,12 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> np.ndarra
     init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
     centroids = _read_vectors_by_id(sf_dir, init_ids)
 
+    # iterative algorithm: pin the (slim) input in the object store
+    # ONCE — without materialize() every Lloyd iteration re-executes
+    # the parquet read; with it, iterations re-scan object-store blocks
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    ).materialize()
 
     for _ in range(n_iters):
         cents_ref = ray.put(centroids)
