@@ -157,3 +157,40 @@ class TestFrontierShard:
         assert clone.pending() == shard.pending()
         assert clone.admit().to_pylist() == shard.admit().to_pylist()
         assert clone.seen.to_bytes() == shard.seen.to_bytes()
+
+
+class TestRetryIdempotence:
+    """fetch_parse_extract_task claims double link-submission is safe
+    under Ray task retries (crawl_stages.py docstring): the round
+    buffer takes a commutative min and the seen set dedups."""
+
+    def test_duplicate_submit_is_idempotent(self, tmp_path):
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.shard import FrontierShard
+
+        cfg = CrawlConfig(n_shards=1, tokens_per_round=10)
+        a = FrontierShard(0, cfg, str(tmp_path))
+        b = FrontierShard(0, cfg, str(tmp_path))
+        urls = [f"http://h.example/p{i}" for i in range(6)]
+        depths = [2, 1, 3, 1, 2, 1]
+        ts = [5, 9, 1, 7, 3, 2]
+        a.submit(urls, depths, ts)
+        # b sees the same rows TWICE, in a different order (retry)
+        rev = list(reversed(list(zip(urls, depths, ts))))
+        b.submit([u for u, _, _ in rev], [d for _, d, _ in rev], [t for _, _, t in rev])
+        b.submit(urls, depths, ts)
+        ta, tb = a.admit(), b.admit()
+        assert ta.to_pydict() == tb.to_pydict()
+
+    def test_retry_after_admit_is_dropped_by_seen_set(self, tmp_path):
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.shard import FrontierShard
+
+        cfg = CrawlConfig(n_shards=1, tokens_per_round=10)
+        s = FrontierShard(0, cfg, str(tmp_path))
+        s.submit(["http://h.example/p"], [1], [4])
+        assert s.admit().num_rows == 1
+        # a late retry re-submits the fetched url -> seen-set drop
+        s.submit(["http://h.example/p"], [1], [4])
+        assert s.admit().num_rows == 0
+        assert s.get_counters()["dropped_seen"] == 1
