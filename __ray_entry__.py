@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
         "embed_kmeans": similarity.embedding_kmeans,
+        # integer-quantized Lloyd's: every reduction is an int sum, so
+        # the whole ITERATIVE algorithm is SQL-oracled (chained CTEs)
+        "embed_kmeans_int": similarity.embedding_kmeans_int,
         # stream-shaped
         "sessionize": streams.sessionize,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -257,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

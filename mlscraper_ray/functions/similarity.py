@@ -354,6 +354,169 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> np.ndarra
     return centroids
 
 
+_KQ_SCALE = 10_000
+_KQ_OFFSET = 100_000  # shift positive: DuckDB // truncates, python //
+#                       floors — identical only for non-negative ints;
+#                       distances are shift-invariant so results agree
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    return np.round(mat * _KQ_SCALE).astype(np.int64) + _KQ_OFFSET
+
+
+def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.ndarray:
+    """Integer-quantized distributed Lloyd's k-means.
+
+    Embeddings are quantized to shifted fixed-point ints; every
+    per-iteration reduction is an INTEGER sum — associative and
+    commutative — so the distributed fold is exactly order-independent
+    (no float summation-order gymnastics) and the whole iterative
+    algorithm is reproducible term-for-term in SQL
+    (EMBED_KMEANS_INT_SQL): init = md5-ordered sample, assignment =
+    integer argmin (ties -> lowest cluster id), update = elementwise
+    floor-div mean, empty clusters keep their previous centroid.
+    """
+    init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
+    centroids = _quantize(_read_vectors_by_id(sf_dir, init_ids))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).materialize()
+
+    for _ in range(n_iters):
+        cents_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cents_ref)
+            ids, mat = _batch_matrix(batch)
+            x = _quantize(mat)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            rows = {"cluster": [], "count": [], "vec_sum": []}
+            for c in np.unique(assign):
+                members = x[assign == c]
+                rows["cluster"].append(int(c))
+                rows["count"].append(int(len(members)))
+                rows["vec_sum"].append(members.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(rows["cluster"], pa.int32()),
+                    "count": pa.array(rows["count"], pa.int64()),
+                    "vec_sum": pa.array(rows["vec_sum"], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new_centroids = centroids.copy()
+        for c, sub in parts.groupby("cluster", sort=True):
+            total = int(sub["count"].sum())
+            if total > 0:
+                s = np.sum(np.stack([np.asarray(v, dtype=np.int64) for v in sub["vec_sum"]]), axis=0)
+                new_centroids[c] = s // total  # all-positive: floor == trunc
+        centroids = new_centroids
+    return centroids
+
+
+def embedding_kmeans_int(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> pa.Table:
+    """Final integer-k-means assignment: (vec_id, cluster, dist2) with
+    dist2 the exact integer squared distance. Fully SQL-oracled —
+    an iterative distributed algorithm with a hash-checkable result."""
+    centroids = kmeans_int_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters)
+    cents_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int32)),
+                "dist2": pa.array(d2[np.arange(len(ids)), assign].astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_kmeans_int_sql(n_clusters: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE DuckDB oracle for the ENTIRE iterative algorithm:
+    one assignment + centroid-update layer per Lloyd iteration.
+
+    Distances use ``|q|^2 - 2<q,c> + |c|^2`` via list_inner_product
+    (DuckDB lambdas cannot capture correlated columns); the inner
+    products of the shifted fixed-point ints stay < 2^53, so the
+    double-typed result is EXACT and the BIGINT cast loses nothing.
+    Assignment argmin = ROW_NUMBER over (dist2, cluster id)."""
+    dist = (
+        "CAST(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, {c}.v)"
+        " + list_inner_product({c}.v, {c}.v) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(ROUND(x * {_KQ_SCALE}) AS BIGINT) + {_KQ_OFFSET}) AS v
+    FROM embeddings
+),
+init_ids AS (
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings
+    ) WHERE rk <= {n_clusters}
+),
+c0f AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+    FROM q WHERE vec_id IN (SELECT vec_id FROM init_ids)
+)"""
+    ]
+    for it in range(n_iters):
+        d_expr = dist.format(c=f"c{it}f")
+        parts.append(
+            f""",
+a{it} AS (
+    SELECT vec_id, v, c AS cl FROM (
+        SELECT q.vec_id, q.v, c{it}f.c,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_expr}, c{it}f.c) AS rn
+        FROM q CROSS JOIN c{it}f
+    ) WHERE rn = 1
+),
+c{it + 1} AS (
+    SELECT cl AS c, list(CAST(s AS BIGINT) ORDER BY dim) AS v
+    FROM (
+        SELECT cl, t.i AS dim, SUM(a{it}.v[t.i]) // COUNT(*) AS s
+        FROM a{it}, UNNEST(generate_series(1, {dim})) AS t(i)
+        GROUP BY cl, t.i
+    ) GROUP BY cl
+),
+c{it + 1}f AS (
+    SELECT c{it}f.c, COALESCE(c{it + 1}.v, c{it}f.v) AS v
+    FROM c{it}f LEFT JOIN c{it + 1} ON c{it}f.c = c{it + 1}.c
+)"""
+        )
+    d_final = dist.format(c=f"c{n_iters}f")
+    parts.append(
+        f"""
+SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
+    SELECT q.vec_id, c{n_iters}f.c, {d_final} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d_final}, c{n_iters}f.c) AS rn
+    FROM q CROSS JOIN c{n_iters}f
+) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 def embedding_kmeans(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> pa.Table:
     """Final k-means assignment per vector: (vec_id, cluster) plus the
     fixed-point distance to its centroid. Deterministic (md5-ordered
