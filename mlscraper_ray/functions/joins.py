@@ -83,10 +83,24 @@ def cogroup_join(
     rt = right.map_batches(tag("r", l_cols), batch_format="pyarrow").select_columns(all_cols)
     unioned = lt.union(rt)
 
+    # original dtypes: the null-padded union coerces int columns to
+    # float64 in pandas, which silently breaks downstream joins keyed
+    # on them (bucket hash of "1.0" != 1) — cast back where lossless
+    int_cols = {
+        field.name
+        for side in (left.schema().base_schema, right.schema().base_schema)
+        for field in side
+        if pa.types.is_integer(field.type)
+    }
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[key] + l_cols]
         rg = g[g["__side"] == "r"][[key] + r_cols]
-        return lg.merge(rg, on=key, how=how)
+        out = lg.merge(rg, on=key, how=how)
+        for col in out.columns:
+            if col in int_cols and not out[col].isna().any():
+                out[col] = out[col].astype("int64")
+        return out
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -139,7 +153,7 @@ def order_lineitem_revenue(sf_dir: str) -> pa.Table:
 
 ORDER_LINEITEM_REVENUE_SQL = """
 SELECT o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lineitems
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
