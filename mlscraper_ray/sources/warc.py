@@ -41,7 +41,13 @@ def _format_record(url: str, warc_ts, html: bytes) -> bytes:
         b"WARC/1.0" + _CRLF
         + b"WARC-Type: response" + _CRLF
         + b"WARC-Target-URI: " + url.encode() + _CRLF
-        + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF
+        # WARC 1.1 allows fractional seconds; emit them only when
+        # nonzero so whole-second archives keep the 1.0 byte format
+        + b"WARC-Date: "
+        + ts.strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
+        ).encode()
+        + _CRLF
         + b"Content-Length: " + str(len(html)).encode() + _CRLF
         + _CRLF
     )
@@ -102,7 +108,10 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
         length = int(headers["content-length"])
         body_start = header_end + 4
         html = blob[body_start : body_start + length]
-        ts = datetime.strptime(headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+        raw_ts = headers["warc-date"]
+        ts = datetime.strptime(
+            raw_ts, "%Y-%m-%dT%H:%M:%S.%fZ" if "." in raw_ts else "%Y-%m-%dT%H:%M:%SZ"
+        )
         out.append((headers["warc-target-uri"], ts, html))
         pos = body_start + length + 4  # skip record + trailing 2x CRLF
     return out

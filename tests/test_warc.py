@@ -53,3 +53,44 @@ def test_warc_roundtrip_query_is_sha256_pinned(ray_session):
     assert out["url"].tolist() == pages["url"].tolist()
     expected = [hashlib.sha256(bytes(h)).hexdigest() for h in pages["html"]]
     assert out["html_sha256"].tolist() == expected
+
+
+def test_warc_roundtrip_adversarial_payloads(ray_session, tmp_path):
+    """Fuzz the WARC sink/source with payloads that would break a
+    delimiter-scanning parser (embedded record headers, CRLF runs,
+    null bytes, empty body) and microsecond timestamps (WARC 1.1
+    fractional seconds)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from mlscraper_ray.sources.warc import parse_warc_bytes, write_warc_shard
+
+    payloads = [
+        b"",                                        # empty body
+        b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n",  # embedded fake record
+        b"\x00\x01\xff" * 100,                      # binary junk
+        b"\r\n" * 50,                               # CRLF runs
+        "unicode é中".encode(),            # multibyte
+    ]
+    ts = [
+        dt.datetime(2021, 1, 1, 0, 0, 0),
+        dt.datetime(2021, 6, 15, 12, 30, 45, 123456),  # microseconds
+        dt.datetime(2021, 6, 15, 12, 30, 45, 1),
+        dt.datetime(2038, 1, 19, 3, 14, 7),
+        dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+    ]
+    urls = [f"http://fuzz.example/p{i}" for i in range(len(payloads))]
+    t = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+        }
+    )
+    path = str(tmp_path / "fuzz.warc.gz")
+    assert write_warc_shard(t, path) == len(payloads)
+    back = parse_warc_bytes(open(path, "rb").read())
+    assert [u for u, _, _ in back] == urls
+    assert [b for _, _, b in back] == payloads
+    assert [s for _, s, _ in back] == ts  # microsecond-exact roundtrip
