@@ -194,3 +194,48 @@ class TestRetryIdempotence:
         s.submit(["http://h.example/p"], [1], [4])
         assert s.admit().num_rows == 0
         assert s.get_counters()["dropped_seen"] == 1
+
+
+class TestFilterProperties:
+    """Hypothesis invariants for the seen-set filters."""
+
+    def test_bloom_never_false_negative(self):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(st.text(min_size=1, max_size=30), max_size=60, unique=True))
+        def prop(items):
+            bf = BloomFilter(10_000, 1e-6)
+            for it in items:
+                bf.add(it)
+            assert all(it in bf for it in items)
+
+        prop()
+
+    def test_cuckoo_add_delete_roundtrip(self):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from mlscraper_ray.state.cuckoo import CuckooFilter
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=60, unique=True),
+            st.data(),
+        )
+        def prop(items, data):
+            cf = CuckooFilter(1024)
+            for it in items:
+                assert cf.add(it)
+            assert all(it in cf for it in items)  # no false negatives
+            victims = data.draw(st.lists(st.sampled_from(items), max_size=10, unique=True))
+            for v in victims:
+                assert cf.delete(v)
+            # deleted items may still false-positive via OTHER items'
+            # fingerprints, but count bookkeeping must be exact
+            assert cf.n_items == len(items) - len(victims)
+            survivors = [it for it in items if it not in victims]
+            assert all(it in cf for it in survivors)
+
+        prop()
