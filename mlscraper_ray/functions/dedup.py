@@ -229,7 +229,7 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
     floor percent, so the output equals the exhaustive similarity join
     (MINHASH_DEDUP_SQL) whenever LSH recall is total — which the 32x4
     banding makes overwhelmingly likely even at the 0.7 threshold
-    boundary (miss prob (1-j^4)^32: ~2e-2 at j=0.70, ~5e-8 at j=0.8,
+    boundary (miss prob (1-j^4)^32: ~1.5e-4 at j=0.70, ~5e-8 at j=0.8,
     ~1e-14 at j=0.9; the corpus's true pairs all sit at >=0.80),
     verified against DuckDB at sf0.001/0.01/0.1.
 
