@@ -19,7 +19,8 @@ class RobotsRules:
     @classmethod
     def parse(cls, body: str) -> "RobotsRules":
         prefixes = []
-        in_star_group = False
+        group_uas: list[str] = []
+        in_rules = False  # inside a group's rule block (after its UA lines)
         for line in body.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -28,9 +29,16 @@ class RobotsRules:
             field = field.strip().lower()
             value = value.strip()
             if field == "user-agent":
-                in_star_group = value == "*"
-            elif field == "disallow" and in_star_group and value:
-                prefixes.append(value)
+                # consecutive User-agent lines form ONE group (de-facto
+                # standard); a UA line after rules starts a new group
+                if in_rules:
+                    group_uas = []
+                    in_rules = False
+                group_uas.append(value)
+            else:
+                in_rules = True
+                if field == "disallow" and "*" in group_uas and value:
+                    prefixes.append(value)
         return cls(tuple(prefixes))
 
     ALLOW_ALL: "RobotsRules"

@@ -239,3 +239,31 @@ class TestFilterProperties:
             assert all(it in cf for it in survivors)
 
         prop()
+
+
+class TestRobotsGroups:
+    def test_star_alone(self):
+        r = RobotsRules.parse("User-agent: *\nDisallow: /private/")
+        assert not r.allowed("/private/x") and r.allowed("/public")
+
+    def test_consecutive_ua_lines_form_one_group(self):
+        # de-facto standard: the group is {foo, *}; its rules apply to *
+        r = RobotsRules.parse("User-agent: foo\nUser-agent: *\nDisallow: /a/")
+        assert not r.allowed("/a/x")
+        r2 = RobotsRules.parse("User-agent: *\nUser-agent: foo\nDisallow: /a/")
+        assert not r2.allowed("/a/x")
+
+    def test_rules_end_group(self):
+        # the second group is foo-only; its rules must NOT bind *
+        r = RobotsRules.parse(
+            "User-agent: *\nDisallow: /a/\n"
+            "User-agent: foo\nDisallow: /b/"
+        )
+        assert not r.allowed("/a/x")
+        assert r.allowed("/b/x")
+
+    def test_empty_disallow_and_comments(self):
+        r = RobotsRules.parse(
+            "# header comment\nUser-agent: *\nDisallow:   # allow all\n"
+        )
+        assert r.allowed("/anything")
