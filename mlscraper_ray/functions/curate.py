@@ -84,7 +84,8 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-CURATE_CORPUS_SQL = f"""
+def curate_corpus_sql(min_quality_x10: int = 500, sample_pct: int = 50) -> str:
+    return f"""
 WITH base AS (
     SELECT doc_id, text,
            CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -111,7 +112,7 @@ v AS (
 ),
 kept AS (
     SELECT * FROM v
-    WHERE quality_x10 >= 500
+    WHERE quality_x10 >= {min_quality_x10}
       AND en_v > 0 AND en_v >= de_v AND en_v >= fr_v
 ),
 dd AS (
@@ -121,6 +122,10 @@ dd AS (
 )
 SELECT doc_id, n_tokens, quality_x10, n_dups
 FROM dd
-WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {sample_pct}
 ORDER BY doc_id
 """
+
+
+# default-parameter constant kept for import compatibility
+CURATE_CORPUS_SQL = curate_corpus_sql()
