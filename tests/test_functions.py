@@ -374,3 +374,15 @@ def test_ngram_df_cap_prunes_hot_grams(ray_session, tmp_path):
     got_capped = set(zip(capped["doc_a"], capped["doc_b"]))
     assert (0, 1) in got_capped
     assert (0, 2) not in got_capped
+
+
+def test_curate_nondefault_params_match_sql(ray_session):
+    """The curation pipeline and its SQL builder stay in lockstep for
+    non-default thresholds too."""
+    from oracle_compare import compare
+
+    from mlscraper_ray.functions.curate import curate_corpus, curate_corpus_sql
+
+    d = "/root/testdata/sf0.001"
+    c = compare(curate_corpus(d, 600, 30), curate_corpus_sql(600, 30), d)
+    assert c["hash_match"], c
