@@ -62,6 +62,16 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
     )
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            # empty blocks can arrive schema-less through the shuffle
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "quality_x10": pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64"),
+                }
+            )
         mask = [
             int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 100 < sample_pct
             for d in df["doc_id"]
@@ -76,11 +86,15 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
             }
         )
 
-    out = (
-        deduped.map_batches(sample, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
+    out = deduped.map_batches(sample, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # schema is lost on fully-empty results
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_tokens", "quality_x10", "n_dups")
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

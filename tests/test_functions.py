@@ -384,5 +384,8 @@ def test_curate_nondefault_params_match_sql(ray_session):
     from mlscraper_ray.functions.curate import curate_corpus, curate_corpus_sql
 
     d = "/root/testdata/sf0.001"
-    c = compare(curate_corpus(d, 600, 30), curate_corpus_sql(600, 30), d)
-    assert c["hash_match"], c
+    c = compare(curate_corpus(d, 540, 80), curate_corpus_sql(540, 80), d)
+    assert c["hash_match"] and c["rows_ray"] > 0, c
+    # threshold above the corpus maximum: both sides exactly empty
+    c0 = compare(curate_corpus(d, 600, 30), curate_corpus_sql(600, 30), d)
+    assert c0["hash_match"] and c0["rows_ray"] == 0, c0
