@@ -44,6 +44,10 @@ class CrawlConfig:
     # admitted-url list (at the 10^10 design point that list is the
     # round's results parquet, streamed back at eviction time).
     recrawl_after_rounds: int = 0
+    # adaptive fetch-part sizing: split a round into enough parts that
+    # blocks carry >= this many urls (small rounds must not be
+    # shredded into tiny tasks), capped by pool parallelism
+    fetch_rows_per_block: int = 192
     seed: int = 42
     plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
 

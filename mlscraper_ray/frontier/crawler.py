@@ -89,6 +89,7 @@ class RayCrawler:
             for i in range(config.n_shards)
         ]
         self._fetch_parallelism = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        self._prev_admitted: int | None = None
 
     # -- round primitives ----------------------------------------------
     def _submit_dataset(self, candidates: ray.data.Dataset) -> dict:
@@ -110,10 +111,23 @@ class RayCrawler:
         # pool parallelism WITHOUT a Dataset shuffle and without the
         # blind-repartition failure mode where every worker cold-reads
         # every bucket (both variants measured slower at sf0.3).
-        n_parts = max(
+        #
+        # ADAPTIVE part count: small rounds must not be shredded into
+        # tiny tasks (at sf0.1 a 1,200-url round over 32 parts is ~37
+        # urls/task and per-task overhead dominates — measured: 7 cpus
+        # == 28 cpus). Size parts so blocks carry >= ~192 urls, using
+        # the previous round's admitted count as the (deterministic)
+        # estimate; cap at the pool-parallelism split for big rounds.
+        pool_cap = max(
             1,
             min(self.cfg.n_buckets, round(self._fetch_parallelism / self.cfg.n_shards)),
         )
+        if self._prev_admitted is None:
+            n_parts = pool_cap
+        else:
+            per_block = max(1, self.cfg.fetch_rows_per_block)
+            by_size = max(1, round(self._prev_admitted / (self.cfg.n_shards * per_block)))
+            n_parts = min(pool_cap, by_size)
         refs = []
         for s in self.shards:
             if n_parts == 1:
@@ -122,6 +136,7 @@ class RayCrawler:
                 refs.extend(s.admit_parts.options(num_returns=n_parts).remote(n_parts))
         counts = ray.get([s.last_admitted.remote() for s in self.shards])
         ds = ray.data.from_arrow_refs(refs)
+        self._prev_admitted = sum(counts)
         return ds, sum(counts)
 
     def _fetch_extract(self, admitted: ray.data.Dataset, k: int, n_admitted: int = 0) -> str:

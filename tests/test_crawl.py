@@ -243,6 +243,9 @@ class TestHotHostSalting:
             max_rounds=8,
             max_depth=6,
             salt_min_rows=4,
+            # tiny blocks so the adaptive splitter makes multiple parts
+            # at this corpus scale and salting has something to spread
+            fetch_rows_per_block=4,
         )
         out = str(tmp_path_factory.mktemp("megaout"))
         stats = RayCrawler(d, out, cfg).run()
