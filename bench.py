@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "ann_cosine_topk",
         "embed_neardup_pairs",
         "embed_kmeans",
+        "embed_kmeans_int",
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",
