@@ -91,6 +91,8 @@ class Element:
         "_ancestors",
         "_depth",
         "doc",
+        "_pre_start",
+        "_pre_end",
     )
 
     def __init__(self, tag: str, attrs: dict, parent: Optional["Element"], order: int):
@@ -105,6 +107,10 @@ class Element:
         self._ancestors = None
         self._depth: Optional[int] = None
         self.doc: Optional["Document"] = None
+        # subtree span in the document's preorder element list
+        # (assigned by _finalize; a subtree is a contiguous range)
+        self._pre_start: Optional[int] = None
+        self._pre_end: Optional[int] = None
 
     # -- naming parity with the reference Node API ---------------------
     @property
@@ -181,7 +187,15 @@ class Element:
 
     # -- traversal -----------------------------------------------------
     def iter_elements(self) -> Iterator["Element"]:
-        """All descendant elements in document order (excluding self)."""
+        """All descendant elements in document order (excluding self).
+        Fast path: a subtree is a CONTIGUOUS slice of the document's
+        preorder list (spans assigned in _finalize), iterated at C
+        speed instead of through nested generators."""
+        if self.doc is not None and self._pre_start is not None:
+            return iter(self.doc._preorder[self._pre_start + 1 : self._pre_end])
+        return self._iter_elements_walk()
+
+    def _iter_elements_walk(self) -> Iterator["Element"]:
         stack = [iter(self.children)]
         while stack:
             try:
@@ -222,12 +236,13 @@ class Document:
     root ``html`` element's parent chain ends here.
     """
 
-    __slots__ = ("children", "_text", "url")
+    __slots__ = ("children", "_text", "url", "_preorder")
 
     def __init__(self, children: list):
         self.children = children
         self._text: Optional[str] = None
         self.url: Optional[str] = None
+        self._preorder: Optional[list] = None  # set by _finalize
 
     # -- Node-protocol parity ------------------------------------------
     parent = None
@@ -256,6 +271,11 @@ class Document:
         return False
 
     def iter_elements(self) -> Iterator[Element]:
+        if self._preorder is not None:
+            return iter(self._preorder)
+        return self._iter_elements_walk()
+
+    def _iter_elements_walk(self) -> Iterator[Element]:
         for child in self.children:
             if isinstance(child, Element):
                 yield child
@@ -403,8 +423,10 @@ def parse_html(html: Union[str, bytes]) -> Document:
 
 def _finalize(doc: Document) -> None:
     """Assign document backrefs, 1-based element child indices (for
-    ``:nth-child``), and preorder document-order numbers."""
+    ``:nth-child``), preorder document-order numbers, and the preorder
+    element list + per-element subtree spans (fast traversal)."""
     order = 0
+    preorder: list[Element] = []
 
     def visit(elem: Element, child_index: int):
         nonlocal order
@@ -412,13 +434,17 @@ def _finalize(doc: Document) -> None:
         elem.order = order
         elem.child_index = child_index
         elem.doc = doc
+        elem._pre_start = len(preorder)
+        preorder.append(elem)
         idx = 0
         for child in elem.children:
             if isinstance(child, Element):
                 idx += 1
                 visit(child, idx)
+        elem._pre_end = len(preorder)
 
     idx = 0
     for root in doc.children:
         idx += 1
         visit(root, idx)
+    doc._preorder = preorder
