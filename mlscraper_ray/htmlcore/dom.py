@@ -93,6 +93,7 @@ class Element:
         "doc",
         "_pre_start",
         "_pre_end",
+        "_classes",
     )
 
     def __init__(self, tag: str, attrs: dict, parent: Optional["Element"], order: int):
@@ -111,6 +112,7 @@ class Element:
         # (assigned by _finalize; a subtree is a contiguous range)
         self._pre_start: Optional[int] = None
         self._pre_end: Optional[int] = None
+        self._classes: Optional[tuple] = None
 
     # -- naming parity with the reference Node API ---------------------
     @property
@@ -124,11 +126,14 @@ class Element:
 
     @property
     def classes(self) -> tuple:
-        """Selector-safe classes (reference ``html.py:140-142``)."""
-        v = self.attrs.get("class", ())
-        if isinstance(v, str):  # never happens for class, defensive
-            v = v.split()
-        return tuple(cl for cl in v if is_supported_class(cl))
+        """Selector-safe classes (reference ``html.py:140-142``),
+        computed once per element (attrs are immutable post-parse)."""
+        if self._classes is None:
+            v = self.attrs.get("class", ())
+            if isinstance(v, str):  # never happens for class, defensive
+                v = v.split()
+            self._classes = tuple(cl for cl in v if is_supported_class(cl))
+        return self._classes
 
     @property
     def html_attributes(self) -> dict:
