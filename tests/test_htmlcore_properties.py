@@ -237,3 +237,14 @@ def test_generated_selectors_roundtrip(inner):
                 assert len(hits) >= n and hits[n - 1] is e, sel
             else:
                 assert any(h is e for h in doc.select(sel)), sel
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree_attrs())
+def test_preorder_fast_path_equals_walk(inner):
+    """iter_elements' preorder-slice fast path must equal the
+    generator walk for every element and the document root."""
+    doc = _doc(inner)
+    assert list(doc.iter_elements()) == list(doc._iter_elements_walk())
+    for e in doc.iter_elements():
+        assert list(e.iter_elements()) == list(e._iter_elements_walk())
