@@ -8,9 +8,12 @@ re-expressed Ray-Data-first + the crawl engine the north_rule adds)
 plus the large-scale training-data operators (dedup, similarity
 search, text analysis, stream windows, multimodal plumbing).
 ``oracle_sql()`` provides DuckDB equivalents for every
-SQL-expressible query; crawl/learning/ANN/heuristic ops are rows-only
-by nature (the crawl side is instead pinned by the in-repo oracle
-crawler + golden extraction tests, see tests/test_crawl.py).
+SQL-expressible query — including the LSH dedup pipelines and IVF ANN
+(exhaustive-join oracles that verify recall itself) and the
+integer-quantized iterative k-means (chained-CTE oracle). Only
+crawl/learn/WARC ops and float k-means are rows-only by nature; the
+crawl side is instead pinned by the in-repo oracle crawler + golden
+extraction tests (tests/test_crawl.py).
 """
 from __future__ import annotations
 
