@@ -249,10 +249,12 @@ class FrontierShard:
     def restore(self, data: bytes) -> None:
         state = pickle.loads(data)
         assert state["shard_id"] == self.shard_id, "shard id mismatch on restore"
-        if state["seen_kind"] == "bloom":
-            self.seen = BloomFilter.from_bytes(state["seen"])
+        # legacy (pre-recrawl) checkpoints stored the filter under "bloom"
+        seen_bytes = state.get("seen", state.get("bloom"))
+        if state.get("seen_kind", "bloom") == "bloom":
+            self.seen = BloomFilter.from_bytes(seen_bytes)
         else:
-            self.seen = CuckooFilter.from_bytes(state["seen"])
+            self.seen = CuckooFilter.from_bytes(seen_bytes)
         self.expiry_ring = [tuple(e) for e in state.get("expiry_ring", [])]
         self.round_counter = state.get("round_counter", 0)
         self.round_buffer = state.get("round_buffer", {})
