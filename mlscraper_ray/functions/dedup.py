@@ -146,15 +146,27 @@ def minhash_stage_task(batch: pa.Table, *, num_perm: int, bands: int, shingle_n:
     return stage(batch)
 
 
-def _emit_pairs_by_key(g: pd.DataFrame, key: str) -> pd.DataFrame:
+def _emit_pairs_by_key(g: pd.DataFrame, key: str, max_group_docs: int | None = None) -> pd.DataFrame:
     """Pairs of doc_ids sharing ``key``, vectorized pre-filter: only
-    keys held by >1 distinct doc reach the (tiny) Python pair loop."""
+    keys held by >1 distinct doc reach the (tiny) Python pair loop.
+
+    ``max_group_docs`` is the hot-bucket guard: a degenerate key held
+    by more than this many docs (e.g. thousands of empty or identical
+    documents sharing one signature) would emit O(d^2) pairs; instead
+    its docs are collapsed to GROUP-REPRESENTATIVE pairs (min doc_id
+    vs each other doc — linear, connectivity-preserving for dedup);
+    None keeps exact pairs."""
     d = g.drop_duplicates([key, "doc_id"])
     counts = d[key].value_counts()
     d = d[d[key].isin(counts[counts > 1].index)]
     out_a, out_b = [], []
     for _, sub in d.groupby(key, sort=False):
         ids = sorted(sub["doc_id"].tolist())
+        if max_group_docs is not None and len(ids) > max_group_docs:
+            rep = ids[0]
+            out_a.extend([rep] * (len(ids) - 1))
+            out_b.extend(ids[1:])
+            continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
@@ -162,26 +174,64 @@ def _emit_pairs_by_key(g: pd.DataFrame, key: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
 
-def minhash_candidate_pairs(ds_docs: ray.data.Dataset, num_perm=128, bands=32, shingle_n=3, seed=42) -> pa.Table:
-    """LSH candidate pairs: docs sharing any band bucket. The shuffle
-    moves only (band, bucket, doc_id) rows, and the groupby key is the
-    BAND (one coarse group per band), with the per-bucket work vectorized in
-    pandas inside each group — thousands of tiny per-bucket map_groups
-    calls collapse into ~``bands`` map calls."""
+def minhash_candidate_pairs(
+    ds_docs: ray.data.Dataset,
+    num_perm=128,
+    bands=32,
+    shingle_n=3,
+    seed=42,
+    n_coarse: int = 256,
+    max_bucket_docs: int = 1024,
+) -> ray.data.Dataset:
+    """Deduplicated LSH candidate pairs as a DATASET — nothing
+    pair-sized ever lands on the driver.
+
+    The shuffle moves only (band, bucket, doc_id) rows, grouped by the
+    COMPOSITE key ``band * n_coarse + (bucket % n_coarse)``: candidate
+    pairs require an equal full bucket, so coarsening the bucket into
+    the group key loses nothing, while group size drops from
+    O(corpus) per band to O(corpus / n_coarse) and concurrency rises
+    from ``bands`` to ``bands * n_coarse`` groups. Per-bucket work is
+    vectorized in pandas inside each group; ``max_bucket_docs`` guards
+    degenerate buckets (see :func:`_emit_pairs_by_key`).
+
+    Cross-band duplicate pairs are removed DISTRIBUTED: the pair is
+    packed into one int64 key (doc_ids < 2^31) and deduped with the
+    coarse-bucket aggregate idiom — the same pattern as
+    :func:`ngram_jaccard_pairs`, never a driver ``drop_duplicates``."""
     sigs = ds_docs.map_batches(
         minhash_stage_task,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "seed": seed},
         batch_format="pyarrow",
     )
 
-    pairs = sigs.groupby("band").map_groups(
-        lambda g: _emit_pairs_by_key(g, "bucket"), batch_format="pandas"
+    def add_grp(batch: pa.Table) -> pa.Table:
+        coarse = pc.bit_wise_and(batch["bucket"], pa.scalar(n_coarse - 1, pa.int64()))
+        grp = pc.add(pc.multiply(pc.cast(batch["band"], pa.int64()), pa.scalar(n_coarse, pa.int64())), coarse)
+        return batch.append_column("grp", pc.cast(grp, pa.int32()))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        p = _emit_pairs_by_key(g, "bucket", max_group_docs=max_bucket_docs)
+        p["pair_key"] = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
+        return p[["pair_key"]]
+
+    pair_keys = (
+        sigs.map_batches(add_grp, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(emit, batch_format="pandas")
     )
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    pdf = pdf.drop_duplicates().sort_values(["doc_a", "doc_b"], ignore_index=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    deduped = bucketed_aggregate(pair_keys, ["pair_key"], {"n_bands": ("pair_key", "count")})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        keys = batch["pair_key"]
+        return pa.table(
+            {
+                "doc_a": pc.cast(pc.divide(keys, pa.scalar(1 << 31, pa.int64())), pa.int64()),
+                "doc_b": pc.cast(pc.bit_wise_and(keys, pa.scalar((1 << 31) - 1, pa.int64())), pa.int64()),
+            }
+        )
+
+    return deduped.map_batches(unpack, batch_format="pyarrow")
 
 
 def _jaccard_pct_rows(pairs: list[tuple[int, int]], texts: dict[int, str], threshold_pct: int) -> pa.Table:
@@ -233,7 +283,9 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
     ~1e-14 at j=0.9; the corpus's true pairs all sit at >=0.80),
     verified against DuckDB at sf0.001/0.01/0.1.
 
-    Two verify paths:
+    Two verify paths, picked by the DISTINCT candidate-doc count —
+    computed with a distributed aggregate (the candidate pair table is
+    a Dataset throughout; nothing pair-sized touches the driver):
     - candidate set <= ``broadcast_limit``: texts filtered AT THE READ
       (is_in predicate, only candidate rows leave storage) and
       broadcast once via ``ray.put``; pair loop in map_batches.
@@ -243,13 +295,28 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
     from mlscraper_ray.functions.joins import cogroup_join
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    candidates = minhash_candidate_pairs(docs)
-    if candidates.num_rows == 0:
+    # slim (doc_a, doc_b) rows; materialized once so the count, the
+    # distinct-id aggregate and the verify pass don't re-run the LSH
+    candidates = minhash_candidate_pairs(docs).materialize()
+    if candidates.count() == 0:
         return _EMPTY_PAIRS
-    cand_id_set = set(candidates["doc_a"].to_pylist()) | set(candidates["doc_b"].to_pylist())
 
-    if len(cand_id_set) <= broadcast_limit:
-        cand_arr = pa.array(sorted(cand_id_set), pa.int64())
+    def unpivot(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch["doc_a"].combine_chunks(), batch["doc_b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    distinct_ids = bucketed_aggregate(
+        candidates.map_batches(unpivot, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n": ("doc_id", "count")},
+    ).materialize()
+    n_cand_docs = distinct_ids.count()
+
+    if n_cand_docs <= broadcast_limit:
+        # bounded by broadcast_limit, so this driver pull is small
+        cand_arr = pa.array(sorted(distinct_ids.to_pandas()["doc_id"].astype("int64")), pa.int64())
 
         def keep_candidates(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_arr))
@@ -267,11 +334,11 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
                 list(zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())), texts, threshold_pct
             )
 
-        verified = ray.data.from_arrow(candidates).map_batches(verify, batch_format="pyarrow")
+        verified = candidates.map_batches(verify, batch_format="pyarrow")
     else:
         # bucketed fallback: two cogroup joins rejoin text to the pair
         # rows; text crosses the shuffle only for candidate docs
-        cand_ds = ray.data.from_arrow(candidates)
+        cand_ds = candidates
 
         def a_as_key(batch: pa.Table) -> pa.Table:
             return pa.table({"doc_id": batch["doc_a"], "doc_b": batch["doc_b"]})
@@ -332,8 +399,8 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
 
 
 # Exhaustive similarity-join oracle for the MinHash-LSH pipeline: any
-# pair at floor(100*J) >= 70 must surface as an LSH candidate (16
-# bands x 4 rows: miss probability (1-J^4)^16, negligible at the
+# pair at floor(100*J) >= 70 must surface as an LSH candidate (32
+# bands x 4 rows: miss probability (1-J^4)^32, negligible at the
 # verified thresholds) and then pass the exact string-gram verify, so
 # the banded pipeline's output must equal this O(n^2) join — checking
 # the recall guarantee itself, like SIMHASH_PAIRS_SQL.
@@ -534,23 +601,29 @@ def simhash_table(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3) -> pa.Table:
+def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3, n_coarse: int = 256) -> pa.Table:
     """Near-dup pairs by simhash banding: 4 bands of 16 bits; any pair
     within Hamming distance 3 shares at least one exact band
-    (pigeonhole). Bucket groupby -> in-bucket Hamming verify."""
+    (pigeonhole). Grouped by the COMPOSITE ``band * n_coarse +
+    (key % n_coarse)`` — pairs require an equal full 16-bit band key,
+    so coarsening the key into the group key preserves completeness
+    while bounding group size to O(corpus / n_coarse) and raising
+    concurrency from 4 groups to up to ``4 * n_coarse``. In-group
+    Hamming verify stays keyed on the exact band key."""
 
     def sig(batch: pa.Table) -> pa.Table:
-        bands, keys, ids, hashes = [], [], [], []
+        grps, keys, ids, hashes = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             s = simhash64(text)
             for band in range(4):
-                bands.append(band)
-                keys.append((s >> (band * 16)) & 0xFFFF)
+                key = (s >> (band * 16)) & 0xFFFF
+                grps.append(band * n_coarse + key % n_coarse)
+                keys.append(key)
                 ids.append(doc_id)
                 hashes.append(s - (1 << 64) if s >= (1 << 63) else s)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
+                "grp": pa.array(grps, pa.int32()),
                 "key": pa.array(keys, pa.int32()),
                 "doc_id": pa.array(ids, pa.int64()),
                 "simhash": pa.array(hashes, pa.int64()),
@@ -558,8 +631,8 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3) -> pa
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one BAND group; per-key work vectorized in pandas (only keys
-        # shared by >1 doc reach the pair loop)
+        # one (band, key % n_coarse) group; per-key work vectorized in
+        # pandas (only keys shared by >1 doc reach the pair loop)
         d = g.drop_duplicates(["key", "doc_id"])
         counts = d["key"].value_counts()
         d = d[d["key"].isin(counts[counts > 1].index)]
@@ -579,7 +652,7 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3) -> pa
 
     res = (
         ds_docs.map_batches(sig, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("grp")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )

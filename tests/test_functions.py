@@ -143,6 +143,59 @@ class TestNearDupCrafted:
         bucketed = minhash_dedup(docs_dir, threshold_pct=50, broadcast_limit=0).to_pandas()
         assert broadcast.equals(bucketed)
 
+    def test_emit_pairs_hot_bucket_guard(self):
+        """A degenerate bucket (thousands of docs with one signature)
+        collapses to linear representative pairs; normal buckets stay
+        exact."""
+        from mlscraper_ray.functions.dedup import _emit_pairs_by_key
+
+        hot = pd.DataFrame({"bucket": [7] * 3000, "doc_id": range(3000)})
+        out = _emit_pairs_by_key(hot, "bucket", max_group_docs=1024)
+        assert len(out) == 2999  # rep (0) x each other doc, not ~4.5M
+        assert (out["doc_a"] == 0).all()
+        small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
+        exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
+        assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_minhash_identical_docs_collapse_linear(self, ray_session, tmp_path):
+        """All-identical corpus: every doc shares every band bucket —
+        the guard keeps candidate emission linear (rep pairs), and
+        connectivity to the representative survives."""
+        import ray.data
+
+        from mlscraper_ray.functions.dedup import minhash_candidate_pairs
+
+        n = 200
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["same words repeated for every document here"] * n),
+            }
+        )
+        pairs = minhash_candidate_pairs(
+            ray.data.from_arrow(t), max_bucket_docs=50
+        ).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert got == {(0, j) for j in range(1, n)}  # linear, rep-anchored
+
+    def test_minhash_composite_grouping_bounds_group_size(self):
+        """The (band, bucket % 256) composite key keeps per-group rows
+        at O(corpus/256) on a diverse corpus — the 100-TB guarantee the
+        band-only grouping lacked."""
+        from mlscraper_ray.functions.dedup import MinHashStage
+
+        n = 512
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([f"unique document {i} with words {i * 7} {i * 13}" for i in range(n)]),
+            }
+        )
+        sigs = MinHashStage()(t).to_pandas()
+        sigs["grp"] = sigs["band"] * 256 + (sigs["bucket"] & 255)
+        max_group = sigs.groupby("grp").size().max()
+        assert max_group <= 16  # ~2 expected at uniform spread; << n
+
 
 class TestSimilarityCrafted:
     def test_cosine_topk_matches_bruteforce(self, ray_session):
