@@ -97,42 +97,54 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def revenue_by_nation(sf_dir: str) -> pa.Table:
-    """Order revenue per customer nation: broadcast-join orders against
-    the (small) customer->nation mapping, partial-sum per batch, tiny
-    final groupby."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    """Order revenue per customer nation.
+
+    Customer scales with the corpus, so orders<->customer is a bucketed
+    COGROUP join (one shuffle of slim partial rows), never a driver
+    read: orders are partial-summed per custkey inside each batch
+    first, joined to (custkey, nationkey) in hashed buckets, partial-
+    summed again per nationkey per bucket, and only the 25-row nation
+    name map is broadcast."""
+    from mlscraper_ray.functions.joins import cogroup_join
+
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
     nation_by_key = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    cust_nation = {
-        ck: nation_by_key[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    lookup_ref = ray.put(cust_nation)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup[ck] for ck in batch["o_custkey"].to_pylist()]
-        t = pa.table(
+    def order_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"custkey": batch["o_custkey"], "revenue_cents": _cents(batch["o_totalprice"])})
+        g = t.group_by("custkey").aggregate([("revenue_cents", "sum"), ("custkey", "count")])
+        return pa.table(
+            {"custkey": g["custkey"], "revenue_cents": g["revenue_cents_sum"], "n_orders": g["custkey_count"]}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        order_partial, batch_format="pyarrow"
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"custkey": t["c_custkey"], "nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_join(orders, customer, "custkey")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("nationkey").aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
+        return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
-                "revenue_cents": _cents(batch["o_totalprice"]),
+                "nationkey": pc.cast(g["nationkey"], pa.int64()),
+                "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64()),
+                "n_orders": pc.cast(g["n_orders_sum"], pa.int64()),
             }
         )
-        g = t.group_by("n_name").aggregate([("revenue_cents", "sum"), ("n_name", "count")])
-        return pa.table(
-            {"n_name": g["n_name"], "revenue_cents": g["revenue_cents_sum"], "n_orders": g["n_name_count"]}
-        )
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nationkey")
         .sum(["revenue_cents", "n_orders"])
         .to_pandas()
+        .rename(columns={"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"})
     )
-    out = out.rename(
-        columns={"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"}
-    ).sort_values("n_name", ignore_index=True)
+    out["n_name"] = out["nationkey"].map(nation_by_key)
+    out = out[["n_name", "revenue_cents", "n_orders"]].sort_values("n_name", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -252,18 +264,28 @@ LIMIT 25
 
 
 def event_value_percentiles(sf_dir: str) -> pa.Table:
-    """Exact discrete percentiles (p50/p90/p99) of event value per
-    event_type: grouped shuffle of SLIM (type, value_milli) rows, then
-    sorted selection inside map_groups using DuckDB's quantile_disc
-    index rule (element at ceil(q*n)-1) so the oracle matches exactly.
-    At 100 TB swap the exact sort for a mergeable sketch (t-digest /
-    KLL) computed as per-batch partials."""
+    """EXACT discrete percentiles (p50/p90/p99) of event value per
+    event_type, computed distributed — no group ever holds one event
+    per row.
+
+    Values are milli-ints, so the quantile reduces to a COUNT
+    HISTOGRAM: per-batch (event_type, value_milli, count) partials,
+    combined with the coarse-bucket aggregate (distinct-value
+    cardinality scales with the data), then per-type quantile
+    selection from CUMULATIVE counts over the (small) histogram rows.
+    The selection uses DuckDB's quantile_disc index rule (element at
+    ceil(q*n)-1 of the sorted multiset == first value whose cumulative
+    count reaches ceil(q*n)), so the oracle matches exactly. Exactness
+    survives scale: the final per-type group holds one row per
+    DISTINCT value, not per event."""
     import pandas as pd
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def slim(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "event_type": batch["event_type"],
                 "value_milli": pc.cast(
@@ -271,13 +293,31 @@ def event_value_percentiles(sf_dir: str) -> pa.Table:
                 ),
             }
         )
+        g = t.group_by(["event_type", "value_milli"]).aggregate([("value_milli", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "value_milli": g["value_milli"],
+                "n": pc.cast(g["value_milli_count"], pa.int64()),
+            }
+        )
 
-    def pctl(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value_milli"].to_numpy())
-        n = len(v)
+    hist = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_milli"],
+        {"n": ("n", "sum")},
+    )
+
+    def pctl_from_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_milli", ignore_index=True)
+        counts = g["n"].to_numpy(dtype="int64")
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        vals = g["value_milli"].to_numpy(dtype="int64")
 
         def disc(q: float) -> int:
-            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+            target = max(1, int(np.ceil(q * total)))
+            return int(vals[np.searchsorted(cum, target)])
 
         return pd.DataFrame(
             {
@@ -285,14 +325,13 @@ def event_value_percentiles(sf_dir: str) -> pa.Table:
                 "p50_milli": [disc(0.50)],
                 "p90_milli": [disc(0.90)],
                 "p99_milli": [disc(0.99)],
-                "n_events": [n],
+                "n_events": [total],
             }
         )
 
     out = (
-        ds.map_batches(slim, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(pctl, batch_format="pandas")
+        hist.groupby("event_type")
+        .map_groups(pctl_from_hist, batch_format="pandas")
         .to_pandas()
         .sort_values("event_type", ignore_index=True)
     )
