@@ -104,13 +104,30 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 
 class MinHashStage:
-    """Actor-pool stage: doc -> (band, bucket, doc_id) rows."""
+    """Actor-pool stage: doc -> (band, bucket, grp, doc_id) rows.
 
-    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_n: int = 3, seed: int = 42):
+    ``grp`` is the COARSE shuffle key: hash(band, bucket) %
+    ``n_groups``. Candidate pairs require an equal full (band, bucket),
+    which determines grp — so grouping by grp is complete — while the
+    Ray-visible group cardinality stays FIXED (n_groups) and each
+    group holds O(corpus * bands / n_groups) slim rows instead of the
+    whole corpus's rows for one band. Exact-bucket resolution happens
+    vectorized in pandas inside each group (the repo's coarse-bucket
+    idiom, functions/bucketed.py); raise n_groups with cluster size."""
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        bands: int = 32,
+        shingle_n: int = 3,
+        seed: int = 42,
+        n_groups: int = 2048,
+    ):
         self.a, self.b = _perm_params(num_perm, seed)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self.n_groups = n_groups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         band_ids, buckets, doc_ids = [], [], []
@@ -122,10 +139,17 @@ class MinHashStage:
                 band_ids.append(band)
                 buckets.append(struct.unpack("<q", digest)[0])
                 doc_ids.append(doc_id)
+        band_arr = np.asarray(band_ids, dtype=np.uint64)
+        bucket_arr = np.asarray(buckets, dtype=np.int64)
+        grp = (
+            (band_arr * np.uint64(0x9E3779B97F4A7C15) + bucket_arr.astype(np.uint64))
+            % np.uint64(self.n_groups)
+        ).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "bucket": pa.array(buckets, pa.int64()),
+                "band": pa.array(band_arr.astype(np.int32)),
+                "bucket": pa.array(bucket_arr),
+                "grp": pa.array(grp),
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
         )
@@ -136,19 +160,24 @@ class MinHashStage:
 _MINHASH_CACHE: dict = {}
 
 
-def minhash_stage_task(batch: pa.Table, *, num_perm: int, bands: int, shingle_n: int, seed: int) -> pa.Table:
-    key = (num_perm, bands, shingle_n, seed)
+def minhash_stage_task(
+    batch: pa.Table, *, num_perm: int, bands: int, shingle_n: int, seed: int, n_groups: int = 2048
+) -> pa.Table:
+    key = (num_perm, bands, shingle_n, seed, n_groups)
     stage = _MINHASH_CACHE.get(key)
     if stage is None:
         if len(_MINHASH_CACHE) > 4:
             _MINHASH_CACHE.clear()
-        stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, bands, shingle_n, seed)
+        stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, bands, shingle_n, seed, n_groups)
     return stage(batch)
 
 
-def _emit_pairs_by_key(g: pd.DataFrame, key: str, max_group_docs: int | None = None) -> pd.DataFrame:
-    """Pairs of doc_ids sharing ``key``, vectorized pre-filter: only
-    keys held by >1 distinct doc reach the (tiny) Python pair loop.
+def _emit_pairs_by_key(
+    g: pd.DataFrame, key: str | list[str], max_group_docs: int | None = None
+) -> pd.DataFrame:
+    """Pairs of doc_ids sharing ``key`` (one column or a composite),
+    vectorized pre-filter: only keys held by >1 distinct doc reach the
+    (tiny) Python pair loop.
 
     ``max_group_docs`` is the hot-bucket guard: a degenerate key held
     by more than this many docs (e.g. thousands of empty or identical
@@ -156,11 +185,11 @@ def _emit_pairs_by_key(g: pd.DataFrame, key: str, max_group_docs: int | None = N
     its docs are collapsed to GROUP-REPRESENTATIVE pairs (min doc_id
     vs each other doc — linear, connectivity-preserving for dedup);
     None keeps exact pairs."""
-    d = g.drop_duplicates([key, "doc_id"])
-    counts = d[key].value_counts()
-    d = d[d[key].isin(counts[counts > 1].index)]
+    keys = [key] if isinstance(key, str) else list(key)
+    d = g.drop_duplicates(keys + ["doc_id"])
+    d = d[d.groupby(keys, sort=False)["doc_id"].transform("size") > 1]
     out_a, out_b = [], []
-    for _, sub in d.groupby(key, sort=False):
+    for _, sub in d.groupby(keys, sort=False):
         ids = sorted(sub["doc_id"].tolist())
         if max_group_docs is not None and len(ids) > max_group_docs:
             rep = ids[0]
@@ -180,46 +209,44 @@ def minhash_candidate_pairs(
     bands=32,
     shingle_n=3,
     seed=42,
-    n_coarse: int = 256,
+    n_groups: int = 2048,
     max_bucket_docs: int = 1024,
 ) -> ray.data.Dataset:
     """Deduplicated LSH candidate pairs as a DATASET — nothing
     pair-sized ever lands on the driver.
 
-    The shuffle moves only (band, bucket, doc_id) rows, grouped by the
-    COMPOSITE key ``band * n_coarse + (bucket % n_coarse)``: candidate
-    pairs require an equal full bucket, so coarsening the bucket into
-    the group key loses nothing, while group size drops from
-    O(corpus) per band to O(corpus / n_coarse) and concurrency rises
-    from ``bands`` to ``bands * n_coarse`` groups. Per-bucket work is
-    vectorized in pandas inside each group; ``max_bucket_docs`` guards
-    degenerate buckets (see :func:`_emit_pairs_by_key`).
+    Two shuffle rounds of SLIM rows, both with fixed Ray-visible group
+    cardinality (never a whole-corpus group):
 
-    Cross-band duplicate pairs are removed DISTRIBUTED: the pair is
-    packed into one int64 key (doc_ids < 2^31) and deduped with the
-    coarse-bucket aggregate idiom — the same pattern as
-    :func:`ngram_jaccard_pairs`, never a driver ``drop_duplicates``."""
+    1. (band, bucket, grp, doc_id) rows grouped by the coarse
+       ``grp = hash(band, bucket) % n_groups`` key computed in
+       :class:`MinHashStage`; per-(band, bucket) pair emission runs
+       vectorized in pandas inside each group, with the
+       ``max_bucket_docs`` degenerate-bucket guard
+       (see :func:`_emit_pairs_by_key`).
+    2. cross-band duplicate pairs removed DISTRIBUTED: the pair packed
+       into one int64 key (doc_ids < 2^31), deduped with the
+       coarse-bucket aggregate idiom — the same pattern as
+       :func:`ngram_jaccard_pairs`, never a driver
+       ``drop_duplicates``."""
     sigs = ds_docs.map_batches(
         minhash_stage_task,
-        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "seed": seed},
+        fn_kwargs={
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "seed": seed,
+            "n_groups": n_groups,
+        },
         batch_format="pyarrow",
     )
 
-    def add_grp(batch: pa.Table) -> pa.Table:
-        coarse = pc.bit_wise_and(batch["bucket"], pa.scalar(n_coarse - 1, pa.int64()))
-        grp = pc.add(pc.multiply(pc.cast(batch["band"], pa.int64()), pa.scalar(n_coarse, pa.int64())), coarse)
-        return batch.append_column("grp", pc.cast(grp, pa.int32()))
-
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        p = _emit_pairs_by_key(g, "bucket", max_group_docs=max_bucket_docs)
+        p = _emit_pairs_by_key(g, ["band", "bucket"], max_group_docs=max_bucket_docs)
         p["pair_key"] = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
         return p[["pair_key"]]
 
-    pair_keys = (
-        sigs.map_batches(add_grp, batch_format="pyarrow")
-        .groupby("grp")
-        .map_groups(emit, batch_format="pandas")
-    )
+    pair_keys = sigs.groupby("grp").map_groups(emit, batch_format="pandas")
     deduped = bucketed_aggregate(pair_keys, ["pair_key"], {"n_bands": ("pair_key", "count")})
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -283,40 +310,32 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
     ~1e-14 at j=0.9; the corpus's true pairs all sit at >=0.80),
     verified against DuckDB at sf0.001/0.01/0.1.
 
-    Two verify paths, picked by the DISTINCT candidate-doc count —
-    computed with a distributed aggregate (the candidate pair table is
-    a Dataset throughout; nothing pair-sized touches the driver):
-    - candidate set <= ``broadcast_limit``: texts filtered AT THE READ
-      (is_in predicate, only candidate rows leave storage) and
-      broadcast once via ``ray.put``; pair loop in map_batches.
+    Two verify paths, picked by the candidate-pair COUNT (a
+    distributed aggregate; the candidate table is a Dataset
+    throughout — nothing corpus-scaled touches the driver):
+    - 2 * n_pairs <= ``broadcast_limit`` (so the distinct candidate
+      doc count is bounded too): texts filtered AT THE READ (is_in
+      predicate, only candidate rows leave storage) and broadcast once
+      via ``ray.put``; pair loop in map_batches. The driver pull here
+      is bounded by the broadcast_limit CONSTANT, which any broadcast
+      pays anyway.
     - larger: bucketed cogroup joins attach text_a/text_b to the pair
       rows — no driver-sized structure anywhere.
     """
     from mlscraper_ray.functions.joins import cogroup_join
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    # slim (doc_a, doc_b) rows; materialized once so the count, the
-    # distinct-id aggregate and the verify pass don't re-run the LSH
+    # slim (doc_a, doc_b) rows; materialized once so the path-choice
+    # count and the verify pass don't re-run the LSH
     candidates = minhash_candidate_pairs(docs).materialize()
-    if candidates.count() == 0:
+    n_pairs = candidates.count()
+    if n_pairs == 0:
         return _EMPTY_PAIRS
 
-    def unpivot(batch: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays(
-            [batch["doc_a"].combine_chunks(), batch["doc_b"].combine_chunks()]
-        )
-        return pa.table({"doc_id": pc.unique(ids)})
-
-    distinct_ids = bucketed_aggregate(
-        candidates.map_batches(unpivot, batch_format="pyarrow"),
-        ["doc_id"],
-        {"n": ("doc_id", "count")},
-    ).materialize()
-    n_cand_docs = distinct_ids.count()
-
-    if n_cand_docs <= broadcast_limit:
-        # bounded by broadcast_limit, so this driver pull is small
-        cand_arr = pa.array(sorted(distinct_ids.to_pandas()["doc_id"].astype("int64")), pa.int64())
+    if 2 * n_pairs <= broadcast_limit:
+        cand_pdf = candidates.to_pandas()  # <= broadcast_limit/2 rows
+        cand_ids = sorted(set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"]))
+        cand_arr = pa.array(cand_ids, pa.int64())
 
         def keep_candidates(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_arr))

@@ -179,9 +179,10 @@ class TestNearDupCrafted:
         assert got == {(0, j) for j in range(1, n)}  # linear, rep-anchored
 
     def test_minhash_composite_grouping_bounds_group_size(self):
-        """The (band, bucket % 256) composite key keeps per-group rows
-        at O(corpus/256) on a diverse corpus — the 100-TB guarantee the
-        band-only grouping lacked."""
+        """The hash(band, bucket) % n_groups shuffle key keeps
+        per-group rows at O(corpus * bands / n_groups) on a diverse
+        corpus — the 100-TB guarantee the band-only grouping lacked
+        (one group per band = whole-corpus groups)."""
         from mlscraper_ray.functions.dedup import MinHashStage
 
         n = 512
@@ -191,10 +192,12 @@ class TestNearDupCrafted:
                 "text": pa.array([f"unique document {i} with words {i * 7} {i * 13}" for i in range(n)]),
             }
         )
-        sigs = MinHashStage()(t).to_pandas()
-        sigs["grp"] = sigs["band"] * 256 + (sigs["bucket"] & 255)
+        sigs = MinHashStage()(t).to_pandas()  # n_groups=2048, 32 bands
         max_group = sigs.groupby("grp").size().max()
-        assert max_group <= 16  # ~2 expected at uniform spread; << n
+        # 16384 rows over 2048 groups: ~8 expected at uniform spread
+        assert max_group <= 64
+        # grp is a pure function of (band, bucket): completeness
+        assert (sigs.groupby(["band", "bucket"])["grp"].nunique() == 1).all()
 
 
 class TestSimilarityCrafted:
