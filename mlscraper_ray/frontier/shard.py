@@ -182,15 +182,21 @@ class FrontierShard:
         full-pool parallelism without a Dataset shuffle.
 
         HOT-HOST SALTING: a host whose admitted rows exceed
-        max(cfg.salt_min_rows, ceil(total/n_parts)) would dominate its
-        bucket-aligned part and serialize the fetch pool; its rows are
-        instead dealt round-robin across ALL parts (deterministic: the
-        admit order is deterministic, so the deal is too). Politeness
-        was already enforced by the per-host token pop above, so
-        salting changes only WHERE rows are fetched, never what or how
-        many. Cost: salted parts touch the hot host's corpus bucket
-        file too — bounded, because lookups are per-host range
-        predicates whose row-read cost is ~ hits (sources/corpus.py)."""
+        max(min(cfg.salt_min_rows, cfg.tokens_per_round - 1),
+        ceil(total/n_parts)) would dominate its bucket-aligned part
+        and serialize the fetch pool; its rows are instead dealt
+        round-robin across ALL parts (deterministic: the admit order
+        is deterministic, so the deal is too). The floor is clamped
+        BELOW the per-host token cap — admitted rows per host can
+        never exceed tokens_per_round, so a fixed floor above the cap
+        (the old bug) made salting unreachable; with the clamp, a host
+        that saturates its token budget AND exceeds its fair part
+        share gets dealt. Politeness was already enforced by the
+        per-host token pop above, so salting changes only WHERE rows
+        are fetched, never what or how many. Cost: salted parts touch
+        the hot host's corpus bucket file too — bounded, because
+        lookups are per-host range predicates whose row-read cost is
+        ~ hits (sources/corpus.py)."""
         import pyarrow.compute as pc
 
         from mlscraper_ray.sources.corpusgen import host_bucket
@@ -200,7 +206,8 @@ class FrontierShard:
             return t
         hosts = t["host"].to_pylist()
         counts = Counter(hosts)
-        threshold = max(self.cfg.salt_min_rows, -(-len(hosts) // n_parts))
+        floor = min(self.cfg.salt_min_rows, self.cfg.tokens_per_round - 1)
+        threshold = max(floor, -(-len(hosts) // n_parts))
         part_ids: list[int] = []
         dealt: Counter = Counter()
         for h in hosts:
@@ -251,7 +258,18 @@ class FrontierShard:
         assert state["shard_id"] == self.shard_id, "shard id mismatch on restore"
         # legacy (pre-recrawl) checkpoints stored the filter under "bloom"
         seen_bytes = state.get("seen", state.get("bloom"))
-        if state.get("seen_kind", "bloom") == "bloom":
+        seen_kind = state.get("seen_kind", "bloom")
+        if seen_kind == "bloom" and self.cfg.recrawl_after_rounds > 0:
+            # a bloom filter cannot delete(): silently loading it into a
+            # recrawl-enabled shard would crash at the first TTL
+            # eviction, ``recrawl_after_rounds`` rounds later
+            raise ValueError(
+                "checkpoint has a delete-incapable 'bloom' seen set but "
+                "config enables recrawl_after_rounds="
+                f"{self.cfg.recrawl_after_rounds}; resume with the "
+                "original crawl-once config or restart the crawl"
+            )
+        if seen_kind == "bloom":
             self.seen = BloomFilter.from_bytes(seen_bytes)
         else:
             self.seen = CuckooFilter.from_bytes(seen_bytes)

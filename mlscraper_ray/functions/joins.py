@@ -85,7 +85,10 @@ def cogroup_join(
 
     # original dtypes: the null-padded union coerces int columns to
     # float64 in pandas, which silently breaks downstream joins keyed
-    # on them (bucket hash of "1.0" != 1) — cast back where lossless
+    # on them (bucket hash of "1.0" != 1). Restore via pandas NULLABLE
+    # Int64 unconditionally — a per-bucket conditional cast (skip when
+    # that bucket happens to contain a NaN) would give the same
+    # logical column different dtypes in different blocks
     int_cols = {
         field.name
         for side in (left.schema().base_schema, right.schema().base_schema)
@@ -98,8 +101,8 @@ def cogroup_join(
         rg = g[g["__side"] == "r"][[key] + r_cols]
         out = lg.merge(rg, on=key, how=how)
         for col in out.columns:
-            if col in int_cols and not out[col].isna().any():
-                out[col] = out[col].astype("int64")
+            if col in int_cols:
+                out[col] = out[col].astype("Int64")
         return out
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -367,7 +367,11 @@ _KQ_OFFSET = 100_000  # shift positive: DuckDB // truncates, python //
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
-    return np.round(mat * _KQ_SCALE).astype(np.int64) + _KQ_OFFSET
+    # floor(x*S + 0.5), NOT np.round: np.round is half-to-even while
+    # DuckDB ROUND is half-away-from-zero — for values landing exactly
+    # on .5 (e.g. 1/32 * 10000 = 312.5) they differ by 1. floor(+0.5)
+    # is one explicit rule reproduced verbatim in the SQL oracle.
+    return np.floor(mat * _KQ_SCALE + 0.5).astype(np.int64) + _KQ_OFFSET
 
 
 def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.ndarray:
@@ -469,7 +473,7 @@ def embed_kmeans_int_sql(n_clusters: int = 8, n_iters: int = 3, dim: int = 64) -
         f"""WITH q AS (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
-                          x -> CAST(ROUND(x * {_KQ_SCALE}) AS BIGINT) + {_KQ_OFFSET}) AS v
+                          x -> CAST(FLOOR(x * {_KQ_SCALE} + 0.5) AS BIGINT) + {_KQ_OFFSET}) AS v
     FROM embeddings
 ),
 init_ids AS (

@@ -158,6 +158,46 @@ class TestFrontierShard:
         assert clone.admit().to_pylist() == shard.admit().to_pylist()
         assert clone.seen.to_bytes() == shard.seen.to_bytes()
 
+    def test_restore_rejects_bloom_checkpoint_into_recrawl_config(self, shard, tmp_path):
+        """A delete-incapable bloom seen set silently loaded into a
+        recrawl-enabled shard would crash at the first TTL eviction,
+        ttl rounds later — restore must refuse upfront."""
+        import pytest
+
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.shard import FrontierShard
+
+        shard.submit(["http://h0000.example/p/1"], [0])
+        shard.admit()
+        path = str(tmp_path / "shard.bin")
+        shard.checkpoint_to(path)  # crawl-once config -> bloom kind
+        recrawl_cfg = CrawlConfig(**{**shard.cfg.to_dict(), "recrawl_after_rounds": 3})
+        clone = FrontierShard(0, recrawl_cfg, str(tmp_path / "corpus"))
+        with pytest.raises(ValueError, match="delete-incapable"):
+            clone.restore_from(path)
+
+    def test_salting_reachable_under_shipped_config(self, tmp_path):
+        """The salting floor is clamped below the per-host token cap:
+        a host that saturates tokens_per_round and exceeds its fair
+        part share is dealt round-robin even with the DEFAULT
+        salt_min_rows (which exceeds the cap and previously made
+        salting unreachable in every shipped config)."""
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.shard import FrontierShard
+
+        cfg = CrawlConfig(n_shards=1, tokens_per_round=8, max_depth=9)
+        assert cfg.salt_min_rows > cfg.tokens_per_round  # the old dead zone
+        shard = FrontierShard(0, cfg, str(tmp_path))
+        hot = [f"http://mega.example/p{i}" for i in range(8)]
+        cold = [f"http://h{i:04d}.example/p0" for i in range(1, 9)]
+        shard.submit(hot + cold, [1] * len(hot + cold))
+        parts = shard.admit_parts(8)
+        mega_rows = [
+            p.filter(pa.compute.equal(p["host"], "mega.example")).num_rows for p in parts
+        ]
+        assert max(mega_rows) == 1  # dealt 1 per part, not 8 in one
+        assert shard.get_counters()["salted_rows"] == 8
+
 
 class TestRetryIdempotence:
     """fetch_parse_extract_task claims double link-submission is safe
