@@ -69,7 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cls, fn_constructor_kwargs={"payload_col": "payload", **kwargs},
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
-        out = staged.to_pandas().sort_values("doc_id", ignore_index=True)
+        # production-shaped ordering: the sort is a Dataset operation
+        # (distributed range sort); only the sorted result is pulled
+        # for the driver's table compare
+        out = staged.sort("doc_id").to_pandas()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def multimodal_decode(sf_dir: str):
@@ -86,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FeatureExtractStub, fn_constructor_kwargs={"payload_col": "payload"},
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
-        out = feats.to_pandas().sort_values("doc_id", ignore_index=True)
+        out = feats.sort("doc_id").to_pandas()
         # explode to one scalar column per component: list cells don't
         # hash-compare across pandas/duckdb string forms
         for i in range(16):
@@ -116,7 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FrameSampleStub, fn_constructor_kwargs={"payload_col": "payload", "k": 4},
             batch_format="pyarrow", batch_size=128, concurrency=(1, _mm_ncpus()),
         )
-        out = staged.to_pandas().sort_values("doc_id", ignore_index=True)
+        out = staged.sort("doc_id").to_pandas()
         out["n_frames"] = out["frames"].map(len)
         out["frame_bytes"] = out["frames"].map(lambda fs: sum(len(f) for f in fs))
         return pa.Table.from_pandas(

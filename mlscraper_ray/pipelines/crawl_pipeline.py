@@ -119,9 +119,13 @@ def crawl_order_recrawl_query(sf_dir: str) -> pa.Table:
     return crawl_order(out_dir)
 
 
-def extract_all_query(sf_dir: str):
-    """The M1 slice: apply the learned scraper to EVERY corpus page via
-    an actor-pool map_batches; returns (url, value_json) rows."""
+def extract_all_dataset(sf_dir: str):
+    """PRODUCTION PATH of the M1 slice: pruned read (url + html only)
+    -> map_batches(learned-scraper apply) returned AS A DATASET — the
+    shape a 100-TB consumer streams into ``write_parquet`` /
+    ``iter_batches`` with no driver materialization anywhere.
+    ``extract_all_query`` is the driver-contract twin that pulls this
+    into one comparable in-memory table."""
     import ray.data
 
     from mlscraper_ray.stages.apply import apply_scraper_task
@@ -130,13 +134,25 @@ def extract_all_query(sf_dir: str):
     corpus_dir, spec = corpus_for_sf(sf)
     plan = learn_plan(corpus_dir, spec)
     pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
-    extracted = pages.map_batches(
+    return pages.map_batches(
         apply_scraper_task,
         fn_kwargs={"plan_json": json.dumps(plan, sort_keys=True)},
         batch_format="pyarrow",
         batch_size=128,
     )
-    out = extracted.to_pandas().sort_values("url", ignore_index=True)
+
+
+def extract_all_to_parquet(sf_dir: str, out_dir: str) -> None:
+    """Streaming sink twin: extraction results written as partitioned
+    parquet (one file per block), never collected on the driver."""
+    extract_all_dataset(sf_dir).write_parquet(out_dir)
+
+
+def extract_all_query(sf_dir: str):
+    """Driver-contract twin of :func:`extract_all_dataset`: same
+    pipeline, pulled into one url-sorted table for the oracle
+    compare."""
+    out = extract_all_dataset(sf_dir).to_pandas().sort_values("url", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

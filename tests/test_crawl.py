@@ -386,3 +386,19 @@ def test_crawl_order_dataset_write_parquet_roundtrip(crawl_run, tmp_path):
     )
     direct = crawl_order(out_dir).to_pandas()
     assert back[direct.columns.tolist()].equals(direct)
+
+
+def test_extract_all_dataset_twin_matches_contract_table(ray_session, tmp_path):
+    """Production-path twin: extract_all_dataset -> write_parquet
+    round-trips to exactly the driver-contract extract_all table."""
+    from mlscraper_ray.pipelines.crawl_pipeline import (
+        extract_all_query,
+        extract_all_to_parquet,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "extracted")
+    extract_all_to_parquet(sf_dir, dest)
+    back = pq.read_table(dest).to_pandas().sort_values("url", ignore_index=True)
+    direct = extract_all_query(sf_dir).to_pandas()
+    assert back[direct.columns.tolist()].equals(direct)
