@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        # composed scale path: k-means-TRAINED IVF, the whole
+        # train-then-search pipeline integer-exact and SQL-oracled
+        "ann_ivf_trained_topk": similarity.ivf_trained_topk,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
         "embed_kmeans": similarity.embedding_kmeans,
         # integer-quantized Lloyd's: every reduction is an int sum, so
@@ -256,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_dedup_sql(),
         "embed_neardup_pairs": similarity.embedding_neardup_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
+        "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,

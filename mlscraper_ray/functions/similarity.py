@@ -456,19 +456,25 @@ def embedding_kmeans_int(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> 
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def embed_kmeans_int_sql(n_clusters: int = 8, n_iters: int = 3, dim: int = 64) -> str:
-    """Chained-CTE DuckDB oracle for the ENTIRE iterative algorithm:
-    one assignment + centroid-update layer per Lloyd iteration.
-
-    Distances use ``|q|^2 - 2<q,c> + |c|^2`` via list_inner_product
+def _int_dist2_sql(a: str, b: str) -> str:
+    """Integer squared distance between two shifted-fixed-point int
+    list expressions: ``|a|^2 - 2<a,b> + |b|^2`` via list_inner_product
     (DuckDB lambdas cannot capture correlated columns); the inner
-    products of the shifted fixed-point ints stay < 2^53, so the
-    double-typed result is EXACT and the BIGINT cast loses nothing.
-    Assignment argmin = ROW_NUMBER over (dist2, cluster id)."""
-    dist = (
-        "CAST(list_inner_product(q.v, q.v) - 2 * list_inner_product(q.v, {c}.v)"
-        " + list_inner_product({c}.v, {c}.v) AS BIGINT)"
+    products stay < 2^53, so the double-typed result is EXACT and the
+    BIGINT cast loses nothing."""
+    return (
+        f"CAST(list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+        f" + list_inner_product({b}, {b}) AS BIGINT)"
     )
+
+
+def _kmeans_int_prefix_parts(n_clusters: int, n_iters: int, dim: int) -> list[str]:
+    """Shared chained-CTE prefix reproducing :func:`kmeans_int_fit`
+    term for term — quantized vectors ``q``, md5-ordered init, one
+    assignment + centroid-update layer per Lloyd iteration, final
+    centroids in ``c{n_iters}f``. Used by both the k-means assignment
+    oracle and the trained-IVF search oracle."""
+    dist = _int_dist2_sql("q.v", "{c}.v")
     parts = [
         f"""WITH q AS (
     SELECT vec_id,
@@ -513,7 +519,15 @@ c{it + 1}f AS (
     FROM c{it}f LEFT JOIN c{it + 1} ON c{it}f.c = c{it + 1}.c
 )"""
         )
-    d_final = dist.format(c=f"c{n_iters}f")
+    return parts
+
+
+def embed_kmeans_int_sql(n_clusters: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE DuckDB oracle for the ENTIRE iterative algorithm:
+    one assignment + centroid-update layer per Lloyd iteration.
+    Assignment argmin = ROW_NUMBER over (dist2, cluster id)."""
+    parts = _kmeans_int_prefix_parts(n_clusters, n_iters, dim)
+    d_final = _int_dist2_sql("q.v", f"c{n_iters}f.v")
     parts.append(
         f"""
 SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
@@ -523,6 +537,105 @@ SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
     FROM q CROSS JOIN c{n_iters}f
 ) WHERE rn = 1
 ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
+def ivf_trained_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    n_probe: int = 2,
+) -> pa.Table:
+    """The composed ANN scale path: k-means-TRAINED IVF — centroids
+    from :func:`kmeans_int_fit` (distributed integer Lloyd's), then an
+    IVF search probing the query's ``n_probe`` nearest trained
+    clusters. All arithmetic is shifted-fixed-point integer, so the
+    ENTIRE train-then-search pipeline is reproduced term for term in
+    SQL (:func:`ivf_trained_topk_sql`) — the end-to-end oracle the
+    sampled-centroid :func:`ivf_topk` can't give for training.
+
+    Search is one streaming pass: per-batch quantize -> centroid
+    argmin (ties -> lowest cluster id) -> probe filter -> integer
+    distance to the query -> per-batch partial top-k (only k+1 rows
+    leave each task)."""
+    centroids = kmeans_int_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters)
+    q = _quantize(_load_query_vec(sf_dir, query_vec_id)[None, :])[0]
+    d2c = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(d2c)), d2c))[:n_probe]
+    state_ref = ray.put((q, centroids, set(probe.tolist())))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv, cents, probe_set = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        mask = np.isin(assign, list(probe_set))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "dist2": pa.array([], pa.int64())})
+        kept_ids = ids[mask]
+        dq = ((x[mask] - qv[None, :]) ** 2).sum(axis=1)
+        keep = min(k + 1, len(kept_ids))
+        idx = np.argpartition(dq, keep - 1)[:keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(kept_ids[idx], pa.int64()),
+                "dist2": pa.array(dq[idx].astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    out = partials.sort_values(["dist2", "vec_id"], ignore_index=True).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def ivf_trained_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for the ENTIRE trained-IVF path: the k-means
+    chained-CTE prefix (init + every Lloyd iteration), then probe
+    selection, final assignment and the probed integer-distance
+    search — one SQL statement hash-checking an iterative distributed
+    training + ANN search end to end."""
+    parts = _kmeans_int_prefix_parts(n_clusters, n_iters, dim)
+    cf = f"c{n_iters}f"
+    d_qc = _int_dist2_sql("qsel.v", f"{cf}.v")
+    d_ac = _int_dist2_sql("q.v", f"{cf}.v")
+    d_qq = _int_dist2_sql("q.v", "qsel.v")
+    parts.append(
+        f""",
+qsel AS (SELECT v FROM q WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c FROM (
+        SELECT {cf}.c,
+               ROW_NUMBER() OVER (ORDER BY {d_qc}, {cf}.c) AS rn
+        FROM {cf} CROSS JOIN qsel
+    ) WHERE rn <= {n_probe}
+),
+afin AS (
+    SELECT vec_id, c AS cl FROM (
+        SELECT q.vec_id, {cf}.c,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_ac}, {cf}.c) AS rn
+        FROM q CROSS JOIN {cf}
+    ) WHERE rn = 1
+)
+SELECT q.vec_id, {d_qq} AS dist2
+FROM q CROSS JOIN qsel
+JOIN afin ON q.vec_id = afin.vec_id
+WHERE afin.cl IN (SELECT c FROM probe) AND q.vec_id != {query_vec_id}
+ORDER BY dist2, q.vec_id
+LIMIT {k}"""
     )
     return "".join(parts)
 

@@ -48,6 +48,7 @@ def _oracle_names():
         "dedup_minhash",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "ann_ivf_trained_topk",
         "embed_kmeans_int",
         "embed_neardup_pairs",
         "multimodal_features",
