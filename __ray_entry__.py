@@ -9,11 +9,17 @@ plus the large-scale training-data operators (dedup, similarity
 search, text analysis, stream windows, multimodal plumbing).
 ``oracle_sql()`` provides DuckDB equivalents for every
 SQL-expressible query — including the LSH dedup pipelines and IVF ANN
-(exhaustive-join oracles that verify recall itself) and the
-integer-quantized iterative k-means (chained-CTE oracle). Only
-crawl/learn/WARC ops and float k-means are rows-only by nature; the
-crawl side is instead pinned by the in-repo oracle crawler + golden
-extraction tests (tests/test_crawl.py).
+(exhaustive-join oracles that verify recall itself), the
+integer-quantized iterative k-means and the k-means-trained IVF
+search (chained-CTE oracles), and the crawl/extract/WARC pipelines
+(constant-table oracles rendered from INDEPENDENT ground truth: the
+corpus generator's synthesis-time records and the single-process
+oracle crawler — see pipelines/truth_oracles.py; built for the
+driver's fixed sf=0.01 compare scale). Only learn_plan(/parallel)
+and float k-means remain rows-only by nature (the learned plan has
+no truth source independent of the learner; float folds aren't
+bit-stable cross-engine) — they're pinned by pytest golden literals
+instead.
 """
 from __future__ import annotations
 
@@ -242,6 +248,7 @@ def _simhash_pairs(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     from mlscraper_ray.functions import aggregates, joins, similarity, streams, textstats
+    from mlscraper_ray.pipelines import truth_oracles
 
     return {
         "q1_pricing_summary": aggregates.Q1_SQL,
@@ -302,6 +309,16 @@ ORDER BY doc_id
 """,
         "top_event_per_user": streams.TOP_EVENT_PER_USER_SQL,
         "multimodal_features": _feature_stub_sql(),
+        # constant-table oracles from INDEPENDENT ground truth (the
+        # corpus generator's synthesis-time records and the
+        # single-process oracle crawler), built for the driver's fixed
+        # sf=0.01 compare scale — upgrading the crawl/extract/WARC
+        # pipelines from rows-only to full value pins
+        "extract_all": truth_oracles.extract_truth_sql(0.01),
+        "extract_from_warc": truth_oracles.extract_truth_sql(0.01),
+        "warc_roundtrip": truth_oracles.warc_truth_sql(0.01),
+        "crawl_order": truth_oracles.crawl_order_truth_sql(0.01),
+        "crawl_order_recrawl": truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
     }
 
 

@@ -1,0 +1,139 @@
+"""Constant-table DuckDB oracles for the pipelines whose ground truth
+is not derivable from the registered testdata views — it lives in the
+GENERATOR (corpusgen records every page's expected extraction value
+and html bytes at synthesis time) or in the single-process ORACLE
+CRAWLER (frontier/oracle.py, the independent reference implementation
+of the crawl semantics).
+
+Each builder renders that independent ground truth as a ``VALUES``
+constant table, so the driver's DuckDB compare can hash-check the
+crawl/extract/WARC pipelines the same way it checks the relational
+ones — upgrading them from rows-only to full value pins. Nothing here
+touches Ray or the distributed pipelines' code paths: extraction truth
+is the generator's ``golden.parquet`` (written from the page TEMPLATE,
+not from any DOM/learner output), WARC truth is the generator's page
+bytes, and crawl truth is the plain-dict oracle crawler.
+
+The built SQL is cached next to the corpus (same (sf, seed)-keyed
+cache dir), since the oracle crawler pass costs a few seconds.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def values_sql(rows: list[tuple], cols: list[str]) -> str:
+    """``SELECT * FROM (VALUES ...)`` constant table; column names are
+    double-quoted (``round`` etc. collide with function names)."""
+    body = ",\n".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
+    names = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _cached(corpus_dir: str, name: str, build) -> str:
+    path = os.path.join(corpus_dir, f"_oracle_{name}.sql")
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read()
+    sql = build()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(sql)
+    os.replace(tmp, path)
+    return sql
+
+
+def extract_truth_sql(sf: float) -> str:
+    """(url, value_json) for EVERY corpus page, from generator ground
+    truth: content pages carry the entry list recorded in
+    ``golden.parquet`` at synthesis time; robots.txt bodies contain no
+    entry markup, so the learned list scraper's value is ``[]`` — also
+    a generator-level fact (the robots template has no elements)."""
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+
+    corpus_dir, spec = corpus_for_sf(sf)
+
+    def build() -> str:
+        golden = pq.read_table(os.path.join(corpus_dir, "golden.parquet"))
+        rows = list(zip(golden["url"].to_pylist(), golden["expected_json"].to_pylist()))
+        rows += [(spec.robots_url(h), "[]") for h in range(spec.n_hosts)]
+        rows.sort()
+        return values_sql(rows, ["url", "value_json"]) + ' ORDER BY "url"'
+
+    return _cached(corpus_dir, "extract", build)
+
+
+def warc_truth_sql(sf: float) -> str:
+    """(url, html_sha256, html_bytes) for every corpus page, digested
+    from the generator's page bytes — any corruption in the WARC
+    write/read round-trip flips the hash."""
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+
+    corpus_dir, _ = corpus_for_sf(sf)
+
+    def build() -> str:
+        import glob
+
+        rows = []
+        for f in sorted(glob.glob(os.path.join(corpus_dir, "pages", "*", "*.parquet"))):
+            t = pq.read_table(f, columns=["url", "html"])
+            for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+                rows.append((url, hashlib.sha256(html).hexdigest(), len(html)))
+        rows.sort()
+        return (
+            values_sql(rows, ["url", "html_sha256", "html_bytes"]) + ' ORDER BY "url"'
+        )
+
+    return _cached(corpus_dir, "warc", build)
+
+
+def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
+    """(rank, round, depth, host, url) from the single-process oracle
+    crawler run with the SAME config as the distributed
+    ``crawl_order_query`` / ``crawl_order_recrawl_query`` (plan left
+    empty — extraction doesn't influence crawl order)."""
+    from mlscraper_ray.frontier.oracle import oracle_crawl
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, crawl_config_for
+
+    corpus_dir, spec = corpus_for_sf(sf)
+
+    def build() -> str:
+        if recrawl:
+            cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=10)
+            cfg.recrawl_after_rounds = 3
+        else:
+            cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+        fetches, _, _, _ = oracle_crawl(corpus_dir, cfg)
+        rows = [
+            (rank, rnd, depth, host, url)
+            for rank, (rnd, depth, host, url) in enumerate(fetches)
+        ]
+        return (
+            values_sql(rows, ["rank", "round", "depth", "host", "url"])
+            + ' ORDER BY "rank"'
+        )
+
+    return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", build)
+
+
+def plan_truth_json(sf: float) -> str:
+    """The expected learned plan for the synthetic corpus — the
+    deterministic artifact both learners must produce (pinned by
+    tests); exposed for ad-hoc checks, not as a SQL oracle (it would
+    be derived from the learner itself, not an independent source)."""
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, learn_plan
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    return json.dumps(learn_plan(corpus_dir, spec), sort_keys=True)

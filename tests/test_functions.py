@@ -72,6 +72,29 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
     assert c["hash_match"], c
 
 
+@pytest.mark.parametrize(
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl"]
+)
+def test_truth_oracle_matches_at_test_scale(entry_mod, name):
+    """The driver-contract constant-table oracles are built for
+    sf0.01; this pins the same builders against the pipelines at the
+    local test scale (generator/oracle-crawler truth, sf-agnostic)."""
+    from oracle_compare import compare
+
+    from mlscraper_ray.pipelines import truth_oracles
+
+    sqls = {
+        "extract_all": lambda: truth_oracles.extract_truth_sql(0.001),
+        "extract_from_warc": lambda: truth_oracles.extract_truth_sql(0.001),
+        "warc_roundtrip": lambda: truth_oracles.warc_truth_sql(0.001),
+        "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.001),
+        "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.001, recrawl=True),
+    }
+    result = entry_mod.queries()[name](SF_DIR)
+    c = compare(result, sqls[name](), SF_DIR)
+    assert c["hash_match"], c
+
+
 class TestNearDupCrafted:
     @pytest.fixture(scope="class")
     def docs_dir(self, tmp_path_factory):
