@@ -120,6 +120,7 @@ def run_bench() -> dict:
     table_ops = [
         "q1_pricing_summary",
         "order_lineitem_revenue",
+        "revenue_by_nation",
         "top_users_by_value",
         "event_value_percentiles",
         "dedup_exact",
@@ -130,6 +131,7 @@ def run_bench() -> dict:
         "doc_bpe_token_stats",
         "doc_quality",
         "ann_cosine_topk",
+        "ann_ivf_trained_topk",
         "embed_neardup_pairs",
         "embed_kmeans",
         "embed_kmeans_int",

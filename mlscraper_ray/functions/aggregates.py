@@ -4,9 +4,10 @@ general groupby/join surface, written scale-first:
 - **partial aggregation**: every groupby here pre-aggregates inside
   ``map_batches`` (one row per key per batch) before the shuffle, so
   the all-to-all exchange moves partials, not rows;
-- **broadcast joins**: dimension tables (customer, nation) are read
-  once driver-side, ``ray.put`` once, and looked up per batch — no
-  shuffle join for small sides;
+- **broadcast only true dimensions**: fixed-size tables (nation, 25
+  rows) are read once, ``ray.put`` once, looked up per batch; sides
+  that scale with the corpus (customer) go through the bucketed
+  cogroup join instead — never a driver read;
 - **exact-integer arithmetic**: money/values are aggregated as
   cents/milli BIGINTs (the corpus is cent-exact), so results
   hash-compare exactly against the DuckDB oracle regardless of float
