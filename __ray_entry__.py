@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
+        "doc_simhash": dedup.simhash_table,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "doc_simhash": _simhash_table_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),
@@ -350,6 +352,12 @@ def _simhash_pairs_sql() -> str:
     from mlscraper_ray.functions.dedup import SIMHASH_PAIRS_SQL
 
     return SIMHASH_PAIRS_SQL
+
+
+def _simhash_table_sql() -> str:
+    from mlscraper_ray.functions.dedup import SIMHASH_TABLE_SQL
+
+    return SIMHASH_TABLE_SQL
 
 
 def _minhash_dedup_sql() -> str:

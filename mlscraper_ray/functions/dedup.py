@@ -683,12 +683,9 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3, n_coa
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
-# Brute-force O(n^2) oracle for the banded simhash pipeline: the bands
-# guarantee (pigeonhole over 4x16 bits) that EVERY pair within Hamming
-# distance 3 shares an exact band, so the LSH output must equal the
-# exhaustive join — this checks the recall guarantee itself, not just
-# the arithmetic.
-SIMHASH_PAIRS_SQL = """
+# Shared signature CTE: reproduces simhash64 term for term in DuckDB
+# (word hash = md5_number_lower, bit j = sign of the +/-1 vote sum).
+_SIMHASH_SIG_CTE = """
 WITH words AS (
     SELECT doc_id,
            unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS w
@@ -712,8 +709,21 @@ sig AS (
                 ELSE COALESCE(s.u, 0) END AS BIGINT) AS s
     FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
 )
+"""
+
+# Brute-force O(n^2) oracle for the banded simhash pipeline: the bands
+# guarantee (pigeonhole over 4x16 bits) that EVERY pair within Hamming
+# distance 3 shares an exact band, so the LSH output must equal the
+# exhaustive join — this checks the recall guarantee itself, not just
+# the arithmetic.
+SIMHASH_PAIRS_SQL = _SIMHASH_SIG_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.s, b.s)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 ORDER BY doc_a, doc_b
+"""
+
+# Per-document fingerprint table oracle for :func:`simhash_table`.
+SIMHASH_TABLE_SQL = _SIMHASH_SIG_CTE + """
+SELECT doc_id, s AS simhash FROM sig ORDER BY doc_id
 """

@@ -36,6 +36,7 @@ def _oracle_names():
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
+        "doc_simhash",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
