@@ -142,10 +142,43 @@ def extract_all_dataset(sf_dir: str):
     )
 
 
-def extract_all_to_parquet(sf_dir: str, out_dir: str) -> None:
-    """Streaming sink twin: extraction results written as partitioned
-    parquet (one file per block), never collected on the driver."""
-    extract_all_dataset(sf_dir).write_parquet(out_dir)
+def extract_all_to_parquet(sf_dir: str, out_dir: str) -> dict:
+    """Streaming sink twin, RESUMABLE: output is partitioned by the
+    corpus host-hash bucket — one directory per input shard, mirroring
+    the read layout — and each bucket directory is committed by a
+    ``_SUCCESS`` marker written AFTER its parquet (marker-last, the
+    same commit protocol as the crawl checkpoints). A failed or killed
+    run re-invoked with the same ``out_dir`` skips finished buckets
+    and rewrites only incomplete ones — never one giant file, never a
+    restart from zero (the 100-TB resumable-output contract).
+    Returns ``{"written": n, "skipped": n}`` bucket counts."""
+    import glob as _glob
+
+    import ray.data
+
+    from mlscraper_ray.stages.apply import apply_scraper_task
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan_json = json.dumps(learn_plan(corpus_dir, spec), sort_keys=True)
+    written = skipped = 0
+    for bdir in sorted(_glob.glob(os.path.join(corpus_dir, "pages", "hb=*"))):
+        dest = os.path.join(out_dir, os.path.basename(bdir))
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):
+            skipped += 1
+            continue
+        shutil.rmtree(dest, ignore_errors=True)  # partial output of a crashed run
+        ray.data.read_parquet(bdir, columns=["url", "html"]).map_batches(
+            apply_scraper_task,
+            fn_kwargs={"plan_json": plan_json},
+            batch_format="pyarrow",
+            batch_size=128,
+        ).write_parquet(dest)
+        with open(marker, "w") as f:
+            f.write("")
+        written += 1
+    return {"written": written, "skipped": skipped}
 
 
 def extract_all_query(sf_dir: str):

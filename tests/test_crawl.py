@@ -389,8 +389,11 @@ def test_crawl_order_dataset_write_parquet_roundtrip(crawl_run, tmp_path):
 
 
 def test_extract_all_dataset_twin_matches_contract_table(ray_session, tmp_path):
-    """Production-path twin: extract_all_dataset -> write_parquet
-    round-trips to exactly the driver-contract extract_all table."""
+    """Production-path twin: the resumable partitioned sink
+    round-trips to exactly the driver-contract extract_all table, and
+    a re-run skips every committed bucket (resume contract)."""
+    import os
+
     from mlscraper_ray.pipelines.crawl_pipeline import (
         extract_all_query,
         extract_all_to_parquet,
@@ -398,7 +401,20 @@ def test_extract_all_dataset_twin_matches_contract_table(ray_session, tmp_path):
 
     sf_dir = "/root/testdata/sf0.001"
     dest = str(tmp_path / "extracted")
-    extract_all_to_parquet(sf_dir, dest)
-    back = pq.read_table(dest).to_pandas().sort_values("url", ignore_index=True)
+    first = extract_all_to_parquet(sf_dir, dest)
+    assert first["written"] > 1 and first["skipped"] == 0
+    back = (
+        pq.read_table(dest, columns=["url", "value_json"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
     direct = extract_all_query(sf_dir).to_pandas()
     assert back[direct.columns.tolist()].equals(direct)
+    # resume: everything committed -> all skipped, nothing rewritten
+    again = extract_all_to_parquet(sf_dir, dest)
+    assert again == {"written": 0, "skipped": first["written"]}
+    # a bucket whose marker is missing (crashed mid-write) is redone
+    victim = sorted(p for p in os.listdir(dest))[0]
+    os.remove(os.path.join(dest, victim, "_SUCCESS"))
+    third = extract_all_to_parquet(sf_dir, dest)
+    assert third == {"written": 1, "skipped": first["written"] - 1}
