@@ -209,14 +209,14 @@ def minhash_candidate_pairs(
     bands=32,
     shingle_n=3,
     seed=42,
-    n_groups: int = 2048,
+    n_groups: int | None = None,
     max_bucket_docs: int = 1024,
 ) -> ray.data.Dataset:
     """Deduplicated LSH candidate pairs as a DATASET — nothing
     pair-sized ever lands on the driver.
 
-    Two shuffle rounds of SLIM rows, both with fixed Ray-visible group
-    cardinality (never a whole-corpus group):
+    Two shuffle rounds of SLIM rows, both with bounded Ray-visible
+    group cardinality (never a whole-corpus group):
 
     1. (band, bucket, grp, doc_id) rows grouped by the coarse
        ``grp = hash(band, bucket) % n_groups`` key computed in
@@ -228,7 +228,19 @@ def minhash_candidate_pairs(
        into one int64 key (doc_ids < 2^31), deduped with the
        coarse-bucket aggregate idiom — the same pattern as
        :func:`ngram_jaccard_pairs`, never a driver
-       ``drop_duplicates``."""
+       ``drop_duplicates``.
+
+    ``n_groups`` defaults ADAPTIVE: ceil(sig_rows / 200k) clamped to
+    [256, 65536], so each map_groups call gets enough rows to
+    amortize its fixed pandas overhead (measured: 2048 groups on a
+    512k-row sig table cost 3x more than 256, all in per-call fixed
+    cost) while no group exceeds ~200k slim rows regardless of corpus
+    size — the knob rises automatically with the data. Exactness
+    never depends on it: emission is keyed on the full (band, bucket)
+    inside each group."""
+    if n_groups is None:
+        sig_rows = ds_docs.count() * bands  # metadata count for pure reads
+        n_groups = min(65536, max(256, -(-sig_rows // 200_000)))
     sigs = ds_docs.map_batches(
         minhash_stage_task,
         fn_kwargs={
