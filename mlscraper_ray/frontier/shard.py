@@ -212,7 +212,10 @@ class FrontierShard:
         dealt: Counter = Counter()
         for h in hosts:
             if counts[h] > threshold:
-                part_ids.append(dealt[h] % n_parts)
+                # deal starts at the host's own bucket, not part 0:
+                # several hosts salted in one round would otherwise
+                # all drop their remainder rows on the low parts
+                part_ids.append((dealt[h] + host_bucket(h, self.cfg.n_buckets)) % n_parts)
                 dealt[h] += 1
             else:
                 part_ids.append(host_bucket(h, self.cfg.n_buckets) % n_parts)

@@ -310,9 +310,23 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 100_000) -> pa.Table:
+def minhash_dedup(
+    sf_dir: str,
+    threshold_pct: int = 70,
+    broadcast_limit: int = 100_000,
+    max_bucket_docs: int | None = 1024,
+) -> pa.Table:
     """Near-duplicate pairs on documents: MinHash-LSH candidates, then
     exact word-3-gram Jaccard verification.
+
+    EXACTNESS CAVEAT: ``max_bucket_docs`` (the degenerate-bucket
+    guard, see :func:`_emit_pairs_by_key`) collapses any (band,
+    bucket) held by more docs than the cap to linear representative
+    pairs — on a corpus with >cap IDENTICAL documents the output is
+    the connectivity-preserving star, not the quadratic clique the
+    exhaustive oracle emits. Pass ``max_bucket_docs=None`` to keep
+    the oracle equality unconditionally (and accept O(d^2) emission
+    on such corpora); the default leaves every normal corpus exact.
 
     Verification uses string-gram sets (no hash collisions) and integer
     floor percent, so the output equals the exhaustive similarity join
@@ -339,7 +353,7 @@ def minhash_dedup(sf_dir: str, threshold_pct: int = 70, broadcast_limit: int = 1
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     # slim (doc_a, doc_b) rows; materialized once so the path-choice
     # count and the verify pass don't re-run the LSH
-    candidates = minhash_candidate_pairs(docs).materialize()
+    candidates = minhash_candidate_pairs(docs, max_bucket_docs=max_bucket_docs).materialize()
     n_pairs = candidates.count()
     if n_pairs == 0:
         return _EMPTY_PAIRS

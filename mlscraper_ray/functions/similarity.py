@@ -62,7 +62,10 @@ def cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
         norms[norms == 0] = 1.0
         scores = (mat @ qv) / norms
         keep = min(k + 1, len(ids))
-        idx = np.argpartition(-scores, keep - 1)[:keep]
+        # deterministic boundary: exact score ties broken by vec_id,
+        # matching the oracle's ORDER BY (argpartition keeps an
+        # arbitrary tie subset)
+        idx = np.lexsort((ids, -scores))[:keep]
         return pa.table(
             {
                 "vec_id": pa.array(ids[idx], pa.int64()),
@@ -579,7 +582,12 @@ def ivf_trained_topk(
         kept_ids = ids[mask]
         dq = ((x[mask] - qv[None, :]) ** 2).sum(axis=1)
         keep = min(k + 1, len(kept_ids))
-        idx = np.argpartition(dq, keep - 1)[:keep]
+        # lexsort, not argpartition: integer distances tie readily
+        # (duplicate embeddings), and the partial top-k must break
+        # ties by vec_id exactly as the SQL oracle's ORDER BY does —
+        # an arbitrary tie subset here could drop the row the oracle
+        # keeps at the global k boundary
+        idx = np.lexsort((kept_ids, dq))[:keep]
         return pa.table(
             {
                 "vec_id": pa.array(kept_ids[idx], pa.int64()),

@@ -142,7 +142,27 @@ def extract_all_dataset(sf_dir: str):
     )
 
 
-def extract_all_to_parquet(sf_dir: str, out_dir: str) -> dict:
+def _pin_fsspec_http_stub() -> None:
+    """Make Ray Data's per-call ``fsspec.implementations.http`` probe
+    deterministic under CONCURRENT Dataset executions. Absent aiohttp
+    that module can never import; Python retries the failing import on
+    every path resolution, and with several threads resolving at once
+    the failure races and can surface as a bare ImportError where
+    Ray's guard catches only ModuleNotFoundError. Caching a minimal
+    stub once removes the repeated import entirely; local-filesystem
+    paths never reach the stubbed class."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+        mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+def extract_all_to_parquet(sf_dir: str, out_dir: str, window: int = 4) -> dict:
     """Streaming sink twin, RESUMABLE: output is partitioned by the
     corpus host-hash bucket — one directory per input shard, mirroring
     the read layout — and each bucket directory is committed by a
@@ -151,8 +171,14 @@ def extract_all_to_parquet(sf_dir: str, out_dir: str) -> dict:
     run re-invoked with the same ``out_dir`` skips finished buckets
     and rewrites only incomplete ones — never one giant file, never a
     restart from zero (the 100-TB resumable-output contract).
-    Returns ``{"written": n, "skipped": n}`` bucket counts."""
+
+    Unfinished buckets run as ``window`` CONCURRENT Dataset
+    executions (one thread each — Ray Data executions are independent
+    per Dataset), so the cluster is not left idle during each
+    bucket's straggler tail while keeping per-bucket resume
+    granularity. Returns ``{"written": n, "skipped": n}``."""
     import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
 
     import ray.data
 
@@ -161,13 +187,18 @@ def extract_all_to_parquet(sf_dir: str, out_dir: str) -> dict:
     sf = sf_of_dir(sf_dir)
     corpus_dir, spec = corpus_for_sf(sf)
     plan_json = json.dumps(learn_plan(corpus_dir, spec), sort_keys=True)
-    written = skipped = 0
+    todo, skipped = [], 0
     for bdir in sorted(_glob.glob(os.path.join(corpus_dir, "pages", "hb=*"))):
         dest = os.path.join(out_dir, os.path.basename(bdir))
-        marker = os.path.join(dest, "_SUCCESS")
-        if os.path.exists(marker):
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
             skipped += 1
-            continue
+        else:
+            todo.append((bdir, dest))
+
+    _pin_fsspec_http_stub()
+
+    def run_bucket(job: tuple[str, str]) -> None:
+        bdir, dest = job
         shutil.rmtree(dest, ignore_errors=True)  # partial output of a crashed run
         ray.data.read_parquet(bdir, columns=["url", "html"]).map_batches(
             apply_scraper_task,
@@ -175,10 +206,13 @@ def extract_all_to_parquet(sf_dir: str, out_dir: str) -> dict:
             batch_format="pyarrow",
             batch_size=128,
         ).write_parquet(dest)
-        with open(marker, "w") as f:
+        with open(os.path.join(dest, "_SUCCESS"), "w") as f:
             f.write("")
-        written += 1
-    return {"written": written, "skipped": skipped}
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, window)) as pool:
+            list(pool.map(run_bucket, todo))
+    return {"written": len(todo), "skipped": skipped}
 
 
 def extract_all_query(sf_dir: str):

@@ -42,8 +42,22 @@ def values_sql(rows: list[tuple], cols: list[str]) -> str:
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
 
 
-def _cached(corpus_dir: str, name: str, build) -> str:
-    path = os.path.join(corpus_dir, f"_oracle_{name}.sql")
+def _source_digest(*modules) -> str:
+    """Digest of the truth-producing code itself, so a bugfix in the
+    generator / oracle crawler invalidates cached oracle SQL."""
+    h = hashlib.md5()
+    for mod in modules:
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+def _cached(corpus_dir: str, name: str, key: str, build) -> str:
+    """Cache the rendered SQL keyed by (corpus_dir, name, key) where
+    ``key`` digests every input the truth depends on beyond the
+    corpus itself (crawl config, producer source code) — a stale file
+    from an older config or code version can never be served."""
+    path = os.path.join(corpus_dir, f"_oracle_{name}_{key}.sql")
     if os.path.exists(path):
         with open(path) as f:
             return f.read()
@@ -62,6 +76,7 @@ def extract_truth_sql(sf: float) -> str:
     entry markup, so the learned list scraper's value is ``[]`` — also
     a generator-level fact (the robots template has no elements)."""
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
 
     corpus_dir, spec = corpus_for_sf(sf)
 
@@ -72,7 +87,7 @@ def extract_truth_sql(sf: float) -> str:
         rows.sort()
         return values_sql(rows, ["url", "value_json"]) + ' ORDER BY "url"'
 
-    return _cached(corpus_dir, "extract", build)
+    return _cached(corpus_dir, "extract", _source_digest(corpusgen), build)
 
 
 def warc_truth_sql(sf: float) -> str:
@@ -80,6 +95,7 @@ def warc_truth_sql(sf: float) -> str:
     from the generator's page bytes — any corruption in the WARC
     write/read round-trip flips the hash."""
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
 
     corpus_dir, _ = corpus_for_sf(sf)
 
@@ -96,7 +112,7 @@ def warc_truth_sql(sf: float) -> str:
             values_sql(rows, ["url", "html_sha256", "html_bytes"]) + ' ORDER BY "url"'
         )
 
-    return _cached(corpus_dir, "warc", build)
+    return _cached(corpus_dir, "warc", _source_digest(corpusgen), build)
 
 
 def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
@@ -104,18 +120,23 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
     crawler run with the SAME config as the distributed
     ``crawl_order_query`` / ``crawl_order_recrawl_query`` (plan left
     empty — extraction doesn't influence crawl order)."""
-    from mlscraper_ray.frontier.oracle import oracle_crawl
+    import json as _json
+
+    from mlscraper_ray.frontier import oracle as oracle_mod
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, crawl_config_for
 
     corpus_dir, spec = corpus_for_sf(sf)
+    if recrawl:
+        cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=10)
+        cfg.recrawl_after_rounds = 3
+    else:
+        cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    key = hashlib.md5(
+        (_json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
+    ).hexdigest()[:10]
 
     def build() -> str:
-        if recrawl:
-            cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=10)
-            cfg.recrawl_after_rounds = 3
-        else:
-            cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
-        fetches, _, _, _ = oracle_crawl(corpus_dir, cfg)
+        fetches, _, _, _ = oracle_mod.oracle_crawl(corpus_dir, cfg)
         rows = [
             (rank, rnd, depth, host, url)
             for rank, (rnd, depth, host, url) in enumerate(fetches)
@@ -125,7 +146,7 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
             + ' ORDER BY "rank"'
         )
 
-    return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", build)
+    return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", key, build)
 
 
 def plan_truth_json(sf: float) -> str:
