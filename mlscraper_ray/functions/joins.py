@@ -254,3 +254,106 @@ FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 ORDER BY c_custkey
 """
+
+
+def asof_join_events(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Distributed AS-OF (temporal) join: each ``left_type`` event is
+    matched to the LATEST ``right_type`` event of the same user at or
+    before its timestamp (classic click->purchase attribution) —
+    the custom temporal operator Ray Data has no primitive for.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): both sides are co-partitioned by ``user_id`` hash
+    bucket — an as-of match never crosses users, so bucket-local joins
+    are complete. One shuffle of slim (event_id, user_id, ts) rows;
+    within each bucket the join is ONE vectorized
+    ``pandas.merge_asof`` keyed by user. Determinism on timestamp
+    ties: the right side is first deduped to one row per (user, ts)
+    keeping the max event_id, so Ray and SQL agree regardless of each
+    engine's internal tie order. Unmatched left events are dropped
+    (inner as-of).
+    """
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    type_set = pa.array([left_type, right_type])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["event_type"], value_set=type_set))
+        bucket = pc.cast(
+            pc.subtract(
+                t["user_id"],
+                pc.multiply(pc.divide(t["user_id"], pa.scalar(n_buckets, pa.int64())),
+                            pa.scalar(n_buckets, pa.int64())),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type][["event_id", "user_id", "ts"]]
+        right = g[g["event_type"] == right_type][["event_id", "user_id", "ts"]]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+                 "click_id": pd.Series(dtype="int64"), "gap_us": pd.Series(dtype="int64")}
+            )
+        right = (
+            right.sort_values(["user_id", "ts", "event_id"])
+            .drop_duplicates(["user_id", "ts"], keep="last")
+            .rename(columns={"event_id": "click_id", "ts": "c_ts"})
+            .sort_values("c_ts", kind="mergesort")
+        )
+        left = left.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="c_ts", by="user_id", direction="backward"
+        ).dropna(subset=["click_id"])
+        return pd.DataFrame(
+            {
+                "purchase_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "click_id": m["click_id"].astype("int64"),
+                "gap_us": m["ts"].astype("int64") - m["c_ts"].astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("purchase_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# DuckDB's native ASOF JOIN is the oracle; the right side gets the
+# same (user, ts) max-event_id dedup so timestamp-tie behavior is
+# engine-independent.
+ASOF_JOIN_EVENTS_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+c AS (
+    SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM c0
+    ) WHERE rn = 1
+)
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""

@@ -33,6 +33,7 @@ def _oracle_names():
         "event_value_percentiles",
         "order_lineitem_revenue",
         "customers_without_orders",
+        "events_asof_join",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
@@ -202,6 +203,24 @@ class TestNearDupCrafted:
         ).to_pandas()
         got = set(zip(pairs["doc_a"], pairs["doc_b"]))
         assert got == {(0, j) for j in range(1, n)}  # linear, rep-anchored
+
+    def test_minhash_candidates_invariant_to_group_count(self, ray_session, docs_dir):
+        """The coarse grp key only co-locates work; exactness is keyed
+        on the full (band, bucket) inside each group, so results must
+        be identical at any n_groups."""
+        import ray.data
+
+        from mlscraper_ray.functions.dedup import minhash_candidate_pairs
+
+        docs = ray.data.read_parquet(os.path.join(docs_dir, "documents.parquet"))
+        base = minhash_candidate_pairs(docs, n_groups=256).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True
+        )
+        for ng in (1, 64, 4096):
+            other = minhash_candidate_pairs(docs, n_groups=ng).to_pandas().sort_values(
+                ["doc_a", "doc_b"], ignore_index=True
+            )
+            assert other.equals(base), ng
 
     def test_minhash_composite_grouping_bounds_group_size(self):
         """The hash(band, bucket) % n_groups shuffle key keeps
@@ -470,3 +489,38 @@ def test_curate_nondefault_params_match_sql(ray_session):
     # threshold above the corpus maximum: both sides exactly empty
     c0 = compare(curate_corpus(d, 600, 30), curate_corpus_sql(600, 30), d)
     assert c0["hash_match"] and c0["rows_ray"] == 0, c0
+
+
+class TestAsofJoinCrafted:
+    def test_tie_and_unmatched_semantics(self, ray_session, tmp_path):
+        """Timestamp tie -> max click event_id wins (the documented
+        engine-independent rule); purchases before any click drop."""
+        import pandas as pd
+
+        from mlscraper_ray.functions.joins import asof_join_events
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:00:10",
+             "2024-01-01 00:00:10", "2024-01-01 00:00:05", "2024-01-01 00:00:01"]
+        ).as_unit("us")
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+                # user 7: click @:00, clicks 1 and 2 TIED at :10,
+                # purchase 3 also at :10 (exact match allowed);
+                # user 9: click @:01 precedes purchase @:05
+                "event_type": pa.array(
+                    ["click", "click", "click", "purchase", "purchase", "click"]
+                ),
+                "value": pa.array([0.0] * 6),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = asof_join_events(str(tmp_path)).to_pandas()
+        rows = {r.purchase_id: (r.click_id, r.gap_us) for r in out.itertuples()}
+        assert rows[3] == (2, 0)  # tie at :10 -> max event_id 2, exact match
+        assert rows[4] == (5, 4_000_000)  # user 9: click 4s earlier
+        assert set(rows) == {3, 4}
