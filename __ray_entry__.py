@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate": curate.curate_corpus,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
+        # batched serving shape: one broadcast query MATRIX, one
+        # matmul per batch for all queries
+        "ann_cosine_multi_topk": similarity.cosine_multi_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         # composed scale path: k-means-TRAINED IVF, the whole
         # train-then-search pipeline integer-exact and SQL-oracled
@@ -282,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,

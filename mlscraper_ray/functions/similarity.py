@@ -94,6 +94,80 @@ LIMIT {k}
 """
 
 
+def cosine_multi_topk(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
+    """BATCHED similarity search: top-k cosine neighbors for a whole
+    query MATRIX at once (query ids 0..n_queries-1), the realistic
+    serving shape — one broadcast of the (q x dim) matrix, one
+    streaming pass, ONE matmul per batch for all queries.
+
+    Per batch only (k+1) rows PER QUERY leave the task (partial
+    top-k). Selection and ordering use the ROUNDED fixed-point score
+    on both the Ray and SQL sides, so the compare has no
+    float-boundary sensitivity at all."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    qids = list(range(n_queries))
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = dset.to_table(columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(qids))
+    by_id = {v: np.asarray(e, dtype=np.float64) for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    qmat = np.stack([by_id[i] for i in qids])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    state_ref = ray.put((np.asarray(qids, dtype=np.int64), qmat))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qid_arr, qm = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        scores = np.round((unit @ qm.T) * 10000).astype(np.int64)  # (rows, q)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qid_arr):
+            col = scores[:, j]
+            keep = min(k + 1, len(ids))
+            idx = np.lexsort((ids, -col))[:keep]
+            out_q.append(np.full(keep, qid, dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "score_x10k": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != partials["query_id"]]
+    out = (
+        partials.sort_values(["query_id", "score_x10k", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cosine_multi_topk_sql(n_queries: int = 4, k: int = 5) -> str:
+    qids = ", ".join(str(i) for i in range(n_queries))
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id IN ({qids})
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) * 10000) AS BIGINT) AS score_x10k
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, score_x10k FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_x10k DESC, vec_id) <= {k}
+ORDER BY query_id, score_x10k DESC, vec_id
+"""
+
+
 def _md5_sample_ids(sf_dir: str, table: str, id_col: str, n_sample: int) -> list[int]:
     """Deterministic distributed sample of ``n_sample`` ids: the ids
     with the smallest md5(str(id)) digests. One slim-column pass with

@@ -49,6 +49,7 @@ def _oracle_names():
         "corpus_curate",
         "dedup_minhash",
         "ann_cosine_topk",
+        "ann_cosine_multi_topk",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
         "embed_kmeans_int",
