@@ -141,9 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percentiles": aggregates.event_value_percentiles,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
         "customers_without_orders": joins.customers_without_orders,
-        # custom temporal operator (no Ray Data primitive): as-of
-        # attribution join, user-hash co-partitioned
+        # custom temporal operators (no Ray Data primitive): as-of
+        # attribution join (user-hash co-partitioned) and interval
+        # range join (time-bucket partitioning + boundary replication)
         "events_asof_join": joins.asof_join_events,
+        "events_range_join": joins.range_join_events,
         # dedup (all four SQL-checked; minhash/simhash oracles are
         # exhaustive O(n^2) joins that verify LSH recall itself)
         "dedup_exact": dedup.exact_dedup,
@@ -265,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
+        "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),

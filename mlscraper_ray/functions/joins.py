@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -333,6 +334,140 @@ def asof_join_events(
         .sort_values("purchase_id", ignore_index=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def range_join_events(
+    sf_dir: str,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_us: int = 300_000_000,
+    bucket_us: int = 3_600_000_000,
+) -> pa.Table:
+    """Distributed RANGE (interval) join: for each ``left_type`` event,
+    the count and closest-gap of ``right_type`` events within
+    ±``window_us`` — across ALL users (global temporal correlation),
+    so user-hash co-partitioning can't help. The second custom
+    temporal operator Ray Data has no primitive for.
+
+    Partitioning assumption (documented): time is split into
+    ``bucket_us`` buckets; each RIGHT event lives in exactly its own
+    bucket (so per-bucket counts are disjoint and sum cleanly), while
+    each LEFT event is REPLICATED into every bucket its ±window
+    overlaps (≤2 buckets when window < bucket width) — the standard
+    interval-join bucketing + boundary-replication pattern. In-bucket
+    matching is vectorized numpy searchsorted (count = window bound
+    difference; closest gap = predecessor/successor probe, O(1) per
+    left row); per-left partials then combine with the coarse-bucket
+    aggregate (sum counts, min gap). Only matched left events are
+    returned (inner semantics — no nullable columns to hash)."""
+    import pyarrow.compute as pc
+
+    assert window_us <= bucket_us, "replication factor must stay <= 2"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        eid = batch["event_id"]
+        etype = batch["event_type"]
+        left_mask = pc.equal(etype, left_type)
+        right_mask = pc.equal(etype, right_type)
+        parts = []
+        rt_us = us.filter(right_mask)
+        rt_eid = eid.filter(right_mask)
+        parts.append(
+            pa.table(
+                {
+                    "tb": pc.divide(rt_us, pa.scalar(bucket_us, pa.int64())),
+                    "event_id": rt_eid,
+                    "ts_us": rt_us,
+                    "side": pa.array(["r"] * len(rt_eid), pa.string()),
+                }
+            )
+        )
+        lt_us = us.filter(left_mask)
+        lt_eid = eid.filter(left_mask)
+        lo_b = pc.divide(pc.subtract(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
+        hi_b = pc.divide(pc.add(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
+        for arr in ({"b": lo_b}, {"b": hi_b}):
+            parts.append(
+                pa.table(
+                    {
+                        "tb": arr["b"],
+                        "event_id": lt_eid,
+                        "ts_us": lt_us,
+                        "side": pa.array(["l"] * len(lt_eid), pa.string()),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return t
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a left row may appear twice in this bucket (lo_b == hi_b):
+        # dedup so it's matched once per bucket
+        left = g[g["side"] == "l"].drop_duplicates("event_id")
+        right = g[g["side"] == "r"]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"error_id": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"),
+                 "gap": pd.Series(dtype="int64")}
+            )
+        c = np.sort(right["ts_us"].to_numpy(dtype="int64"))
+        ts = left["ts_us"].to_numpy(dtype="int64")
+        lo = np.searchsorted(c, ts - window_us, side="left")
+        hi = np.searchsorted(c, ts + window_us, side="right")
+        n = hi - lo
+        j = np.searchsorted(c, ts)
+        big = np.int64(1 << 62)
+        pred = np.where(j > lo, np.abs(ts - c.take(np.clip(j - 1, 0, len(c) - 1))), big)
+        succ = np.where(j < hi, np.abs(c.take(np.clip(j, 0, len(c) - 1)) - ts), big)
+        gap = np.minimum(pred, succ)
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "error_id": left["event_id"].to_numpy(dtype="int64")[keep],
+                "n": n[keep],
+                "gap": gap[keep],
+            }
+        )
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(match_bucket, batch_format="pandas")
+    )
+    out = bucketed_aggregate(
+        partials, ["error_id"], {"n_near_clicks": ("n", "sum"), "min_abs_gap_us": ("gap", "min")}
+    ).to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "error_id": pa.array([], pa.int64()),
+                "n_near_clicks": pa.array([], pa.int64()),
+                "min_abs_gap_us": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("error_id", ignore_index=True)
+    out["n_near_clicks"] = out["n_near_clicks"].astype("int64")
+    out["min_abs_gap_us"] = out["min_abs_gap_us"].astype("int64")
+    return pa.Table.from_pandas(out[["error_id", "n_near_clicks", "min_abs_gap_us"]], preserve_index=False)
+
+
+RANGE_JOIN_EVENTS_SQL = """
+SELECT a.event_id AS error_id,
+       COUNT(*) AS n_near_clicks,
+       MIN(ABS(epoch_us(a.ts) - epoch_us(b.ts))) AS min_abs_gap_us
+FROM events a JOIN events b
+  ON b.ts BETWEEN a.ts - INTERVAL 300 SECOND AND a.ts + INTERVAL 300 SECOND
+WHERE a.event_type = 'error' AND b.event_type = 'click'
+GROUP BY a.event_id
+ORDER BY error_id
+"""
 
 
 # DuckDB's native ASOF JOIN is the oracle; the right side gets the

@@ -34,6 +34,7 @@ def _oracle_names():
         "order_lineitem_revenue",
         "customers_without_orders",
         "events_asof_join",
+        "events_range_join",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
@@ -525,3 +526,40 @@ class TestAsofJoinCrafted:
         assert rows[3] == (2, 0)  # tie at :10 -> max event_id 2, exact match
         assert rows[4] == (5, 4_000_000)  # user 9: click 4s earlier
         assert set(rows) == {3, 4}
+
+    def test_range_join_inclusive_boundaries_and_replication(self, ray_session, tmp_path):
+        """Clicks exactly AT the ±window boundary are included (SQL
+        BETWEEN semantics), and an error whose window spans a bucket
+        edge still finds clicks in BOTH buckets exactly once."""
+        import pandas as pd
+
+        from mlscraper_ray.functions.joins import range_join_events
+
+        base = pd.Timestamp("2024-01-01 01:00:00")
+        rows = [
+            # error 0 one second before an hour-bucket edge: its ±300s
+            # window spans two buckets
+            (0, base - pd.Timedelta(seconds=1), "error"),
+            (1, base - pd.Timedelta(seconds=301), "click"),  # gap exactly 300s: IN
+            (2, base + pd.Timedelta(seconds=299), "click"),  # gap exactly 300s: IN
+            (3, base - pd.Timedelta(seconds=302), "click"),  # gap 301s: OUT
+            (4, base + pd.Timedelta(seconds=300), "click"),  # gap 301s: OUT
+        ]
+        ts = pd.to_datetime([r[1] for r in rows]).as_unit("us")
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = range_join_events(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["error_id"] == 0
+        assert r["n_near_clicks"] == 2  # the two boundary-inclusive clicks
+        assert r["min_abs_gap_us"] == 300_000_000
