@@ -120,8 +120,6 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
     crawler run with the SAME config as the distributed
     ``crawl_order_query`` / ``crawl_order_recrawl_query`` (plan left
     empty — extraction doesn't influence crawl order)."""
-    import json as _json
-
     from mlscraper_ray.frontier import oracle as oracle_mod
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, crawl_config_for
 
@@ -132,7 +130,7 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
     else:
         cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
     key = hashlib.md5(
-        (_json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
+        (json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
     ).hexdigest()[:10]
 
     def build() -> str:
@@ -147,14 +145,3 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
         )
 
     return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", key, build)
-
-
-def plan_truth_json(sf: float) -> str:
-    """The expected learned plan for the synthetic corpus — the
-    deterministic artifact both learners must produce (pinned by
-    tests); exposed for ad-hoc checks, not as a SQL oracle (it would
-    be derived from the learner itself, not an independent source)."""
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, learn_plan
-
-    corpus_dir, spec = corpus_for_sf(sf)
-    return json.dumps(learn_plan(corpus_dir, spec), sort_keys=True)
