@@ -563,3 +563,62 @@ class TestAsofJoinCrafted:
         assert r["error_id"] == 0
         assert r["n_near_clicks"] == 2  # the two boundary-inclusive clicks
         assert r["min_abs_gap_us"] == 300_000_000
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_asof_and_range_join_match_bruteforce(self, ray_session, tmp_path_factory, seed):
+        """Randomized corpora vs in-test O(n^2) reference
+        implementations — pins both temporal joins beyond the fixed
+        testdata (ties, sparse users, empty windows)."""
+        import pandas as pd
+
+        from mlscraper_ray.functions.joins import asof_join_events, range_join_events
+
+        rng = np.random.RandomState(seed)
+        n = 300
+        base_us = 1_700_000_000_000_000
+        # coarse timestamps force plenty of exact ties
+        ts_us = base_us + rng.randint(0, 2_000, size=n) * 1_000_000
+        users = rng.randint(0, 6, size=n)
+        types = rng.choice(["purchase", "click", "error", "view"], size=n)
+        d = str(tmp_path_factory.mktemp(f"bf{seed}"))
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([0.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+
+        # brute-force as-of: latest click at/before each purchase per
+        # user; ts ties -> max click event_id
+        expected_asof = {}
+        for i in range(n):
+            if types[i] != "purchase":
+                continue
+            best = None
+            for j in range(n):
+                if types[j] == "click" and users[j] == users[i] and ts_us[j] <= ts_us[i]:
+                    if best is None or (ts_us[j], j) > (ts_us[best], best):
+                        best = j
+            if best is not None:
+                expected_asof[i] = (best, int(ts_us[i] - ts_us[best]))
+        out = asof_join_events(d).to_pandas()
+        got = {r.purchase_id: (r.click_id, r.gap_us) for r in out.itertuples()}
+        assert got == expected_asof
+
+        # brute-force range: clicks within ±300s of each error, any user
+        expected_range = {}
+        for i in range(n):
+            if types[i] != "error":
+                continue
+            gaps = [abs(int(ts_us[j]) - int(ts_us[i])) for j in range(n)
+                    if types[j] == "click" and abs(int(ts_us[j]) - int(ts_us[i])) <= 300_000_000]
+            if gaps:
+                expected_range[i] = (len(gaps), min(gaps))
+        out = range_join_events(d).to_pandas()
+        got = {r.error_id: (r.n_near_clicks, r.min_abs_gap_us) for r in out.itertuples()}
+        assert got == expected_range
