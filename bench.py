@@ -121,6 +121,8 @@ def run_bench() -> dict:
         "q1_pricing_summary",
         "order_lineitem_revenue",
         "revenue_by_nation",
+        "events_asof_join",
+        "events_range_join",
         "top_users_by_value",
         "event_value_percentiles",
         "dedup_exact",
@@ -131,6 +133,7 @@ def run_bench() -> dict:
         "doc_bpe_token_stats",
         "doc_quality",
         "ann_cosine_topk",
+        "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",
         "embed_neardup_pairs",
         "embed_kmeans",
