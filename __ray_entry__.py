@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite curation pipeline: lang filter -> quality gate ->
         # exact dedup -> deterministic sample, one streaming pass
         "corpus_curate": curate.curate_corpus,
+        # benchmark decontamination: broadcast held-out gram set, one
+        # streaming screen pass, no shuffle
+        "corpus_decontaminate": curate.decontaminate,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         # batched serving shape: one broadcast query MATRIX, one
@@ -287,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
+        "corpus_decontaminate": _decontaminate_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
@@ -362,6 +366,12 @@ def _curate_sql() -> str:
     from mlscraper_ray.functions.curate import CURATE_CORPUS_SQL
 
     return CURATE_CORPUS_SQL
+
+
+def _decontaminate_sql() -> str:
+    from mlscraper_ray.functions.curate import DECONTAMINATE_SQL
+
+    return DECONTAMINATE_SQL
 
 
 def dedup_exact_sql() -> str:

@@ -143,3 +143,81 @@ ORDER BY doc_id
 
 # default-parameter constant kept for import compatibility
 CURATE_CORPUS_SQL = curate_corpus_sql()
+
+
+def decontaminate(sf_dir: str, holdout_mod: int = 97, n: int = 3) -> pa.Table:
+    """Benchmark DECONTAMINATION: drop every training document that
+    shares ANY word n-gram with the held-out set — the standard
+    test-set-leakage guard a training-data pipeline runs before
+    tokenization. The held-out set here is the deterministic slice
+    ``doc_id % holdout_mod == 0`` (a stand-in for an external
+    benchmark table; the operator shape is identical).
+
+    Scale shape: held-out grams are collected ONCE (benchmark sets
+    are small by definition — this is the legitimately-broadcast
+    side), ``ray.put`` once, and every training document is screened
+    inside ``map_batches`` — one streaming pass over the corpus, no
+    shuffle anywhere, text never leaves its task. Returns the
+    surviving (doc_id, n_grams) manifest."""
+    from mlscraper_ray.functions.dedup import word_gram_set
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def holdout_grams(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % holdout_mod == 0:
+                grams.update(word_gram_set(text, n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    ho = set(
+        ds.map_batches(holdout_grams, batch_format="pyarrow").to_pandas()["gram"]
+    )
+    ho_ref = ray.put(ho)
+
+    def screen(batch: pa.Table) -> pa.Table:
+        probes = ray.get(ho_ref)
+        ids, counts = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % holdout_mod == 0:
+                continue  # held-out docs are not training rows
+            gset = word_gram_set(text, n)
+            if gset & probes:
+                continue  # contaminated: shares an n-gram with holdout
+            ids.append(doc_id)
+            counts.append(len(gset))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_grams": pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(screen, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DECONTAMINATE_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+holdout AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+    SELECT DISTINCT g.doc_id FROM grams g JOIN holdout h USING (gram)
+    WHERE g.doc_id % 97 != 0
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 97 != 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY d.doc_id
+"""

@@ -48,6 +48,7 @@ def _oracle_names():
         "doc_sample_10pct",
         "doc_fingerprints",
         "corpus_curate",
+        "corpus_decontaminate",
         "dedup_minhash",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
