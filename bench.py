@@ -129,6 +129,7 @@ def run_bench() -> dict:
         "dedup_minhash",
         "dedup_ngram_jaccard",
         "corpus_curate",
+        "corpus_decontaminate",
         "source_token_totals",
         "doc_bpe_token_stats",
         "doc_quality",
