@@ -30,6 +30,12 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # pc.round is half-to-even while DuckDB ROUND is half-away-from-zero;
+    # they differ only when x*100 lands EXACTLY on .5 as a double, which
+    # cent-exact inputs cannot produce (x.xx5 is not cent-exact) — both
+    # engines round the same double product, so the rule never fires on a
+    # boundary. similarity._quantize, whose inputs are arbitrary floats,
+    # uses the explicit floor(x*S + 0.5) rule instead.
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
