@@ -695,17 +695,42 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3, n_coa
                         out_d.append(dist)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
 
-    res = (
+    def pack(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(batch["doc_a"], pa.scalar(1 << 31, pa.int64())),
+            batch["doc_b"],
+        )
+        return pa.table({"pair_key": key, "hamming": pc.cast(batch["hamming"], pa.int64())})
+
+    # cross-band duplicate pairs removed DISTRIBUTED (packed int64 pair
+    # key through the coarse-bucket aggregate — the minhash pattern),
+    # never a driver drop_duplicates; hamming is identical across a
+    # pair's bands, so min() just picks the value
+    deduped = bucketed_aggregate(
         ds_docs.map_batches(sig, batch_format="pyarrow")
         .groupby("grp")
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .map_batches(pack, batch_format="pyarrow"),
+        ["pair_key"],
+        {"hamming": ("hamming", "min")},
     )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        keys = batch["pair_key"]
+        return pa.table(
+            {
+                "doc_a": pc.cast(pc.divide(keys, pa.scalar(1 << 31, pa.int64())), pa.int64()),
+                "doc_b": pc.cast(pc.bit_wise_and(keys, pa.scalar((1 << 31) - 1, pa.int64())), pa.int64()),
+                "hamming": pc.cast(batch["hamming"], pa.int64()),
+            }
+        )
+
+    res = deduped.map_batches(unpack, batch_format="pyarrow").to_pandas()
     if len(res) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
         )
-    res = res.drop_duplicates().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    res = res.sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
