@@ -348,7 +348,10 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int 
         return pa.table(
             {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "score_x10k": pa.array([], pa.int64())}
         )
-    res = res.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"], ignore_index=True)
+    # pairs are unique by construction — each vector lives in exactly
+    # ONE LSH bucket (single signature, unlike banded minhash/simhash),
+    # so no cross-group duplicate can exist and no dedup is needed
+    res = res.sort_values(["vec_a", "vec_b"], ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
