@@ -155,6 +155,28 @@ class MinHashStage:
         )
 
 
+# Packed pair key: doc_a * 2^31 + doc_b in ONE int64, so pair dedup
+# is a scalar coarse-bucket aggregate. ASSUMES doc_id < 2^31 — widen
+# the shift (and every comment pointing here) before feeding 64-bit
+# doc ids. Shared by the minhash, simhash and ngram pair pipelines.
+_PAIR_BASE = 1 << 31
+
+
+def _pack_pairs_pd(doc_a: pd.Series, doc_b: pd.Series) -> pd.Series:
+    return doc_a.astype("int64") * _PAIR_BASE + doc_b.astype("int64")
+
+
+def _pack_pairs_arrow(doc_a, doc_b):
+    return pc.add(pc.multiply(doc_a, pa.scalar(_PAIR_BASE, pa.int64())), doc_b)
+
+
+def _unpack_pairs_arrow(keys) -> tuple:
+    return (
+        pc.cast(pc.divide(keys, pa.scalar(_PAIR_BASE, pa.int64())), pa.int64()),
+        pc.cast(pc.bit_wise_and(keys, pa.scalar(_PAIR_BASE - 1, pa.int64())), pa.int64()),
+    )
+
+
 # worker-process-global stage cache: stateless tasks skip actor-pool
 # startup on short jobs while still amortizing the permutation setup
 _MINHASH_CACHE: dict = {}
@@ -255,20 +277,15 @@ def minhash_candidate_pairs(
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         p = _emit_pairs_by_key(g, ["band", "bucket"], max_group_docs=max_bucket_docs)
-        p["pair_key"] = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
+        p["pair_key"] = _pack_pairs_pd(p["doc_a"], p["doc_b"])
         return p[["pair_key"]]
 
     pair_keys = sigs.groupby("grp").map_groups(emit, batch_format="pandas")
     deduped = bucketed_aggregate(pair_keys, ["pair_key"], {"n_bands": ("pair_key", "count")})
 
     def unpack(batch: pa.Table) -> pa.Table:
-        keys = batch["pair_key"]
-        return pa.table(
-            {
-                "doc_a": pc.cast(pc.divide(keys, pa.scalar(1 << 31, pa.int64())), pa.int64()),
-                "doc_b": pc.cast(pc.bit_wise_and(keys, pa.scalar((1 << 31) - 1, pa.int64())), pa.int64()),
-            }
-        )
+        doc_a, doc_b = _unpack_pairs_arrow(batch["pair_key"])
+        return pa.table({"doc_a": doc_a, "doc_b": doc_b})
 
     return deduped.map_batches(unpack, batch_format="pyarrow")
 
@@ -549,11 +566,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
         # ~10^6 distinct 2-col groups); the coarse-bucket + in-group
         # pandas pattern keeps the shuffle key tiny and the combine
         # vectorized.
-        key = p["doc_a"].astype("int64") * (1 << 31) + p["doc_b"].astype("int64")
+        key = _pack_pairs_pd(p["doc_a"], p["doc_b"])
         part = key.value_counts().rename_axis("pair_key").reset_index(name="inter")
         nmap = dict(zip(g["doc_id"], g["n_grams"]))  # per-bucket, worker-local
-        part["na"] = (part["pair_key"] // (1 << 31)).map(nmap).astype("int64")
-        part["nb"] = (part["pair_key"] % (1 << 31)).map(nmap).astype("int64")
+        part["na"] = (part["pair_key"] // _PAIR_BASE).map(nmap).astype("int64")
+        part["nb"] = (part["pair_key"] % _PAIR_BASE).map(nmap).astype("int64")
         part["pair_bucket"] = (part["pair_key"] % 241).astype("int32")
         return part
 
@@ -564,8 +581,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
         union = s["na"] + s["nb"] - s["inter"]
         s["jaccard_pct"] = (100 * s["inter"]) // union
         s = s[s["jaccard_pct"] >= threshold_pct]
-        s["doc_a"] = (s["pair_key"] // (1 << 31)).astype("int64")
-        s["doc_b"] = (s["pair_key"] % (1 << 31)).astype("int64")
+        s["doc_a"] = (s["pair_key"] // _PAIR_BASE).astype("int64")
+        s["doc_b"] = (s["pair_key"] % _PAIR_BASE).astype("int64")
         return s[["doc_a", "doc_b", "jaccard_pct"]]
 
     out = (
@@ -696,10 +713,7 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3, n_coa
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
 
     def pack(batch: pa.Table) -> pa.Table:
-        key = pc.add(
-            pc.multiply(batch["doc_a"], pa.scalar(1 << 31, pa.int64())),
-            batch["doc_b"],
-        )
+        key = _pack_pairs_arrow(batch["doc_a"], batch["doc_b"])
         return pa.table({"pair_key": key, "hamming": pc.cast(batch["hamming"], pa.int64())})
 
     # cross-band duplicate pairs removed DISTRIBUTED (packed int64 pair
@@ -716,13 +730,9 @@ def simhash_neardup_pairs(ds_docs: ray.data.Dataset, max_hamming: int = 3, n_coa
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
-        keys = batch["pair_key"]
+        doc_a, doc_b = _unpack_pairs_arrow(batch["pair_key"])
         return pa.table(
-            {
-                "doc_a": pc.cast(pc.divide(keys, pa.scalar(1 << 31, pa.int64())), pa.int64()),
-                "doc_b": pc.cast(pc.bit_wise_and(keys, pa.scalar((1 << 31) - 1, pa.int64())), pa.int64()),
-                "hamming": pc.cast(batch["hamming"], pa.int64()),
-            }
+            {"doc_a": doc_a, "doc_b": doc_b, "hamming": pc.cast(batch["hamming"], pa.int64())}
         )
 
     res = deduped.map_batches(unpack, batch_format="pyarrow").to_pandas()

@@ -353,7 +353,9 @@ def range_join_events(
     ``bucket_us`` buckets; each RIGHT event lives in exactly its own
     bucket (so per-bucket counts are disjoint and sum cleanly), while
     each LEFT event is REPLICATED into every bucket its ±window
-    overlaps (≤2 buckets when window < bucket width) — the standard
+    overlaps — for window <= bucket width that span is at most 3
+    consecutive buckets (window-start, home, window-end; the
+    in-bucket dedup collapses coincident copies) — the standard
     interval-join bucketing + boundary-replication pattern. In-bucket
     matching is vectorized numpy searchsorted (count = window bound
     difference; closest gap = predecessor/successor probe, O(1) per
@@ -362,7 +364,7 @@ def range_join_events(
     returned (inner semantics — no nullable columns to hash)."""
     import pyarrow.compute as pc
 
-    assert window_us <= bucket_us, "replication factor must stay <= 2"
+    assert window_us <= bucket_us, "window span must fit 3 consecutive buckets"
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "event_type"],
@@ -390,12 +392,16 @@ def range_join_events(
         lt_us = us.filter(left_mask)
         lt_eid = eid.filter(left_mask)
         lo_b = pc.divide(pc.subtract(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
+        home_b = pc.divide(lt_us, pa.scalar(bucket_us, pa.int64()))
         hi_b = pc.divide(pc.add(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
-        for arr in ({"b": lo_b}, {"b": hi_b}):
+        # replicate into EVERY bucket of the span: for window <= bucket
+        # the span is {lo, home, hi} (home is the middle bucket when the
+        # window straddles two edges — lo/hi alone would skip it)
+        for b in (lo_b, home_b, hi_b):
             parts.append(
                 pa.table(
                     {
-                        "tb": arr["b"],
+                        "tb": b,
                         "event_id": lt_eid,
                         "ts_us": lt_us,
                         "side": pa.array(["l"] * len(lt_eid), pa.string()),

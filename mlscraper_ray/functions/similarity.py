@@ -101,9 +101,12 @@ def cosine_multi_topk(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
     streaming pass, ONE matmul per batch for all queries.
 
     Per batch only (k+1) rows PER QUERY leave the task (partial
-    top-k). Selection and ordering use the ROUNDED fixed-point score
-    on both the Ray and SQL sides, so the compare has no
-    float-boundary sensitivity at all."""
+    top-k). Selection and ordering use the fixed-point score computed
+    with the EXPLICIT floor(x*10000 + 0.5) rule on both the Ray and
+    SQL sides (np.round's half-to-even differs from DuckDB ROUND's
+    half-away exactly on representable .5 products — the hazard
+    :func:`_quantize` documents), so the compare is rule-identical
+    end to end."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
@@ -120,7 +123,7 @@ def cosine_multi_topk(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         unit = mat / norms[:, None]
-        scores = np.round((unit @ qm.T) * 10000).astype(np.int64)  # (rows, q)
+        scores = np.floor((unit @ qm.T) * 10000 + 0.5).astype(np.int64)  # (rows, q)
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qid_arr):
             col = scores[:, j]
@@ -158,7 +161,7 @@ WITH q AS (
 ),
 scored AS (
     SELECT q.query_id, e.vec_id,
-           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) * 10000) AS BIGINT) AS score_x10k
+           CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) * 10000 + 0.5) AS BIGINT) AS score_x10k
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id != q.query_id
 )

@@ -623,3 +623,37 @@ class TestAsofJoinCrafted:
         out = range_join_events(d).to_pandas()
         got = {r.error_id: (r.n_near_clicks, r.min_abs_gap_us) for r in out.itertuples()}
         assert got == expected_range
+
+    def test_range_join_window_spanning_three_buckets(self, ray_session, tmp_path):
+        """A window wider than half a bucket straddles two bucket
+        edges: the match in the MIDDLE (home) bucket must be found —
+        replicating only the window-start/end buckets would skip it."""
+        import pandas as pd
+
+        from mlscraper_ray.functions.joins import range_join_events
+
+        epoch = pd.Timestamp("1970-01-01")
+        rows = [
+            (0, epoch + pd.Timedelta(seconds=5400), "error"),   # home bucket 1
+            (1, epoch + pd.Timedelta(seconds=5401), "click"),   # bucket 1 (middle)
+            (2, epoch + pd.Timedelta(seconds=2000), "click"),   # bucket 0, gap 3400s -> out
+        ]
+        ts = pd.to_datetime([r[1] for r in rows]).as_unit("us")
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        # window 3000s of a 3600s bucket: error 0's window spans
+        # buckets 0, 1 and 2
+        out = range_join_events(str(tmp_path), window_us=3_000_000_000).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["error_id"] == 0
+        assert out.iloc[0]["n_near_clicks"] == 1
+        assert out.iloc[0]["min_abs_gap_us"] == 1_000_000
