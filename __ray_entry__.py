@@ -351,8 +351,15 @@ def _truth_oracle_entries() -> dict[str, str]:
     for name, build in builders.items():
         try:
             out[name] = build()
-        except Exception:
-            pass
+        except Exception as exc:  # degrade LOUDLY, not silently
+            import warnings
+
+            warnings.warn(
+                f"truth-oracle builder for {name!r} failed ({exc!r}); "
+                "this pipeline degrades to the rows-only check",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return out
 
 

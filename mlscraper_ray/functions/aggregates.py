@@ -124,14 +124,14 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             {"custkey": g["custkey"], "revenue_cents": g["revenue_cents_sum"], "n_orders": g["custkey_count"]}
         )
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        order_partial, batch_format="pyarrow"
-    )
+    orders_read = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_orders = orders_read.count()  # parquet metadata, no read
+    orders = orders_read.map_batches(order_partial, batch_format="pyarrow")
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         lambda t: pa.table({"custkey": t["c_custkey"], "nationkey": t["c_nationkey"]}),
         batch_format="pyarrow",
     )
-    joined = cogroup_join(orders, customer, "custkey")
+    joined = cogroup_join(orders, customer, "custkey", approx_rows=n_orders)
 
     def nation_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("nationkey").aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])

@@ -156,17 +156,38 @@ class MinHashStage:
 
 
 # Packed pair key: doc_a * 2^31 + doc_b in ONE int64, so pair dedup
-# is a scalar coarse-bucket aggregate. ASSUMES doc_id < 2^31 — widen
-# the shift (and every comment pointing here) before feeding 64-bit
-# doc ids. Shared by the minhash, simhash and ngram pair pipelines.
+# is a scalar coarse-bucket aggregate. ASSUMES 0 <= doc_id < 2^31 —
+# the pack helpers ASSERT it per batch (cheap vectorized max/min), so
+# a 64-bit doc id fails LOUD instead of silently corrupting pair keys.
+# Widen the shift before feeding larger ids. Shared by the minhash,
+# simhash and ngram pair pipelines.
 _PAIR_BASE = 1 << 31
 
 
+def _check_pair_ids(lo, hi) -> None:
+    if lo is not None and (lo < 0 or hi >= _PAIR_BASE):
+        raise ValueError(
+            f"doc_id out of packable range [0, 2^31): min={lo}, max={hi}; "
+            "widen _PAIR_BASE (functions/dedup.py) for 64-bit doc ids"
+        )
+
+
 def _pack_pairs_pd(doc_a: pd.Series, doc_b: pd.Series) -> pd.Series:
-    return doc_a.astype("int64") * _PAIR_BASE + doc_b.astype("int64")
+    a = doc_a.astype("int64")
+    b = doc_b.astype("int64")
+    if len(a):
+        _check_pair_ids(min(a.min(), b.min()), max(a.max(), b.max()))
+    return a * _PAIR_BASE + b
 
 
 def _pack_pairs_arrow(doc_a, doc_b):
+    mm_a = pc.min_max(doc_a)
+    mm_b = pc.min_max(doc_b)
+    if mm_a["min"].is_valid:
+        _check_pair_ids(
+            min(mm_a["min"].as_py(), mm_b["min"].as_py()),
+            max(mm_a["max"].as_py(), mm_b["max"].as_py()),
+        )
     return pc.add(pc.multiply(doc_a, pa.scalar(_PAIR_BASE, pa.int64())), doc_b)
 
 
@@ -405,10 +426,16 @@ def minhash_dedup(
         def a_as_key(batch: pa.Table) -> pa.Table:
             return pa.table({"doc_id": batch["doc_a"], "doc_b": batch["doc_b"]})
 
+        n_docs = docs.count()  # parquet metadata, no read
         texts_a = docs.map_batches(
             lambda t: pa.table({"doc_id": t["doc_id"], "text_a": t["text"]}), batch_format="pyarrow"
         )
-        j1 = cogroup_join(cand_ds.map_batches(a_as_key, batch_format="pyarrow"), texts_a, "doc_id")
+        j1 = cogroup_join(
+            cand_ds.map_batches(a_as_key, batch_format="pyarrow"),
+            texts_a,
+            "doc_id",
+            approx_rows=n_docs + n_pairs,
+        )
 
         def b_as_key(batch: pa.Table) -> pa.Table:
             # doc_b came through the first join's null-padded union as
@@ -425,7 +452,12 @@ def minhash_dedup(
         texts_b = docs.map_batches(
             lambda t: pa.table({"doc_id": t["doc_id"], "text_b": t["text"]}), batch_format="pyarrow"
         )
-        j2 = cogroup_join(j1.map_batches(b_as_key, batch_format="pyarrow"), texts_b, "doc_id")
+        j2 = cogroup_join(
+            j1.map_batches(b_as_key, batch_format="pyarrow"),
+            texts_b,
+            "doc_id",
+            approx_rows=n_docs + n_pairs,
+        )
 
         def verify_joined(batch: pa.Table) -> pa.Table:
             out_a, out_b, out_j = [], [], []

@@ -9,9 +9,9 @@ Two shapes, matching the scale playbook:
   datasets on aligned schemas, hash-partition by key via
   ``groupby(key)`` and join inside ``map_groups``. One shuffle total
   (the union shuffles once on the key), no driver materialization.
-  Skew note: a hot key lands in one group; callers joining skewed keys
-  should pre-salt (append ``key_salt = hash(row) % k`` to BOTH sides'
-  keys for the hot keys, replicating the small side's hot rows k ways).
+  Skew: pass ``salt_hot_keys=True`` — hot keys are detected by a slim
+  pre-aggregate, hot left rows salted across ``n_salt`` sub-partitions
+  and hot right rows replicated once per salt (inner/left joins).
 """
 from __future__ import annotations
 
@@ -52,34 +52,147 @@ def bucket_of(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     return pa.array([zlib.crc32(str(v).encode()) % n_buckets for v in vals], pa.int64())
 
 
+def adaptive_n_buckets(
+    approx_rows: int | None,
+    rows_per_bucket: int = 100_000,
+    lo: int = 64,
+    hi: int = 65536,
+) -> int:
+    """Partition-count default derived from an (approximate) row count
+    — the adaptive-group idiom from dedup.py (minhash n_groups): each
+    bucket holds ~``rows_per_bucket`` rows REGARDLESS of data size, so
+    per-group work stays bounded as the corpus grows (a fixed 64 makes
+    group size O(rows/64) — the scale wall the r2/r3 verdicts flagged
+    for bands), clamped below so small inputs don't pay per-group
+    fixed pandas overhead and above so Ray-visible group cardinality
+    stays bounded. ``None`` (no cheap count available) falls back to
+    ``lo``."""
+    if approx_rows is None:
+        return lo
+    return min(hi, max(lo, -(-approx_rows // rows_per_bucket)))
+
+
 def cogroup_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     key: str,
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    approx_rows: int | None = None,
+    salt_hot_keys: bool = False,
+    hot_key_threshold: int = 100_000,
+    n_salt: int = 16,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two Datasets on ``key`` (non-key column
     sets must be disjoint): tag sides, union on aligned schemas, hash
     into ``n_buckets`` fixed partitions, pandas-merge inside each
     bucket. One shuffle; per-bucket work is one vectorized merge (never
-    one Python call per key, which melts at 10^5+ keys)."""
+    one Python call per key, which melts at 10^5+ keys).
+
+    ``n_buckets=None`` derives the partition count from
+    ``approx_rows`` via :func:`adaptive_n_buckets` — pass the cheap
+    parquet-METADATA row count of the larger side (callers in this
+    repo all do); output is invariant to the bucket count.
+
+    ``salt_hot_keys=True`` handles key skew INSIDE the operator
+    (inner/left only — replicating the right side breaks right/outer
+    semantics): a slim partial-count pre-pass over the left side's key
+    column finds keys holding more than ``hot_key_threshold`` rows
+    (the hot set collected to the driver is tiny BY DEFINITION:
+    at most total_rows / threshold keys); hot LEFT rows are salted
+    round-robin across ``n_salt`` sub-partitions and hot RIGHT rows
+    replicated once per salt, so a key holding half the corpus spreads
+    over ``n_salt`` buckets instead of melting one group. The merge
+    key becomes (key, salt); every left row still meets every matching
+    right row exactly once, so output is identical to the unsalted
+    path (regression-tested with a 50%-hot-key corpus). Note the
+    pre-pass re-executes the left pipeline once — materialize ``left``
+    first if it is expensive to recompute."""
     l_cols = [c for c in left.schema().names if c != key]
     r_cols = [c for c in right.schema().names if c != key]
     overlap = set(l_cols) & set(r_cols)
     assert not overlap, f"non-key column overlap: {overlap}"
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(approx_rows)
+
+    hot_ref = None
+    if salt_hot_keys:
+        assert how in ("inner", "left"), "salting replicates the right side: inner/left joins only"
+        from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+        def kcount(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            g = batch.group_by(key).aggregate([(key, "count")])
+            return pa.table({key: g[key], "cnt": pc.cast(g[f"{key}_count"], pa.int64())})
+
+        counts = left.select_columns([key]).map_batches(kcount, batch_format="pyarrow")
+        hot_pdf = (
+            bucketed_aggregate(counts, [key], {"cnt": ("cnt", "sum")})
+            # filter BEFORE the driver pull: only over-threshold keys
+            # (a bounded set) ever leave the cluster
+            .map_batches(lambda df: df[df["cnt"] > hot_key_threshold], batch_format="pandas")
+            .to_pandas()
+        )
+        hot_keys = sorted(hot_pdf[key].tolist()) if len(hot_pdf) else []
+        hot_ref = ray.put(hot_keys)
 
     def tag(side: str, other_cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             batch = batch.append_column("__side", pa.array([side] * batch.num_rows))
-            batch = batch.append_column("__bucket", bucket_of(batch[key], n_buckets))
+            if salt_hot_keys:
+                hot = ray.get(hot_ref)
+                n = batch.num_rows
+                if hot:
+                    mask = pc.is_in(
+                        batch[key], value_set=pa.array(hot, batch.column(key).type)
+                    ).to_numpy(zero_copy_only=False)
+                else:
+                    mask = np.zeros(n, dtype=bool)
+                if side == "l":
+                    salt = np.where(mask, np.arange(n, dtype=np.int64) % n_salt, 0)
+                    batch = batch.append_column("__salt", pa.array(salt, pa.int64()))
+                else:
+                    base = batch.append_column(
+                        "__salt", pa.array(np.zeros(n, dtype=np.int64), pa.int64())
+                    )
+                    if mask.any():
+                        # hot right rows exist once per salt (salt 0 is
+                        # already in `base`)
+                        hot_rows = batch.filter(pa.array(mask))
+                        reps = [base]
+                        for s in range(1, n_salt):
+                            reps.append(
+                                hot_rows.append_column(
+                                    "__salt",
+                                    pa.array(
+                                        np.full(hot_rows.num_rows, s, dtype=np.int64), pa.int64()
+                                    ),
+                                )
+                            )
+                        batch = pa.concat_tables(reps)
+                    else:
+                        batch = base
+                kb = bucket_of(batch[key], n_buckets)
+                salt_np = batch["__salt"].to_numpy(zero_copy_only=False)
+                bucket = (
+                    kb.to_numpy(zero_copy_only=False) * n_salt + salt_np
+                ) % n_buckets
+                batch = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
+            else:
+                batch = batch.append_column(
+                    "__salt", pa.array(np.zeros(batch.num_rows, dtype=np.int64), pa.int64())
+                )
+                batch = batch.append_column("__bucket", bucket_of(batch[key], n_buckets))
             for c in other_cols:
                 batch = batch.append_column(c, pa.nulls(batch.num_rows))
             return batch
 
         return fn
 
-    all_cols = [key, "__side", "__bucket"] + l_cols + r_cols
+    all_cols = [key, "__side", "__salt", "__bucket"] + l_cols + r_cols
     lt = left.map_batches(tag("l", r_cols), batch_format="pyarrow").select_columns(all_cols)
     rt = right.map_batches(tag("r", l_cols), batch_format="pyarrow").select_columns(all_cols)
     unioned = lt.union(rt)
@@ -97,10 +210,14 @@ def cogroup_join(
         if pa.types.is_integer(field.type)
     }
 
+    merge_keys = [key, "__salt"] if salt_hot_keys else [key]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][[key] + l_cols]
-        rg = g[g["__side"] == "r"][[key] + r_cols]
-        out = lg.merge(rg, on=key, how=how)
+        lg = g[g["__side"] == "l"][merge_keys + l_cols]
+        rg = g[g["__side"] == "r"][merge_keys + r_cols]
+        out = lg.merge(rg, on=merge_keys, how=how)
+        if "__salt" in out.columns:
+            out = out.drop(columns=["__salt"])
         for col in out.columns:
             if col in int_cols:
                 out[col] = out[col].astype("Int64")
@@ -114,9 +231,11 @@ def order_lineitem_revenue(sf_dir: str) -> pa.Table:
     extended-price revenue (cents) per order priority."""
     import pyarrow.compute as pc
 
-    lineitem = ray.data.read_parquet(
+    li_read = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_extendedprice"]
-    ).map_batches(
+    )
+    n_li = li_read.count()  # parquet metadata, no read
+    lineitem = li_read.map_batches(
         lambda t: pa.table(
             {
                 "o_orderkey": t["l_orderkey"],
@@ -128,7 +247,7 @@ def order_lineitem_revenue(sf_dir: str) -> pa.Table:
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = cogroup_join(lineitem, orders, "o_orderkey")
+    joined = cogroup_join(lineitem, orders, "o_orderkey", approx_rows=n_li)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("o_orderpriority").aggregate(
@@ -224,7 +343,7 @@ def customers_without_orders(sf_dir: str, broadcast_limit: int = 5_000_000) -> p
             ),
             batch_format="pyarrow",
         )
-        joined = cogroup_join(left, right, "key", how="left")
+        joined = cogroup_join(left, right, "key", how="left", approx_rows=n_orders)
 
         def keep_anti(df: pd.DataFrame) -> pd.DataFrame:
             keep = df[df["__has_order"].isna()]
@@ -261,7 +380,7 @@ def asof_join_events(
     sf_dir: str,
     left_type: str = "purchase",
     right_type: str = "click",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> pa.Table:
     """Distributed AS-OF (temporal) join: each ``left_type`` event is
     matched to the LATEST ``right_type`` event of the same user at or
@@ -278,6 +397,13 @@ def asof_join_events(
     keeping the max event_id, so Ray and SQL agree regardless of each
     engine's internal tie order. Unmatched left events are dropped
     (inner as-of).
+
+    ``n_buckets=None`` derives the bucket count from the events
+    table's parquet-metadata row count (:func:`adaptive_n_buckets`).
+    Timestamps are cast to int64 MICROSECONDS at the Arrow layer
+    (explicit unit — the pandas datetime64 conversion unit depends on
+    the pyarrow/Ray pin), and the user bucket uses numpy FLOOR mod so
+    negative user ids still land in [0, n_buckets).
     """
     import pyarrow.compute as pc
 
@@ -285,44 +411,48 @@ def asof_join_events(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(ds.count())  # metadata count for pure reads
     type_set = pa.array([left_type, right_type])
 
     def slim(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_in(batch["event_type"], value_set=type_set))
-        bucket = pc.cast(
-            pc.subtract(
-                t["user_id"],
-                pc.multiply(pc.divide(t["user_id"], pa.scalar(n_buckets, pa.int64())),
-                            pa.scalar(n_buckets, pa.int64())),
-            ),
-            pa.int32(),
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                # explicit int64 us — all downstream arithmetic on ints
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "bucket": pa.array(np.mod(uid, n_buckets).astype(np.int32)),
+            }
         )
-        return t.append_column("bucket", bucket)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type][["event_id", "user_id", "ts"]]
-        right = g[g["event_type"] == right_type][["event_id", "user_id", "ts"]]
+        left = g[g["event_type"] == left_type][["event_id", "user_id", "ts_us"]]
+        right = g[g["event_type"] == right_type][["event_id", "user_id", "ts_us"]]
         if left.empty or right.empty:
             return pd.DataFrame(
                 {"purchase_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
                  "click_id": pd.Series(dtype="int64"), "gap_us": pd.Series(dtype="int64")}
             )
         right = (
-            right.sort_values(["user_id", "ts", "event_id"])
-            .drop_duplicates(["user_id", "ts"], keep="last")
-            .rename(columns={"event_id": "click_id", "ts": "c_ts"})
+            right.sort_values(["user_id", "ts_us", "event_id"])
+            .drop_duplicates(["user_id", "ts_us"], keep="last")
+            .rename(columns={"event_id": "click_id", "ts_us": "c_ts"})
             .sort_values("c_ts", kind="mergesort")
         )
-        left = left.sort_values("ts", kind="mergesort")
+        left = left.sort_values("ts_us", kind="mergesort")
         m = pd.merge_asof(
-            left, right, left_on="ts", right_on="c_ts", by="user_id", direction="backward"
+            left, right, left_on="ts_us", right_on="c_ts", by="user_id", direction="backward"
         ).dropna(subset=["click_id"])
         return pd.DataFrame(
             {
                 "purchase_id": m["event_id"].astype("int64"),
                 "user_id": m["user_id"].astype("int64"),
                 "click_id": m["click_id"].astype("int64"),
-                "gap_us": m["ts"].astype("int64") - m["c_ts"].astype("int64"),
+                "gap_us": m["ts_us"].astype("int64") - m["c_ts"].astype("int64"),
             }
         )
 
@@ -371,29 +501,33 @@ def range_join_events(
     )
 
     def assign(batch: pa.Table) -> pa.Table:
+        # int64 us + numpy FLOOR division: Arrow integer divide
+        # truncates toward zero, which misbuckets negative (pre-epoch)
+        # timestamps — floor keeps the bucket identity ts ∈
+        # [tb*bucket_us, (tb+1)*bucket_us) for all ts
         us = pc.cast(batch["ts"], pa.int64())
         eid = batch["event_id"]
         etype = batch["event_type"]
         left_mask = pc.equal(etype, left_type)
         right_mask = pc.equal(etype, right_type)
         parts = []
-        rt_us = us.filter(right_mask)
+        rt_us = us.filter(right_mask).to_numpy(zero_copy_only=False)
         rt_eid = eid.filter(right_mask)
         parts.append(
             pa.table(
                 {
-                    "tb": pc.divide(rt_us, pa.scalar(bucket_us, pa.int64())),
+                    "tb": pa.array(np.floor_divide(rt_us, bucket_us)),
                     "event_id": rt_eid,
-                    "ts_us": rt_us,
+                    "ts_us": pa.array(rt_us),
                     "side": pa.array(["r"] * len(rt_eid), pa.string()),
                 }
             )
         )
-        lt_us = us.filter(left_mask)
+        lt_us = us.filter(left_mask).to_numpy(zero_copy_only=False)
         lt_eid = eid.filter(left_mask)
-        lo_b = pc.divide(pc.subtract(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
-        home_b = pc.divide(lt_us, pa.scalar(bucket_us, pa.int64()))
-        hi_b = pc.divide(pc.add(lt_us, pa.scalar(window_us, pa.int64())), pa.scalar(bucket_us, pa.int64()))
+        lo_b = np.floor_divide(lt_us - window_us, bucket_us)
+        home_b = np.floor_divide(lt_us, bucket_us)
+        hi_b = np.floor_divide(lt_us + window_us, bucket_us)
         # replicate into EVERY bucket of the span: for window <= bucket
         # the span is {lo, home, hi} (home is the middle bucket when the
         # window straddles two edges — lo/hi alone would skip it)
@@ -401,9 +535,9 @@ def range_join_events(
             parts.append(
                 pa.table(
                     {
-                        "tb": b,
+                        "tb": pa.array(b),
                         "event_id": lt_eid,
-                        "ts_us": lt_us,
+                        "ts_us": pa.array(lt_us),
                         "side": pa.array(["l"] * len(lt_eid), pa.string()),
                     }
                 )

@@ -657,3 +657,130 @@ class TestAsofJoinCrafted:
         assert out.iloc[0]["error_id"] == 0
         assert out.iloc[0]["n_near_clicks"] == 1
         assert out.iloc[0]["min_abs_gap_us"] == 1_000_000
+
+
+class TestJoinScaleGuards:
+    """Round-4 scale guards: adaptive bucket counts, salted skew
+    handling, negative-key bucketing, packed-pair-id preconditions."""
+
+    def test_adaptive_n_buckets_formula(self):
+        from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+        assert adaptive_n_buckets(None) == 64  # no cheap count -> floor
+        assert adaptive_n_buckets(1_000) == 64  # small inputs clamp low
+        assert adaptive_n_buckets(10_000_000) == 100  # ~100k rows/bucket
+        assert adaptive_n_buckets(10**12) == 65536  # bounded above
+
+    def test_pack_pairs_rejects_out_of_range_ids(self):
+        """doc_id >= 2^31 (or negative) must raise LOUDLY instead of
+        silently corrupting the packed int64 pair key."""
+        from mlscraper_ray.functions.dedup import (
+            _pack_pairs_pd,
+            _pack_pairs_arrow,
+            _PAIR_BASE,
+        )
+
+        ok = _pack_pairs_pd(pd.Series([1, 2]), pd.Series([3, _PAIR_BASE - 1]))
+        assert ok.tolist() == [1 * _PAIR_BASE + 3, 2 * _PAIR_BASE + _PAIR_BASE - 1]
+        with pytest.raises(ValueError, match="out of packable range"):
+            _pack_pairs_pd(pd.Series([1]), pd.Series([_PAIR_BASE]))
+        with pytest.raises(ValueError, match="out of packable range"):
+            _pack_pairs_pd(pd.Series([-1]), pd.Series([2]))
+        with pytest.raises(ValueError, match="out of packable range"):
+            _pack_pairs_arrow(
+                pa.array([1, _PAIR_BASE + 5], pa.int64()), pa.array([2, 3], pa.int64())
+            )
+        got = _pack_pairs_arrow(pa.array([4], pa.int64()), pa.array([5], pa.int64()))
+        assert got.to_pylist() == [4 * _PAIR_BASE + 5]
+
+    def test_temporal_joins_negative_ts_and_user_id(self, ray_session, tmp_path):
+        """Pre-epoch timestamps (negative int64 us) and negative user
+        ids: floor-mod/floor-div bucketing keeps both temporal joins
+        correct as general-purpose primitives (Arrow integer division
+        truncates toward zero and would misbucket these)."""
+        from mlscraper_ray.functions.joins import asof_join_events, range_join_events
+
+        rng = np.random.RandomState(5)
+        n = 240
+        # seconds straddling the epoch: ts_us in ±2000s
+        ts_us = rng.randint(-2_000, 2_000, size=n) * 1_000_000
+        users = rng.randint(-3, 3, size=n)
+        types = rng.choice(["purchase", "click", "error", "view"], size=n)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([0.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+
+        expected_asof = {}
+        for i in range(n):
+            if types[i] != "purchase":
+                continue
+            best = None
+            for j in range(n):
+                if types[j] == "click" and users[j] == users[i] and ts_us[j] <= ts_us[i]:
+                    if best is None or (ts_us[j], j) > (ts_us[best], best):
+                        best = j
+            if best is not None:
+                expected_asof[i] = (best, int(ts_us[i] - ts_us[best]))
+        out = asof_join_events(str(tmp_path)).to_pandas()
+        got = {r.purchase_id: (r.click_id, r.gap_us) for r in out.itertuples()}
+        assert got == expected_asof
+
+        expected_range = {}
+        for i in range(n):
+            if types[i] != "error":
+                continue
+            gaps = [
+                abs(int(ts_us[j]) - int(ts_us[i]))
+                for j in range(n)
+                if types[j] == "click" and abs(int(ts_us[j]) - int(ts_us[i])) <= 300_000_000
+            ]
+            if gaps:
+                expected_range[i] = (len(gaps), min(gaps))
+        out = range_join_events(str(tmp_path)).to_pandas()
+        got = {r.error_id: (r.n_near_clicks, r.min_abs_gap_us) for r in out.itertuples()}
+        assert got == expected_range
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_salted_cogroup_join_equals_plain(self, ray_session, how):
+        """Skewed corpus (one key = 50% of left rows): the salted path
+        must produce exactly the plain cogroup join's rows."""
+        import ray.data
+
+        from mlscraper_ray.functions.joins import cogroup_join
+
+        rng = np.random.RandomState(11)
+        n = 4_000
+        hot = 7
+        keys = np.where(rng.rand(n) < 0.5, hot, rng.randint(100, 160, size=n)).astype(np.int64)
+        left = pa.table(
+            {"k": pa.array(keys), "lval": pa.array(np.arange(n, dtype=np.int64))}
+        )
+        # right: most keys present (some missing, so how='left' differs
+        # from inner), hot key has ONE row — the realistic dim side
+        rkeys = np.array([hot] + list(range(100, 150)), dtype=np.int64)
+        right = pa.table(
+            {"k": pa.array(rkeys), "rval": pa.array(rkeys * 10)}
+        )
+
+        def run(**kw):
+            out = cogroup_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right), "k", how=how, **kw
+            ).to_pandas()
+            return (
+                out.astype({"k": "int64", "lval": "int64"})
+                .sort_values(["k", "lval"], ignore_index=True)
+                .fillna(-1)
+            )
+
+        plain = run()
+        salted = run(salt_hot_keys=True, hot_key_threshold=200, n_salt=4)
+        pd.testing.assert_frame_equal(plain, salted)
+        assert (plain["k"] == hot).sum() > n // 3  # the skew is real
