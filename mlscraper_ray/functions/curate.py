@@ -145,21 +145,41 @@ ORDER BY doc_id
 CURATE_CORPUS_SQL = curate_corpus_sql()
 
 
-def decontaminate(sf_dir: str, holdout_mod: int = 97, n: int = 3) -> pa.Table:
+def decontaminate(
+    sf_dir: str,
+    holdout_mod: int = 97,
+    n: int = 3,
+    broadcast_limit: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> pa.Table:
     """Benchmark DECONTAMINATION: drop every training document that
     shares ANY word n-gram with the held-out set — the standard
     test-set-leakage guard a training-data pipeline runs before
     tokenization. The held-out set here is the deterministic slice
     ``doc_id % holdout_mod == 0`` (a stand-in for an external
-    benchmark table; the operator shape is identical).
+    benchmark table; the operator shape is identical — NOTE that
+    unlike a true fixed benchmark this stand-in SCALES with the
+    corpus, which is exactly why the path guard below exists).
 
-    Scale shape: held-out grams are collected ONCE (benchmark sets
-    are small by definition — this is the legitimately-broadcast
-    side), ``ray.put`` once, and every training document is screened
-    inside ``map_batches`` — one streaming pass over the corpus, no
-    shuffle anywhere, text never leaves its task. Returns the
-    surviving (doc_id, n_grams) manifest."""
+    Two screening paths, picked by the held-out gram COUNT (a
+    distributed aggregate — the repo's count-based path-choice idiom,
+    see minhash_dedup / customers_without_orders):
+
+    - count <= ``broadcast_limit``: grams collected once (the driver
+      pull is bounded by the broadcast_limit CONSTANT), ``ray.put``
+      once, every training document screened inside ``map_batches`` —
+      one streaming pass, no shuffle, text never leaves its task.
+    - larger: bucketed EXISTS anti-join on the gram STRING (exact, no
+      hash collisions): training docs explode to slim distinct
+      (gram, doc_id, n_grams) rows, holdout grams ride the same
+      gram-hash buckets, per-bucket membership is one vectorized
+      ``isin``, and per-doc contamination flags combine through the
+      coarse-bucket aggregate — nothing driver-sized anywhere.
+
+    Returns the surviving (doc_id, n_grams) manifest; both paths are
+    bit-identical (regression-tested by forcing the bucketed path)."""
     from mlscraper_ray.functions.dedup import word_gram_set
+    from mlscraper_ray.functions.joins import adaptive_n_buckets
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -170,27 +190,115 @@ def decontaminate(sf_dir: str, holdout_mod: int = 97, n: int = 3) -> pa.Table:
                 grams.update(word_gram_set(text, n))
         return pa.table({"gram": pa.array(sorted(grams), pa.string())})
 
-    ho = set(
-        ds.map_batches(holdout_grams, batch_format="pyarrow").to_pandas()["gram"]
-    )
-    ho_ref = ray.put(ho)
+    # materialized once: the path-choice count and the chosen path both
+    # consume it without re-running the gram extraction
+    ho_rows = ds.map_batches(holdout_grams, batch_format="pyarrow").materialize()
+    # per-batch-distinct row count: cheap upper bound on the distinct
+    # holdout gram count (good enough for a path choice)
+    n_ho = ho_rows.count()
 
-    def screen(batch: pa.Table) -> pa.Table:
-        probes = ray.get(ho_ref)
-        ids, counts = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if doc_id % holdout_mod == 0:
-                continue  # held-out docs are not training rows
-            gset = word_gram_set(text, n)
-            if gset & probes:
-                continue  # contaminated: shares an n-gram with holdout
-            ids.append(doc_id)
-            counts.append(len(gset))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_grams": pa.array(counts, pa.int64())})
+    if n_ho <= broadcast_limit:
+        ho = set(ho_rows.to_pandas()["gram"])
+        ho_ref = ray.put(ho)
 
-    out = ds.map_batches(screen, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id", ignore_index=True
-    )
+        def screen(batch: pa.Table) -> pa.Table:
+            probes = ray.get(ho_ref)
+            ids, counts = [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                if doc_id % holdout_mod == 0:
+                    continue  # held-out docs are not training rows
+                gset = word_gram_set(text, n)
+                if gset & probes:
+                    continue  # contaminated: shares an n-gram with holdout
+                ids.append(doc_id)
+                counts.append(len(gset))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_grams": pa.array(counts, pa.int64())})
+
+        survivors = ds.map_batches(screen, batch_format="pyarrow")
+    else:
+        import zlib
+
+        from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+        if n_buckets is None:
+            n_buckets = adaptive_n_buckets(ds.count())  # metadata count
+
+        def explode_training(batch: pa.Table) -> pa.Table:
+            grams, ids, ngrams, buckets = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                if doc_id % holdout_mod == 0:
+                    continue
+                gset = word_gram_set(text, n)
+                if not gset:
+                    # gram-less doc: one carrier row so it still reaches
+                    # the output ("" is never a holdout gram — grams are
+                    # non-empty word joins)
+                    gset = {""}
+                grams.extend(gset)
+                ids.extend([doc_id] * len(gset))
+                ngrams.extend([len(gset) if gset != {""} else 0] * len(gset))
+                buckets.extend(zlib.crc32(g.encode()) % n_buckets for g in gset)
+            return pa.table(
+                {
+                    "gram": pa.array(grams, pa.string()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_grams": pa.array(ngrams, pa.int64()),
+                    "bucket": pa.array(buckets, pa.int32()),
+                    "side": pa.array(["t"] * len(grams), pa.string()),
+                }
+            )
+
+        def tag_holdout(batch: pa.Table) -> pa.Table:
+            nrows = batch.num_rows
+            return pa.table(
+                {
+                    "gram": batch["gram"],
+                    "doc_id": pa.array([-1] * nrows, pa.int64()),
+                    "n_grams": pa.array([0] * nrows, pa.int64()),
+                    "bucket": pa.array(
+                        [zlib.crc32(g.encode()) % n_buckets for g in batch["gram"].to_pylist()],
+                        pa.int32(),
+                    ),
+                    "side": pa.array(["h"] * nrows, pa.string()),
+                }
+            )
+
+        unioned = ds.map_batches(explode_training, batch_format="pyarrow").union(
+            ho_rows.map_batches(tag_holdout, batch_format="pyarrow")
+        )
+
+        def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            hset = set(g.loc[g["side"] == "h", "gram"])
+            t = g[g["side"] == "t"]
+            if t.empty:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "contam": pd.Series(dtype="int64"),
+                        "n_grams": pd.Series(dtype="int64"),
+                    }
+                )
+            flag = t["gram"].isin(hset).astype("int64")
+            part = (
+                pd.DataFrame({"doc_id": t["doc_id"], "contam": flag, "n_grams": t["n_grams"]})
+                .groupby("doc_id", sort=False)
+                .agg(contam=("contam", "max"), n_grams=("n_grams", "first"))
+                .reset_index()
+            )
+            return part
+
+        flags = unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
+        combined = bucketed_aggregate(
+            flags, ["doc_id"], {"contam": ("contam", "max"), "n_grams": ("n_grams", "max")}
+        )
+        survivors = combined.map_batches(
+            lambda df: df.loc[df["contam"] == 0, ["doc_id", "n_grams"]].astype("int64"),
+            batch_format="pandas",
+        )
+
+    out = survivors.to_pandas().sort_values("doc_id", ignore_index=True)
+    if len(out) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "n_grams": pa.array([], pa.int64())})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -287,10 +287,33 @@ LIMIT {k}
 """
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int = 16) -> pa.Table:
+def embedding_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.92,
+    n_planes: int = 16,
+    max_bucket_docs: int | None = 1024,
+    n_groups: int | None = None,
+) -> pa.Table:
     """Embedding near-dup pairs: random-hyperplane LSH buckets, then
-    exact cosine within buckets. Pairs with cos >= threshold."""
+    exact cosine within buckets. Pairs with cos >= threshold.
+
+    Scale guards (mirroring the minhash pipeline's, dedup.py):
+
+    - ``n_groups`` (coarse shuffle-key count) defaults ADAPTIVE in the
+      corpus row count — ceil(rows / 200k) clamped to [256, 65536] —
+      so each Ray-visible group holds ~bounded rows instead of
+      O(corpus / 256); pair emission stays keyed on the FULL LSH
+      bucket inside each group, so exactness never depends on it.
+    - ``max_bucket_docs`` is the hot-bucket guard: a degenerate bucket
+      (e.g. thousands of EXACT-duplicate embeddings sharing one
+      signature — the common real-corpus case) would emit an O(d^2)
+      clique; over-cap buckets instead emit the linear
+      connectivity-preserving STAR around the min vec_id. Pass None
+      for unconditional clique/oracle equality."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    if n_groups is None:
+        n_rows = ds.count()  # parquet metadata, no read
+        n_groups = min(65536, max(256, -(-n_rows // 200_000)))
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0].as_py())
     rng = np.random.RandomState(7)
@@ -313,32 +336,54 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92, n_planes: int 
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].tolist()
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(u) for u in g["unit"]])
+        # score = floor(cos*1e4 + 0.5): half-away-from-zero for the
+        # positive threshold range, matching DuckDB ROUND (np.round /
+        # python round are half-to-even — the repo-wide hazard)
+        if max_bucket_docs is not None and len(ids) > max_bucket_docs:
+            # hot-bucket STAR collapse (see docstring): min vec_id vs
+            # each other doc, linear in bucket size
+            sims = mat[0] @ mat.T
+            keep = np.flatnonzero(sims[1:] >= threshold) + 1
+            return pd.DataFrame(
+                {
+                    "vec_a": np.full(len(keep), ids[0], dtype=np.int64),
+                    "vec_b": ids[keep],
+                    "score_x10k": np.floor(sims[keep] * 10000 + 0.5).astype(np.int64),
+                }
+            )
         sims = mat @ mat.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(int(round(sims[i, j] * 10000)))
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "score_x10k": out_s})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[hit]],
+                "vec_b": ids[ju[hit]],
+                "score_x10k": np.floor(sims[iu[hit], ju[hit]] * 10000 + 0.5).astype(np.int64),
+            }
+        )
 
     def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
         # one coarse group holds many LSH buckets; resolve them with a
         # vectorized pandas groupby instead of one map call per bucket
         frames = [pairs(sub) for _, sub in g.groupby("bucket", sort=False) if len(sub) > 1]
         if not frames:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "score_x10k": []})
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "score_x10k": pd.Series(dtype="int64"),
+                }
+            )
         return pd.concat(frames, ignore_index=True)
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
-        coarse = pc2.cast(pc2.bit_wise_and(batch["bucket"], pa.scalar(255, pa.int64())), pa.int32())
-        return batch.append_column("coarse", coarse)
+        # all 16 signature bits feed the coarse key (modulo the
+        # adaptive group count), not a fixed low-byte mask
+        coarse = (batch["bucket"].to_numpy(zero_copy_only=False) % n_groups).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse))
 
     res = (
         ds.map_batches(bucketize, batch_format="pyarrow")

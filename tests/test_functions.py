@@ -784,3 +784,74 @@ class TestJoinScaleGuards:
         salted = run(salt_hot_keys=True, hot_key_threshold=200, n_salt=4)
         pd.testing.assert_frame_equal(plain, salted)
         assert (plain["k"] == hot).sum() > n // 3  # the skew is real
+
+
+class TestDecontaminateGuard:
+    def test_bucketed_path_matches_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the bucketed EXISTS anti-join path;
+        survivors must be bit-identical to the broadcast screen (the
+        oracle-checked default)."""
+        from mlscraper_ray.functions.curate import decontaminate
+
+        a = decontaminate(SF_DIR).to_pandas()
+        b = decontaminate(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+
+class TestEmbeddingNeardupGuard:
+    def test_hot_bucket_star_collapse(self, ray_session, tmp_path):
+        """All-identical embeddings (the realistic worst case): one LSH
+        bucket holds the whole corpus. Over-cap buckets must emit the
+        linear star (n-1 pairs), not the O(n^2) clique; with the guard
+        off the clique is exact."""
+        from mlscraper_ray.functions.similarity import embedding_neardup_pairs
+
+        n = 300
+        vec = list(np.arange(1, 9, dtype=np.float64))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=64).to_pandas()
+        assert len(out) == n - 1  # star, not the (n choose 2) clique
+        assert (out["vec_a"] == 0).all()
+        assert sorted(out["vec_b"]) == list(range(1, n))
+        assert (out["score_x10k"] == 10000).all()
+        out2 = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=None).to_pandas()
+        assert len(out2) == n * (n - 1) // 2
+
+
+class TestExactDedupSink:
+    def test_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        """Resumable parquet twin: shard union == the oracle-checked
+        contract table; a second run skips every finished shard; a
+        shard with its marker removed is rewritten alone."""
+        import glob
+
+        from mlscraper_ray.functions.dedup import exact_dedup, exact_dedup_to_parquet
+
+        out_dir = str(tmp_path / "dedup_out")
+        r1 = exact_dedup_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        got = (
+            pd.concat(frames, ignore_index=True)[["h", "doc_id", "n_dups"]]
+            .astype({"doc_id": "int64", "n_dups": "int64"})
+            .sort_values("h", ignore_index=True)
+        )
+        want = exact_dedup(SF_DIR).to_pandas().astype({"doc_id": "int64", "n_dups": "int64"})
+        pd.testing.assert_frame_equal(got, want)
+
+        r2 = exact_dedup_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+
+        os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
+        r3 = exact_dedup_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
