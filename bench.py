@@ -127,6 +127,8 @@ def run_bench() -> dict:
         "event_value_percentiles",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_simhash_pairs",
+        "doc_simhash",
         "dedup_ngram_jaccard",
         "corpus_curate",
         "corpus_decontaminate",
