@@ -43,7 +43,16 @@ def _mm_ncpus() -> int:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mlscraper_ray.functions import aggregates, curate, dedup, joins, similarity, streams, textstats
+    from mlscraper_ray.functions import (
+        aggregates,
+        components,
+        curate,
+        dedup,
+        joins,
+        similarity,
+        streams,
+        textstats,
+    )
     from mlscraper_ray.pipelines import crawl_pipeline
 
     def _payload_ds(sf_dir: str):
@@ -150,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exhaustive O(n^2) joins that verify LSH recall itself)
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
+        # connected components over the verified pair graph (iterative
+        # min-label propagation) and the canonical-doc keep manifest
+        "neardup_clusters": components.neardup_clusters,
+        "corpus_dedup_canonical": components.corpus_dedup_canonical,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
         "doc_simhash": dedup.simhash_table,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -278,6 +291,10 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),
+        # recursive-CTE transitive closure over the same exhaustive
+        # pair join — re-verifies LSH recall plus the component labels
+        "neardup_clusters": _components_sql("clusters"),
+        "corpus_dedup_canonical": _components_sql("canonical"),
         "embed_neardup_pairs": similarity.embedding_neardup_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
@@ -409,3 +426,12 @@ def _minhash_dedup_sql() -> str:
     from mlscraper_ray.functions.dedup import MINHASH_DEDUP_SQL
 
     return MINHASH_DEDUP_SQL
+
+
+def _components_sql(which: str) -> str:
+    from mlscraper_ray.functions.components import (
+        CORPUS_DEDUP_CANONICAL_SQL,
+        NEARDUP_CLUSTERS_SQL,
+    )
+
+    return NEARDUP_CLUSTERS_SQL if which == "clusters" else CORPUS_DEDUP_CANONICAL_SQL

@@ -127,6 +127,8 @@ def run_bench() -> dict:
         "event_value_percentiles",
         "dedup_exact",
         "dedup_minhash",
+        "neardup_clusters",
+        "corpus_dedup_canonical",
         "dedup_simhash_pairs",
         "doc_simhash",
         "dedup_ngram_jaccard",

@@ -30,10 +30,10 @@ from mlscraper_ray.functions.bucketed import bucketed_aggregate
 from mlscraper_ray.functions.textstats import _LANGID, _QUALITY, _sql_stopword_list
 
 
-def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50) -> pa.Table:
-    """Curated-corpus manifest: (doc_id, n_tokens, quality_x10, n_dups)
-    for the surviving documents."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+def _feat_filter_fn(min_quality_x10: int):
+    """Streaming filter kernel: langid + quality + content hash per
+    batch, rejected rows never leave the task (text never crosses a
+    shuffle — only slim (h, doc_id, stats) rows survive)."""
 
     def feat_filter(batch: pd.DataFrame) -> pd.DataFrame:
         q = _QUALITY(batch)
@@ -49,17 +49,12 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
         )
         return out[keep]
 
-    survivors = ds.map_batches(feat_filter, batch_format="pandas")
-    deduped = bucketed_aggregate(
-        survivors,
-        ["h"],
-        {
-            "doc_id": ("doc_id", "min"),
-            "n_tokens": ("n_tokens", "min"),
-            "quality_x10": ("quality_x10", "min"),
-            "n_dups": ("doc_id", "count"),
-        },
-    )
+    return feat_filter
+
+
+def _sample_fn(sample_pct: int):
+    """Deterministic md5(doc_id)-mod downsample kernel —
+    worker-count-stable, the same rows survive on any cluster."""
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "doc_id" not in df.columns:
@@ -86,7 +81,26 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
             }
         )
 
-    out = deduped.map_batches(sample, batch_format="pandas").to_pandas()
+    return sample
+
+
+_CURATE_AGGS = {
+    "doc_id": ("doc_id", "min"),
+    "n_tokens": ("n_tokens", "min"),
+    "quality_x10": ("quality_x10", "min"),
+    "n_dups": ("doc_id", "count"),
+}
+
+
+def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50) -> pa.Table:
+    """Curated-corpus manifest: (doc_id, n_tokens, quality_x10, n_dups)
+    for the surviving documents."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    survivors = ds.map_batches(_feat_filter_fn(min_quality_x10), batch_format="pandas")
+    deduped = bucketed_aggregate(survivors, ["h"], _CURATE_AGGS)
+
+    out = deduped.map_batches(_sample_fn(sample_pct), batch_format="pandas").to_pandas()
     if len(out) == 0:  # schema is lost on fully-empty results
         return pa.table(
             {
@@ -96,6 +110,52 @@ def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50)
         )
     out = out.sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def curate_corpus_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window: int = 4,
+    min_quality_x10: int = 500,
+    sample_pct: int = 50,
+) -> dict:
+    """Production sink twin of :func:`curate_corpus`, RESUMABLE
+    (marker-last shard protocol, see ``functions/sinks.py``). The
+    expensive pass (text read + langid + quality + md5) runs ONCE
+    into a materialized SLIM dataset sharded by content hash — same
+    hash -> same shard, so every dedup group is shard-local and the
+    per-shard aggregate+sample is exact. Shard union == the
+    oracle-checked contract table (tested)."""
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    feat = _feat_filter_fn(min_quality_x10)
+
+    def feat_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        out = feat(batch)
+        out = out.copy()
+        out["shard"] = [zlib.crc32(h.encode()) % n_shards for h in out["h"]]
+        return out
+
+    slim = ds.map_batches(feat_shard, batch_format="pandas").materialize()
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = slim.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        )
+        deduped = bucketed_aggregate(part, ["h"], _CURATE_AGGS)
+        deduped.map_batches(_sample_fn(sample_pct), batch_format="pandas").write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
 def curate_corpus_sql(min_quality_x10: int = 500, sample_pct: int = 50) -> str:
@@ -145,13 +205,13 @@ ORDER BY doc_id
 CURATE_CORPUS_SQL = curate_corpus_sql()
 
 
-def decontaminate(
+def decontaminate_survivors(
     sf_dir: str,
     holdout_mod: int = 97,
     n: int = 3,
     broadcast_limit: int = 2_000_000,
     n_buckets: int | None = None,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Benchmark DECONTAMINATION: drop every training document that
     shares ANY word n-gram with the held-out set — the standard
     test-set-leakage guard a training-data pipeline runs before
@@ -176,8 +236,11 @@ def decontaminate(
       ``isin``, and per-doc contamination flags combine through the
       coarse-bucket aggregate — nothing driver-sized anywhere.
 
-    Returns the surviving (doc_id, n_grams) manifest; both paths are
-    bit-identical (regression-tested by forcing the bucketed path)."""
+    Returns the surviving (doc_id, n_grams) rows as a streaming
+    Dataset; both paths are bit-identical (regression-tested by
+    forcing the bucketed path). :func:`decontaminate` is the
+    driver-table wrapper, :func:`decontaminate_to_parquet` the
+    resumable production sink."""
     from mlscraper_ray.functions.dedup import word_gram_set
     from mlscraper_ray.functions.joins import adaptive_n_buckets
 
@@ -296,10 +359,77 @@ def decontaminate(
             batch_format="pandas",
         )
 
+    return survivors
+
+
+def decontaminate(
+    sf_dir: str,
+    holdout_mod: int = 97,
+    n: int = 3,
+    broadcast_limit: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Driver-table wrapper over :func:`decontaminate_survivors` (the
+    driver-compare contract wants a sorted Arrow table)."""
+    survivors = decontaminate_survivors(
+        sf_dir, holdout_mod=holdout_mod, n=n, broadcast_limit=broadcast_limit, n_buckets=n_buckets
+    )
     out = survivors.to_pandas().sort_values("doc_id", ignore_index=True)
     if len(out) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "n_grams": pa.array([], pa.int64())})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def decontaminate_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window: int = 4,
+    holdout_mod: int = 97,
+    n: int = 3,
+    broadcast_limit: int = 2_000_000,
+) -> dict:
+    """Production sink twin of :func:`decontaminate`, RESUMABLE
+    (marker-last shard protocol, see ``functions/sinks.py``). The
+    expensive screening pass runs ONCE into a materialized SLIM
+    (doc_id, n_grams) survivor dataset; shards partition on a doc_id
+    hash so output is stable under any worker count."""
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    survivors = decontaminate_survivors(
+        sf_dir, holdout_mod=holdout_mod, n=n, broadcast_limit=broadcast_limit
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "shard": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["shard"] = (
+            pd.util.hash_pandas_object(df["doc_id"].astype("int64"), index=False) % n_shards
+        ).astype("int64")
+        return df
+
+    slim = survivors.map_batches(add_shard, batch_format="pandas").materialize()
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = slim.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        )
+        part.write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
 DECONTAMINATE_SQL = """

@@ -80,20 +80,11 @@ def exact_dedup_to_parquet(sf_dir: str, out_dir: str, n_shards: int = 16, window
     slim rows. On resume the slim pass re-runs (it is the cheap part)
     and finished shards are skipped. Returns {"written": n,
     "skipped": n}."""
-    import shutil
-    from concurrent.futures import ThreadPoolExecutor
-
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
     from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
 
-    todo, skipped = [], 0
-    for s in range(n_shards):
-        dest = os.path.join(out_dir, f"shard={s:04d}")
-        if os.path.exists(os.path.join(dest, "_SUCCESS")):
-            skipped += 1
-        else:
-            todo.append((s, dest))
-    if not todo:
-        return {"written": 0, "skipped": skipped}
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -111,9 +102,7 @@ def exact_dedup_to_parquet(sf_dir: str, out_dir: str, n_shards: int = 16, window
     slim = ds.map_batches(add_hash_shard, batch_format="pyarrow").materialize()
     _pin_fsspec_http_stub()
 
-    def run_shard(job: tuple[int, str]) -> None:
-        s, dest = job
-        shutil.rmtree(dest, ignore_errors=True)  # partial output of a crashed run
+    def write_shard(s: int, dest: str) -> None:
         part = slim.map_batches(
             lambda t, s=s: t.filter(pc.equal(t["shard"], s)).drop_columns(["shard"]),
             batch_format="pyarrow",
@@ -121,12 +110,8 @@ def exact_dedup_to_parquet(sf_dir: str, out_dir: str, n_shards: int = 16, window
         bucketed_aggregate(
             part, ["h"], {"doc_id": ("doc_id", "min"), "n_dups": ("doc_id", "count")}
         ).write_parquet(dest)
-        with open(os.path.join(dest, "_SUCCESS"), "w") as f:
-            f.write("")
 
-    with ThreadPoolExecutor(max_workers=max(1, window)) as pool:
-        list(pool.map(run_shard, todo))
-    return {"written": len(todo), "skipped": skipped}
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
 # -- minhash + LSH -------------------------------------------------------
@@ -414,14 +399,19 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def minhash_dedup(
+def minhash_verified_pairs(
     sf_dir: str,
     threshold_pct: int = 70,
     broadcast_limit: int = 100_000,
     max_bucket_docs: int | None = 1024,
-) -> pa.Table:
-    """Near-duplicate pairs on documents: MinHash-LSH candidates, then
-    exact word-3-gram Jaccard verification.
+) -> ray.data.Dataset:
+    """Near-duplicate pairs on documents as a streaming Dataset
+    (schema ``doc_a, doc_b, jaccard_pct`` int64): MinHash-LSH
+    candidates, then exact word-3-gram Jaccard verification.
+    :func:`minhash_dedup` is the driver-table wrapper; downstream
+    operators (connected components, canonical-doc selection in
+    ``functions/components.py``) consume this Dataset form so pair
+    rows never have to fit on the driver.
 
     EXACTNESS CAVEAT: ``max_bucket_docs`` (the degenerate-bucket
     guard, see :func:`_emit_pairs_by_key`) collapses any (band,
@@ -460,7 +450,7 @@ def minhash_dedup(
     candidates = minhash_candidate_pairs(docs, max_bucket_docs=max_bucket_docs).materialize()
     n_pairs = candidates.count()
     if n_pairs == 0:
-        return _EMPTY_PAIRS
+        return ray.data.from_arrow(_EMPTY_PAIRS)
 
     if 2 * n_pairs <= broadcast_limit:
         cand_pdf = candidates.to_pandas()  # <= broadcast_limit/2 rows
@@ -551,6 +541,24 @@ def minhash_dedup(
 
         verified = j2.map_batches(verify_joined, batch_format="pyarrow")
 
+    return verified
+
+
+def minhash_dedup(
+    sf_dir: str,
+    threshold_pct: int = 70,
+    broadcast_limit: int = 100_000,
+    max_bucket_docs: int | None = 1024,
+) -> pa.Table:
+    """Driver-table wrapper over :func:`minhash_verified_pairs` (the
+    driver-compare contract wants a sorted Arrow table; production
+    consumers use the Dataset form)."""
+    verified = minhash_verified_pairs(
+        sf_dir,
+        threshold_pct=threshold_pct,
+        broadcast_limit=broadcast_limit,
+        max_bucket_docs=max_bucket_docs,
+    )
     out = verified.to_pandas()
     if len(out) == 0:
         return _EMPTY_PAIRS

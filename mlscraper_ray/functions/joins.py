@@ -72,6 +72,17 @@ def adaptive_n_buckets(
     return min(hi, max(lo, -(-approx_rows // rows_per_bucket)))
 
 
+def _is_integer_type(typ) -> bool:
+    """Integer test across Ray's two block schemas: pyarrow DataType
+    (arrow blocks) or numpy dtype (pandas blocks from map_groups)."""
+    if isinstance(typ, pa.DataType):
+        return pa.types.is_integer(typ)
+    try:
+        return np.issubdtype(typ, np.integer)
+    except Exception:
+        return False
+
+
 def cogroup_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -204,10 +215,10 @@ def cogroup_join(
     # that bucket happens to contain a NaN) would give the same
     # logical column different dtypes in different blocks
     int_cols = {
-        field.name
-        for side in (left.schema().base_schema, right.schema().base_schema)
-        for field in side
-        if pa.types.is_integer(field.type)
+        name
+        for side in (left.schema(), right.schema())
+        for name, typ in zip(side.names, side.types)
+        if _is_integer_type(typ)
     }
 
     merge_keys = [key, "__salt"] if salt_hot_keys else [key]

@@ -50,6 +50,8 @@ def _oracle_names():
         "corpus_curate",
         "corpus_decontaminate",
         "dedup_minhash",
+        "neardup_clusters",
+        "corpus_dedup_canonical",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
@@ -854,4 +856,133 @@ class TestExactDedupSink:
 
         os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
         r3 = exact_dedup_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
+
+
+class TestConnectedComponents:
+    """Unit pins for the min-label propagation operator
+    (functions/components.py) against an in-test union-find."""
+
+    @staticmethod
+    def _uf_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in parent}
+
+    @staticmethod
+    def _run_cc(edges, **kw):
+        import ray.data
+
+        from mlscraper_ray.functions.components import connected_components
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        )
+        out = connected_components(ds, **kw).to_pandas()
+        return dict(zip(out["node"].astype(int), out["label"].astype(int)))
+
+    def test_cliques_stars_and_isolates(self, ray_session):
+        edges = [
+            (1, 2), (2, 3), (1, 3),          # clique
+            (10, 11), (10, 12), (10, 13),    # star
+            (20, 20),                        # self-loop singleton
+            (30, 31),
+        ]
+        assert self._run_cc(edges) == self._uf_labels(edges)
+
+    def test_path_graph_needs_iterations(self, ray_session):
+        # a path 100..91 has diameter 9: exercises the multi-round
+        # loop (seed alone would only see direct neighbors)
+        edges = [(i, i + 1) for i in range(91, 101)]
+        got = self._run_cc(edges)
+        assert got == self._uf_labels(edges)
+        assert set(got.values()) == {91}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        rng = np.random.RandomState(7)
+        edges = [tuple(sorted(rng.randint(0, 400, 2))) for _ in range(300)]
+        assert self._run_cc(edges) == self._uf_labels(edges)
+
+    def test_max_iters_raises_loud(self, ray_session):
+        edges = [(i, i + 1) for i in range(0, 30)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            self._run_cc(edges, max_iters=2)
+
+    def test_canonical_bucketed_anti_matches_broadcast(self, ray_session):
+        from mlscraper_ray.functions.components import corpus_dedup_canonical
+
+        a = corpus_dedup_canonical(SF_DIR).to_pandas()
+        b = corpus_dedup_canonical(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+        assert len(a) > 0
+
+
+class TestCurateAndDecontaminateSinks:
+    def test_curate_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+
+        from mlscraper_ray.functions.curate import curate_corpus, curate_corpus_to_parquet
+
+        out_dir = str(tmp_path / "curate_out")
+        r1 = curate_corpus_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        cols = ["doc_id", "n_tokens", "quality_x10", "n_dups"]
+        got = (
+            pd.concat(frames, ignore_index=True)[cols]
+            .astype("int64")
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = curate_corpus(SF_DIR).to_pandas().astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+        r2 = curate_corpus_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0005", "_SUCCESS"))
+        r3 = curate_corpus_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
+
+    def test_decontaminate_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+
+        from mlscraper_ray.functions.curate import decontaminate, decontaminate_to_parquet
+
+        out_dir = str(tmp_path / "decon_out")
+        r1 = decontaminate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        got = (
+            pd.concat(frames, ignore_index=True)[["doc_id", "n_grams"]]
+            .astype("int64")
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = decontaminate(SF_DIR).to_pandas().astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+        r2 = decontaminate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0002", "_SUCCESS"))
+        r3 = decontaminate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
