@@ -897,32 +897,34 @@ class TestConnectedComponents:
         out = connected_components(ds, **kw).to_pandas()
         return dict(zip(out["node"].astype(int), out["label"].astype(int)))
 
-    def test_cliques_stars_and_isolates(self, ray_session):
+    def test_cliques_stars_and_isolates_both_paths(self, ray_session):
         edges = [
             (1, 2), (2, 3), (1, 3),          # clique
             (10, 11), (10, 12), (10, 13),    # star
             (20, 20),                        # self-loop singleton
             (30, 31),
         ]
-        assert self._run_cc(edges) == self._uf_labels(edges)
+        want = self._uf_labels(edges)
+        assert self._run_cc(edges) == want  # driver union-find fast path
+        assert self._run_cc(edges, broadcast_limit=0) == want  # distributed
 
     def test_path_graph_needs_iterations(self, ray_session):
         # a path 100..91 has diameter 9: exercises the multi-round
-        # loop (seed alone would only see direct neighbors)
+        # distributed loop (seed alone would only see direct neighbors)
         edges = [(i, i + 1) for i in range(91, 101)]
-        got = self._run_cc(edges)
+        got = self._run_cc(edges, broadcast_limit=0)
         assert got == self._uf_labels(edges)
         assert set(got.values()) == {91}
 
     def test_random_graph_matches_union_find(self, ray_session):
         rng = np.random.RandomState(7)
         edges = [tuple(sorted(rng.randint(0, 400, 2))) for _ in range(300)]
-        assert self._run_cc(edges) == self._uf_labels(edges)
+        assert self._run_cc(edges, broadcast_limit=0) == self._uf_labels(edges)
 
     def test_max_iters_raises_loud(self, ray_session):
         edges = [(i, i + 1) for i in range(0, 30)]
         with pytest.raises(RuntimeError, match="did not converge"):
-            self._run_cc(edges, max_iters=2)
+            self._run_cc(edges, broadcast_limit=0, max_iters=2)
 
     def test_canonical_bucketed_anti_matches_broadcast(self, ray_session):
         from mlscraper_ray.functions.components import corpus_dedup_canonical
