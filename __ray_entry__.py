@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": textstats.doc_token_stats,
         "doc_bpe_token_stats": textstats.bpe_token_stats,
         "source_token_totals": textstats.source_token_totals,
+        # per-source token-budget selection (distributed prefix sum:
+        # rank-bucket partials + driver prefix over the tiny
+        # sources x buckets table + boundary-bucket scan)
+        "source_token_quota": textstats.source_token_quota,
         "doc_quality": textstats.quality_scores,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
@@ -301,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
+        "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,

@@ -135,6 +135,7 @@ def run_bench() -> dict:
         "corpus_curate",
         "corpus_decontaminate",
         "source_token_totals",
+        "source_token_quota",
         "doc_bpe_token_stats",
         "doc_quality",
         "ann_cosine_topk",

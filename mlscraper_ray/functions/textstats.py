@@ -368,3 +368,149 @@ FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
 ORDER BY doc_id
 """
+
+
+def source_token_quota(sf_dir: str, budget_tokens: int = 1000, n_rank_buckets: int = 64) -> pa.Table:
+    """Per-source TOKEN-BUDGET selection — the data-mixing primitive a
+    training run uses ("at most N tokens from each source"): keep each
+    source's documents in a deterministic md5(doc_id) rank order while
+    the running token total stays <= ``budget_tokens``. Equivalent to
+    the SQL window cumsum (SOURCE_TOKEN_QUOTA_SQL) but computed as a
+    distributed prefix sum — no engine-wide window/sort anywhere:
+
+    1. slim pass: (source, doc_id, n_tokens, rk=md5(doc_id) hex,
+       rb=RANGE bucket of rk's first byte) — text never leaves the
+       task;
+    2. per-(source, rank-bucket) token sums via the coarse-bucket
+       aggregate; that table is O(sources x n_rank_buckets) — sources
+       here are MIXTURE COMPONENTS (commoncrawl/books/code/...), a
+       bounded count by construction, so the driver pull is bounded.
+       (If "source" were per-domain cardinality, hash it into a
+       bounded component key first.)
+    3. driver prefix over each source's rank buckets classifies every
+       bucket: keep whole (start+sum <= budget), drop whole
+       (start > budget: every cum in the bucket exceeds), or BOUNDARY
+       (at most one per source);
+    4. one broadcast filter keeps/drops whole buckets; only boundary
+       rows — one rank bucket per source, ~1/n_rank_buckets of that
+       source — pay a per-doc sort+cumsum inside map_groups.
+
+    Doc order within the prefix is (rk, doc_id): hex-string md5
+    comparison is identical in Python and SQL, so output is
+    worker-count-invariant and oracle-exact. Zero-token docs follow
+    the same cum <= budget rule (the start==budget edge keeps them;
+    tested)."""
+    import ray
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"])
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        rk = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"].astype(str),
+                "n_tokens": batch["text"].str.findall(_WORD_RE).str.len().astype("int64"),
+                "rk": rk,
+                # RANGE partition on the first byte so rb order == rk order
+                "rb": [int(h[:2], 16) * n_rank_buckets // 256 for h in rk],
+            }
+        )
+
+    rows = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    sums = bucketed_aggregate(
+        rows, ["source", "rb"], {"tok_sum": ("n_tokens", "sum")}
+    ).to_pandas()  # O(sources x n_rank_buckets) rows — bounded, see docstring
+
+    keep_whole: set[tuple[str, int]] = set()
+    boundary: dict[tuple[str, int], int] = {}  # -> start offset
+    for source, g in sums.groupby("source", sort=False):
+        start = 0
+        for _, r in g.sort_values("rb").iterrows():
+            rb, tok_sum = int(r["rb"]), int(r["tok_sum"])
+            if start + tok_sum <= budget_tokens:
+                keep_whole.add((source, rb))
+            elif start <= budget_tokens:
+                boundary[(source, rb)] = start
+            # start > budget_tokens: drop whole bucket
+            start += tok_sum
+
+    kw_ref = ray.put(keep_whole)
+    bd_ref = ray.put(boundary)
+
+    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+        kw = ray.get(kw_ref)
+        keys = list(zip(df["source"], df["rb"].astype(int)))
+        mask = pd.Series([k in kw for k in keys], index=df.index)
+        return df[mask][["doc_id", "source", "n_tokens"]]
+
+    def boundary_filter(df: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bd_ref)
+        keys = list(zip(df["source"], df["rb"].astype(int)))
+        mask = pd.Series([k in bd for k in keys], index=df.index)
+        return df[mask]
+
+    kept = rows.map_batches(keep_filter, batch_format="pandas")
+
+    def cut_boundary(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "source": pd.Series([], dtype=str),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        bd = ray.get(bd_ref)
+        start = bd[(g["source"].iloc[0], int(g["rb"].iloc[0]))]
+        g = g.sort_values(["rk", "doc_id"])
+        cum = start + g["n_tokens"].cumsum()
+        return g[cum <= budget_tokens][["doc_id", "source", "n_tokens"]]
+
+    cut = (
+        rows.map_batches(boundary_filter, batch_format="pandas")
+        .groupby(["source", "rb"])
+        .map_groups(cut_boundary, batch_format="pandas")
+    )
+
+    out = kept.union(cut).to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_token_quota_sql(budget_tokens: int = 1000) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c WHERE cum <= {budget_tokens} ORDER BY doc_id
+"""
+
+
+SOURCE_TOKEN_QUOTA_SQL = source_token_quota_sql()

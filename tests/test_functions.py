@@ -42,6 +42,7 @@ def _oracle_names():
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
+        "source_token_quota",
         "doc_quality",
         "doc_langid",
         "doc_clean",
@@ -988,3 +989,82 @@ class TestCurateAndDecontaminateSinks:
         os.remove(os.path.join(out_dir, "shard=0002", "_SUCCESS"))
         r3 = decontaminate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
+
+
+class TestSourceTokenQuota:
+    """Distributed prefix-sum quota sampler vs an in-test pandas
+    window cumsum, including the zero-token / exact-budget edges the
+    bucket classification has to get right."""
+
+    @staticmethod
+    def _brute(pdf, budget):
+        import hashlib
+
+        df = pdf.copy()
+        df["n_tokens"] = df["text"].str.findall(r"\S+").str.len().astype("int64")
+        df["rk"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+        df = df.sort_values(["source", "rk", "doc_id"])
+        df["cum"] = df.groupby("source")["n_tokens"].cumsum()
+        keep = df[df["cum"] <= budget]
+        return (
+            keep[["doc_id", "source", "n_tokens"]]
+            .sort_values("doc_id", ignore_index=True)
+            .astype({"doc_id": "int64", "n_tokens": "int64"})
+        )
+
+    @staticmethod
+    def _write_docs(tmp_path, rows):
+        d = tmp_path / "quota_docs"
+        d.mkdir(exist_ok=True)
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_random_corpus_matches_brute_force(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import source_token_quota
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(300):
+            src = f"s{rng.randint(0, 5)}"
+            nw = int(rng.randint(0, 30))
+            rows.append((i, src, " ".join(f"w{rng.randint(0, 9)}" for _ in range(nw))))
+        sf = self._write_docs(tmp_path, rows)
+        for budget in (0, 1, 37, 200, 10_000_000):
+            got = source_token_quota(sf, budget_tokens=budget).to_pandas()
+            want = self._brute(pd.DataFrame(rows, columns=["doc_id", "source", "text"]), budget)
+            pd.testing.assert_frame_equal(got, want), budget
+
+    def test_zero_token_docs_at_exact_budget(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import source_token_quota
+
+        # one source: several docs including empty ones; pick the
+        # budget equal to the cumulative total at a mid doc so the
+        # boundary falls exactly on it (zero-token docs right after
+        # must stay kept: cum == budget)
+        rows = [(i, "s", "a b c" if i % 2 == 0 else "") for i in range(20)]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        sf = self._write_docs(tmp_path, rows)
+        for budget in (0, 3, 6, 9):
+            got = source_token_quota(sf, budget_tokens=budget).to_pandas()
+            want = self._brute(pdf, budget)
+            pd.testing.assert_frame_equal(got, want), budget
+
+    def test_rank_bucket_count_invariance(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import source_token_quota
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (i, f"s{i % 3}", " ".join("w" for _ in range(int(rng.randint(1, 20)))))
+            for i in range(150)
+        ]
+        sf = self._write_docs(tmp_path, rows)
+        a = source_token_quota(sf, budget_tokens=120, n_rank_buckets=4).to_pandas()
+        b = source_token_quota(sf, budget_tokens=120, n_rank_buckets=64).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
