@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
         "source_token_quota": textstats.source_token_quota,
+        # integer-exact HyperLogLog sketch (registers AND estimate
+        # reproduced bit-for-bit by the SQL oracle)
+        "source_distinct_hll": textstats.source_distinct_tokens_hll,
         "doc_quality": textstats.quality_scores,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
@@ -306,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
+        "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,

@@ -136,6 +136,7 @@ def run_bench() -> dict:
         "corpus_decontaminate",
         "source_token_totals",
         "source_token_quota",
+        "source_distinct_hll",
         "doc_bpe_token_stats",
         "doc_quality",
         "ann_cosine_topk",

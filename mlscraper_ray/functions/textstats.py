@@ -514,3 +514,112 @@ FROM c WHERE cum <= {budget_tokens} ORDER BY doc_id
 
 
 SOURCE_TOKEN_QUOTA_SQL = source_token_quota_sql()
+
+
+_HLL_SHIFT = 8  # m = 256 registers; w = h >> 8 has W = 56 bits
+_HLL_M = 1 << _HLL_SHIFT
+_HLL_ALPHA_X1E6 = 718273  # alpha_256 = 0.7213/(1+1.079/256), fixed-point
+_HLL_SCALE = 1 << 62  # 2^-M[j] terms as SCALE >> M[j] (exact integers)
+
+
+def source_distinct_tokens_hll(sf_dir: str) -> pa.Table:
+    """APPROXIMATE distinct-token count per source — a HyperLogLog
+    sketch, the mergeable cardinality primitive a 100 TB pipeline uses
+    where COUNT(DISTINCT token) would shuffle the whole vocabulary.
+    Every step is EXACT INTEGER arithmetic, so unlike a typical HLL
+    the whole sketch (registers AND estimate) is reproduced bit-for-
+    bit by the SQL oracle:
+
+    - h = lower-64 md5 of the token (matches DuckDB
+      ``md5_number_lower``), register j = h % 256, rank
+      rho = 57 - bit_length(h >> 8);
+    - per-batch partial registers (at most sources x 256 rows leave a
+      task, whatever the batch size) max-merge through the
+      coarse-bucket aggregate — max is associative/commutative, so
+      the sketch is worker-count invariant;
+    - the raw-HLL harmonic mean uses fixed-point terms SCALE >> M[j]
+      and one integer division per source (driver work over the
+      bounded sources x 256 table).
+
+    Output: (source, est_distinct, zero_registers). Standard error of
+    raw HLL at m=256 is ~6.5% (accuracy pinned by a 20k-token crafted
+    test); zero_registers lets consumers apply small-range correction
+    externally."""
+    import hashlib
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        regs: dict[tuple[str, int], int] = {}
+        cache: dict[str, int] = {}
+        for src, text in zip(batch["source"].astype(str), batch["text"]):
+            for tok in set(_WORD_RE.findall(text)):
+                h = cache.get(tok)
+                if h is None:
+                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
+                    cache[tok] = h
+                k = (src, h & (_HLL_M - 1))
+                rho = 57 - (h >> _HLL_SHIFT).bit_length()
+                if rho > regs.get(k, 0):
+                    regs[k] = rho
+        items = sorted(regs.items())
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k, _ in items],
+                "j": pd.Series([k[1] for k, _ in items], dtype="int64"),
+                "rho": pd.Series([v for _, v in items], dtype="int64"),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        ds.map_batches(partials, batch_format="pandas"), ["source", "j"], {"mj": ("rho", "max")}
+    ).to_pandas()  # bounded: sources x 256 rows
+
+    out_src, out_est, out_zero = [], [], []
+    for source, g in sorted(merged.groupby("source", sort=False), key=lambda kv: kv[0]):
+        zero = _HLL_M - len(g)
+        z = zero * _HLL_SCALE + sum(_HLL_SCALE >> int(mj) for mj in g["mj"])
+        est = _HLL_ALPHA_X1E6 * _HLL_M * _HLL_M * _HLL_SCALE // (1_000_000 * z)
+        out_src.append(source)
+        out_est.append(est)
+        out_zero.append(zero)
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "est_distinct": pa.array(out_est, pa.int64()),
+            "zero_registers": pa.array(out_zero, pa.int64()),
+        }
+    )
+
+
+SOURCE_DISTINCT_TOKENS_HLL_SQL = """
+WITH words AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+toks AS (SELECT DISTINCT source, token FROM words),
+hs AS (SELECT source, md5_number_lower(token) AS h FROM toks),
+r AS (
+    SELECT source, CAST(h % 256 AS BIGINT) AS j,
+           57 - length(ltrim(bin(CAST(h // 256 AS UBIGINT)), '0')) AS rho
+    FROM hs
+),
+regs AS (SELECT source, j, MAX(rho) AS mj FROM r GROUP BY source, j),
+z AS (
+    SELECT source,
+           SUM((CAST(1 AS BIGINT) << 62) >> mj) AS zp,
+           COUNT(*) AS nregs
+    FROM regs GROUP BY source
+)
+SELECT source,
+       CAST(CAST(718273 AS HUGEINT) * 256 * 256 * (CAST(1 AS HUGEINT) << 62)
+            // (1000000 * (CAST(zp AS HUGEINT)
+                           + (256 - nregs) * (CAST(1 AS HUGEINT) << 62))) AS BIGINT)
+           AS est_distinct,
+       CAST(256 - nregs AS BIGINT) AS zero_registers
+FROM z
+ORDER BY source
+"""

@@ -43,6 +43,7 @@ def _oracle_names():
         "doc_bpe_token_stats",
         "source_token_totals",
         "source_token_quota",
+        "source_distinct_hll",
         "doc_quality",
         "doc_langid",
         "doc_clean",
@@ -1068,3 +1069,44 @@ class TestSourceTokenQuota:
         a = source_token_quota(sf, budget_tokens=120, n_rank_buckets=4).to_pandas()
         b = source_token_quota(sf, budget_tokens=120, n_rank_buckets=64).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSourceDistinctHll:
+    def test_sketch_accuracy_on_large_vocab(self, ray_session, tmp_path):
+        """The SQL oracle pins the sketch bit-for-bit; this pins that
+        the sketch is a GOOD sketch: raw HLL at m=256 has ~6.5%
+        standard error, so a 20k-token vocabulary must estimate within
+        20%, and a small source must not leak tokens into it."""
+        from mlscraper_ray.functions.textstats import source_distinct_tokens_hll
+
+        rng = np.random.RandomState(5)
+        rows = []
+        big = [f"tok{i}" for i in range(20_000)]
+        for d in range(200):
+            toks = rng.choice(big, size=150, replace=False)
+            rows.append((d, "big", " ".join(toks)))
+        small = [f"s{i}" for i in range(300)]
+        for d in range(200, 260):
+            toks = rng.choice(small, size=20, replace=False)
+            rows.append((d, "small", " ".join(toks)))
+        d = tmp_path / "hll_docs"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "source": pa.array([r[1] for r in rows], pa.string()),
+                    "text": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = source_distinct_tokens_hll(str(d)).to_pandas().set_index("source")
+        true_big = len({t for r in rows if r[1] == "big" for t in r[2].split()})
+        true_small = len({t for r in rows if r[1] == "small" for t in r[2].split()})
+        est_big = out.loc["big", "est_distinct"]
+        assert abs(est_big - true_big) / true_big < 0.20, (est_big, true_big)
+        # small source is in raw-HLL's biased low range; just require
+        # the sketch kept the two sources separate (no cross-talk)
+        assert out.loc["small", "zero_registers"] > out.loc["big", "zero_registers"]
+        assert out.loc["small", "est_distinct"] < est_big / 10, (out.loc["small", "est_distinct"], true_small)
