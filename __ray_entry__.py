@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
         "doc_simhash": dedup.simhash_table,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # per-doc duplicated-span fraction (C4-style quality signal)
+        "doc_dup_span_stats": dedup.doc_dup_span_stats,
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
         "doc_token_stats": textstats.doc_token_stats,
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "doc_dup_span_stats": _dup_span_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_simhash": _simhash_table_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall
@@ -435,6 +438,12 @@ def _minhash_dedup_sql() -> str:
     from mlscraper_ray.functions.dedup import MINHASH_DEDUP_SQL
 
     return MINHASH_DEDUP_SQL
+
+
+def _dup_span_sql() -> str:
+    from mlscraper_ray.functions.dedup import DOC_DUP_SPAN_STATS_SQL
+
+    return DOC_DUP_SPAN_STATS_SQL
 
 
 def _components_sql(which: str) -> str:

@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "dedup_simhash_pairs",
         "doc_simhash",
         "dedup_ngram_jaccard",
+        "doc_dup_span_stats",
         "corpus_curate",
         "corpus_decontaminate",
         "source_token_totals",

@@ -929,3 +929,110 @@ ORDER BY doc_a, doc_b
 SIMHASH_TABLE_SQL = _SIMHASH_SIG_CTE + """
 SELECT doc_id, s AS simhash FROM sig ORDER BY doc_id
 """
+
+
+def doc_dup_span_stats(sf_dir: str, n: int = 3) -> pa.Table:
+    """Duplicated-span statistics per document — the C4/RefinedWeb-
+    style quality signal 'what fraction of this doc's spans appear
+    elsewhere in the corpus': for each doc, the count of its DISTINCT
+    word n-grams whose document frequency exceeds 1, plus the
+    integer-floor duplicated percentage.
+
+    Distributed plan (two shuffles of slim rows, no pair emission):
+      1. map_batches: explode each doc to DISTINCT (gram, doc_id)
+         rows tagged with a coarse gram-hash bucket (the
+         ngram_jaccard explode shape — |A| rides along locally);
+      2. groupby(gram_bucket).map_groups: per-gram document frequency
+         is the group-local row count (grams are distinct per doc), so
+         each row's dup flag is one vectorized transform — no df
+         table, no join;
+      3. coarse-bucket aggregate by doc_id sums flags and counts
+         grams.
+
+    Docs with no grams (empty text) have no rows on either side, so
+    they are absent from the output — matching the SQL oracle.
+    Integer-only arithmetic; bit-identical to DOC_DUP_SPAN_STATS_SQL.
+    """
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, ids, buckets = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            gset = word_gram_set(text, n)
+            grams.extend(gset)
+            ids.extend([doc_id] * len(gset))
+            buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "gram_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "gram" not in g.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "dup": pd.Series(dtype="int64")}
+            )
+        df_counts = g.groupby("gram", sort=False)["gram"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "dup": (df_counts > 1).astype("int64"),
+            }
+        )
+
+    flags = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("gram_bucket")
+        .map_groups(flag_bucket, batch_format="pandas")
+    )
+    stats = bucketed_aggregate(
+        flags, ["doc_id"], {"n_dup_grams": ("dup", "sum"), "n_grams": ("dup", "count")}
+    )
+
+    out = stats.to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_grams", "n_dup_grams", "dup_pct")
+            }
+        )
+    out = out.astype("int64")
+    out["dup_pct"] = (100 * out["n_dup_grams"]) // out["n_grams"]
+    out = out[["doc_id", "n_grams", "n_dup_grams", "dup_pct"]].sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_DUP_SPAN_STATS_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+df AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+per AS (
+    SELECT g.doc_id, CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS dup
+    FROM grams g JOIN df d USING (gram)
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_grams,
+       (100 * CAST(SUM(dup) AS BIGINT)) // COUNT(*) AS dup_pct
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -37,6 +37,7 @@ def _oracle_names():
         "events_range_join",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "doc_dup_span_stats",
         "dedup_simhash_pairs",
         "doc_simhash",
         "doc_token_stats",
@@ -1110,3 +1111,34 @@ class TestSourceDistinctHll:
         # the sketch kept the two sources separate (no cross-talk)
         assert out.loc["small", "zero_registers"] > out.loc["big", "zero_registers"]
         assert out.loc["small", "est_distinct"] < est_big / 10, (out.loc["small", "est_distinct"], true_small)
+
+
+class TestDocDupSpanStats:
+    def test_planted_dups_and_unique(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.dedup import doc_dup_span_stats
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",   # 0: dup of 1
+            "alpha beta gamma delta epsilon zeta",   # 1
+            "one two three four five six seven",     # 2: unique
+            "alpha beta gamma nine ten eleven",      # 3: shares 1 gram with 0/1
+            "",                                      # 4: empty -> absent
+            "hi",                                    # 5: short-doc fallback gram
+        ]
+        d = tmp_path / "spans"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = doc_dup_span_stats(str(d)).to_pandas().set_index("doc_id")
+        assert 4 not in out.index  # empty doc has no grams
+        assert out.loc[0, "dup_pct"] == 100 and out.loc[1, "dup_pct"] == 100
+        assert out.loc[2, "dup_pct"] == 0
+        assert out.loc[3, "n_dup_grams"] == 1  # only 'alpha beta gamma'
+        assert out.loc[5, "n_grams"] == 1 and out.loc[5, "dup_pct"] == 0
