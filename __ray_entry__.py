@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         dedup,
         joins,
+        packing,
+        scrub,
         similarity,
         streams,
         textstats,
@@ -168,6 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
+        # corpus-level body REWRITES: cross-doc duplicated-segment
+        # removal (MassiveText-style boilerplate scrub; count-guarded
+        # broadcast vs bucketed join-back) and consecutive-repeat
+        # collapse (pure streaming map)
+        "dedup_segments": scrub.dedup_segments,
+        "doc_collapse_repeats": scrub.collapse_repeats,
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
         "doc_token_stats": textstats.doc_token_stats,
@@ -184,6 +192,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         "doc_sample_10pct": textstats.sample_documents,
+        # per-language rate mixing (50% en / 20% rest, seedless)
+        "doc_sample_stratified": textstats.sample_stratified,
+        # training-sequence packing: exact global token offsets via a
+        # distributed prefix sum in md5(doc_id) rank order
+        "pack_sequences": packing.pack_sequences,
+        # per-source top-k vocabulary (partial counts -> bucketed sum
+        # -> per-block top-k cut -> tiny per-source merge)
+        "source_top_terms": packing.source_top_terms,
         # composite curation pipeline: lang filter -> quality gate ->
         # exact dedup -> deterministic sample, one streaming pass
         "corpus_curate": curate.curate_corpus,
@@ -281,7 +297,15 @@ def _simhash_pairs(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from mlscraper_ray.functions import aggregates, joins, similarity, streams, textstats
+    from mlscraper_ray.functions import (
+        aggregates,
+        joins,
+        packing,
+        scrub,
+        similarity,
+        streams,
+        textstats,
+    )
 
     return {
         "q1_pricing_summary": aggregates.Q1_SQL,
@@ -296,6 +320,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_dup_span_stats": _dup_span_sql(),
+        "dedup_segments": scrub.DEDUP_SEGMENTS_SQL,
+        "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
+        "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_simhash": _simhash_table_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall

@@ -133,6 +133,10 @@ def run_bench() -> dict:
         "doc_simhash",
         "dedup_ngram_jaccard",
         "doc_dup_span_stats",
+        "dedup_segments",
+        "doc_collapse_repeats",
+        "pack_sequences",
+        "source_top_terms",
         "corpus_curate",
         "corpus_decontaminate",
         "source_token_totals",

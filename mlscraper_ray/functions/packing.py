@@ -1,0 +1,229 @@
+"""Training-batch PACKING and per-source vocabulary statistics.
+
+:func:`pack_sequences` assigns every document its exact global token
+offset in a deterministic corpus order and derives the fixed-length
+training-sequence span it lands in — the operator that turns a curated
+corpus into ``seq_len``-token training rows. The corpus order is
+md5(doc_id) rank (seedless, rerun/cluster-stable — the same order the
+quota sampler uses, textstats.source_token_quota), so the output is
+worker-count-invariant and reproduced bit-for-bit by a SQL window
+cumsum (PACK_SEQUENCES_SQL).
+
+Computed as a DISTRIBUTED PREFIX SUM — no engine-wide sort/window:
+1. slim pass ships only (doc_id, n_tokens, rk, rb) where rb is a
+   RANGE bucket of rk's first two bytes (bucket order == rank order);
+   text never leaves the task. The bucket count ADAPTS to the corpus
+   (adaptive_n_buckets clamped to 2048 Ray-visible groups — the
+   measured sweet spot for groupby/map_groups on this engine);
+2. per-bucket token sums via the coarse-bucket aggregate; the driver
+   prefix runs over that O(n_buckets) table (bounded by the clamp);
+3. every bucket gets its base offset broadcast; ONE groupby co-locates
+   each bucket and a vectorized cumsum inside it yields every doc's
+   exact begin offset — per-group work is numpy over ~rows/n_buckets
+   rows.
+
+:func:`source_top_terms` is the classic per-source vocabulary summary
+(top-k terms by frequency): per-batch LOCAL term counts (pandas
+explode + groupby — the partial-aggregate idiom), a coarse-bucket
+global sum, per-block partial top-k, then a final tiny per-source
+merge — the full (source, term) count table never lands anywhere
+whole.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512, n_rank_buckets: int | None = None) -> pa.Table:
+    """Per-doc packing assignment: (doc_id, n_tokens, begin_off,
+    seq_begin, seq_end) where begin_off is the doc's global token
+    offset in md5(doc_id) rank order and seq_begin/seq_end are the
+    first/last ``seq_len``-token training sequences it overlaps.
+    Zero-token docs consume no space and are excluded (they have no
+    sequence span)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if n_rank_buckets is None:
+        # metadata-cheap parquet count; clamp keeps the Ray-visible
+        # group count in the measured groupby sweet spot while
+        # per-group cumsum work stays ~rows/n_buckets
+        from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+        n_rank_buckets = adaptive_n_buckets(docs.count(), rows_per_bucket=200_000, lo=64, hi=2048)
+    B = n_rank_buckets
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+        n_tokens = batch["text"].str.split().str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "rk": rk,
+                # RANGE partition on the first two bytes: rb order ==
+                # rk order, so per-bucket prefixes compose globally
+                "rb": [int(h[:4], 16) * B // 65536 for h in rk],
+            }
+        )
+
+    rows = docs.map_batches(slim, batch_format="pandas").materialize()
+
+    sums = bucketed_aggregate(rows, ["rb"], {"tok_sum": ("n_tokens", "sum")}).to_pandas()
+    base: dict[int, int] = {}
+    start = 0
+    for _, r in sums.sort_values("rb").iterrows():
+        base[int(r["rb"])] = start
+        start += int(r["tok_sum"])
+    base_ref = ray.put(base)
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "begin_off": pd.Series(dtype="int64"),
+                    "seq_begin": pd.Series(dtype="int64"),
+                    "seq_end": pd.Series(dtype="int64"),
+                }
+            )
+        start = ray.get(base_ref)[int(g["rb"].iloc[0])]
+        g = g.sort_values(["rk", "doc_id"])
+        cum = start + g["n_tokens"].cumsum()
+        begin = cum - g["n_tokens"]
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "begin_off": begin.astype("int64"),
+                "seq_begin": (begin // seq_len).astype("int64"),
+                "seq_end": ((cum - 1) // seq_len).astype("int64"),
+            }
+        )
+        return out[g["n_tokens"] > 0]
+
+    out = (
+        rows.groupby("rb")
+        .map_groups(pack_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_sequences_sql(seq_len: int = 512) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS begin_off,
+       CAST((cum - n_tokens) // {seq_len} AS BIGINT) AS seq_begin,
+       CAST((cum - 1) // {seq_len} AS BIGINT) AS seq_end
+FROM c WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
+PACK_SEQUENCES_SQL = pack_sequences_sql()
+
+
+def source_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-``k`` terms per source by global count (ties broken by term
+    text ascending) with a dense 1-based rank — the vocabulary /
+    contamination-screen summary run per mixture component."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {"source": batch["source"], "word": batch["text"].str.split()}
+        ).explode("word")
+        ex = ex[ex["word"].notna()]
+        out = (
+            ex.groupby(["source", "word"], sort=False).size().rename("cnt").reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = bucketed_aggregate(
+        docs.map_batches(local_counts, batch_format="pandas"),
+        ["source", "word"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block candidate cut: global counts are final after the
+        # bucketed aggregate, so a block's top-k per source is a safe
+        # superset contribution to the global top-k
+        return (
+            df.sort_values(["source", "cnt", "word"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "source" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "word": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["source", "word", "cnt", "rank"]]
+
+    out = (
+        counts.map_batches(partial_topk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["source", "rank"], ignore_index=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_top_terms_sql(k: int = 10) -> str:
+    return f"""
+WITH words AS (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT source, word, COUNT(*) AS cnt FROM words GROUP BY source, word),
+ranked AS (
+    SELECT source, word, cnt,
+           row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rank
+    FROM counts
+)
+SELECT source, word, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY source, rank
+"""
+
+
+SOURCE_TOP_TERMS_SQL = source_top_terms_sql()

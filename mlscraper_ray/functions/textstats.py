@@ -370,6 +370,47 @@ ORDER BY doc_id
 """
 
 
+def sample_stratified(sf_dir: str, rates: dict[str, int] | None = None, default_rate: int = 20) -> pa.Table:
+    """Per-LANGUAGE deterministic rate sampling — the language-mixing
+    downsample (keep 50% of English, 20% of everything else by
+    default). Same seedless md5(doc_id) predicate as
+    :func:`sample_documents` so the kept set is rerun- and
+    worker-count-stable; the tiny rate map is broadcast once."""
+    import hashlib
+
+    if rates is None:
+        rates = {"en": 50}
+    rates_ref = ray.put(dict(rates))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        mask = [
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 100
+            < r.get(lang, default_rate)
+            for d, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+ORDER BY doc_id
+"""
+
+
 def source_token_quota(sf_dir: str, budget_tokens: int = 1000, n_rank_buckets: int = 64) -> pa.Table:
     """Per-source TOKEN-BUDGET selection — the data-mixing primitive a
     training run uses ("at most N tokens from each source"): keep each

@@ -40,6 +40,11 @@ def _oracle_names():
         "doc_dup_span_stats",
         "dedup_simhash_pairs",
         "doc_simhash",
+        "dedup_segments",
+        "doc_collapse_repeats",
+        "doc_sample_stratified",
+        "pack_sequences",
+        "source_top_terms",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
