@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source top-k vocabulary (partial counts -> bucketed sum
         # -> per-block top-k cut -> tiny per-source merge)
         "source_top_terms": packing.source_top_terms,
+        # flagship composite: curation survivors stream straight into
+        # the packing prefix sum (no driver round-trip between stages)
+        "corpus_to_training": packing.corpus_to_training,
         # composite curation pipeline: lang filter -> quality gate ->
         # exact dedup -> deterministic sample, one streaming pass
         "corpus_curate": curate.curate_corpus,
@@ -325,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,
+        "corpus_to_training": packing.corpus_to_training_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_simhash": _simhash_table_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall

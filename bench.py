@@ -137,6 +137,7 @@ def run_bench() -> dict:
         "doc_collapse_repeats",
         "pack_sequences",
         "source_top_terms",
+        "corpus_to_training",
         "corpus_curate",
         "corpus_decontaminate",
         "source_token_totals",

@@ -92,15 +92,23 @@ _CURATE_AGGS = {
 }
 
 
+def curate_survivors_ds(
+    sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50
+) -> ray.data.Dataset:
+    """The curation pipeline as a streaming Dataset of slim survivor
+    rows (doc_id, n_tokens, quality_x10, n_dups) — the composition
+    point for downstream stages (packing.corpus_to_training consumes
+    this directly)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    survivors = ds.map_batches(_feat_filter_fn(min_quality_x10), batch_format="pandas")
+    deduped = bucketed_aggregate(survivors, ["h"], _CURATE_AGGS)
+    return deduped.map_batches(_sample_fn(sample_pct), batch_format="pandas")
+
+
 def curate_corpus(sf_dir: str, min_quality_x10: int = 500, sample_pct: int = 50) -> pa.Table:
     """Curated-corpus manifest: (doc_id, n_tokens, quality_x10, n_dups)
     for the surviving documents."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-
-    survivors = ds.map_batches(_feat_filter_fn(min_quality_x10), batch_format="pandas")
-    deduped = bucketed_aggregate(survivors, ["h"], _CURATE_AGGS)
-
-    out = deduped.map_batches(_sample_fn(sample_pct), batch_format="pandas").to_pandas()
+    out = curate_survivors_ds(sf_dir, min_quality_x10, sample_pct).to_pandas()
     if len(out) == 0:  # schema is lost on fully-empty results
         return pa.table(
             {

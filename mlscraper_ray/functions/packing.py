@@ -42,49 +42,33 @@ import ray.data
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
 
-def pack_sequences(sf_dir: str, seq_len: int = 512, n_rank_buckets: int | None = None) -> pa.Table:
-    """Per-doc packing assignment: (doc_id, n_tokens, begin_off,
-    seq_begin, seq_end) where begin_off is the doc's global token
-    offset in md5(doc_id) rank order and seq_begin/seq_end are the
-    first/last ``seq_len``-token training sequences it overlaps.
-    Zero-token docs consume no space and are excluded (they have no
-    sequence span)."""
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+def _add_rank(batch: pd.DataFrame) -> pd.DataFrame:
+    rk = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_tokens": batch["n_tokens"].astype("int64"),
+            "rk": rk,
+        }
     )
-    if n_rank_buckets is None:
-        # metadata-cheap parquet count; clamp keeps the Ray-visible
-        # group count in the measured groupby sweet spot while
-        # per-group cumsum work stays ~rows/n_buckets
-        from mlscraper_ray.functions.joins import adaptive_n_buckets
 
-        n_rank_buckets = adaptive_n_buckets(docs.count(), rows_per_bucket=200_000, lo=64, hi=2048)
-    B = n_rank_buckets
 
-    def slim(batch: pd.DataFrame) -> pd.DataFrame:
-        rk = [hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
-        n_tokens = batch["text"].str.split().str.len().astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "n_tokens": n_tokens,
-                "rk": rk,
-                # RANGE partition on the first two bytes: rb order ==
-                # rk order, so per-bucket prefixes compose globally
-                "rb": [int(h[:4], 16) * B // 65536 for h in rk],
-            }
+def _add_rb_fn(n_rank_buckets: int):
+    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        # RANGE partition on rk's first two bytes: rb order == rk
+        # order, so per-bucket prefixes compose globally
+        batch["rb"] = pd.Series(
+            [int(h[:4], 16) * n_rank_buckets // 65536 for h in batch["rk"]],
+            index=batch.index,
+            dtype="int32",
         )
+        return batch
 
-    rows = docs.map_batches(slim, batch_format="pandas").materialize()
+    return add_rb
 
-    sums = bucketed_aggregate(rows, ["rb"], {"tok_sum": ("n_tokens", "sum")}).to_pandas()
-    base: dict[int, int] = {}
-    start = 0
-    for _, r in sums.sort_values("rb").iterrows():
-        base[int(r["rb"])] = start
-        start += int(r["tok_sum"])
-    base_ref = ray.put(base)
 
+def _pack_bucket_fn(base_ref, seq_len: int):
     def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0 or "doc_id" not in g.columns:
             return pd.DataFrame(
@@ -111,13 +95,84 @@ def pack_sequences(sf_dir: str, seq_len: int = 512, n_rank_buckets: int | None =
         )
         return out[g["n_tokens"] > 0]
 
-    out = (
-        rows.groupby("rb")
-        .map_groups(pack_bucket, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
+    return pack_bucket
+
+
+def _rank_and_base(rows: ray.data.Dataset, n_rank_buckets: int | None):
+    """Shared prefix-sum head: rank every (doc_id, n_tokens) row,
+    bucket by rank range, and compute each bucket's base offset on the
+    driver (a table bounded by the adaptive clamp). Returns the
+    materialized bucketed rows, the base-offset broadcast ref, and the
+    bucket count."""
+    ranked = rows.map_batches(_add_rank, batch_format="pandas").materialize()
+    if n_rank_buckets is None:
+        # clamp keeps the Ray-visible group count in the measured
+        # groupby sweet spot while per-group cumsum work stays
+        # ~rows/n_buckets (vectorized)
+        from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+        n_rank_buckets = adaptive_n_buckets(
+            ranked.count(), rows_per_bucket=200_000, lo=64, hi=2048
+        )
+    bucketed = ranked.map_batches(_add_rb_fn(n_rank_buckets), batch_format="pandas").materialize()
+
+    sums = bucketed_aggregate(bucketed, ["rb"], {"tok_sum": ("n_tokens", "sum")}).to_pandas()
+    base: dict[int, int] = {}
+    start = 0
+    for _, r in sums.sort_values("rb").iterrows():
+        base[int(r["rb"])] = start
+        start += int(r["tok_sum"])
+    return bucketed, ray.put(base), n_rank_buckets
+
+
+def pack_token_rows(
+    rows: ray.data.Dataset, seq_len: int = 512, n_rank_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Core packing operator over any (doc_id, n_tokens) Dataset —
+    :func:`pack_sequences` feeds it the raw corpus,
+    :func:`corpus_to_training` the curated survivors."""
+    bucketed, base_ref, _ = _rank_and_base(rows, n_rank_buckets)
+    return bucketed.groupby("rb").map_groups(
+        _pack_bucket_fn(base_ref, seq_len), batch_format="pandas"
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _doc_token_rows(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": batch["text"].str.split().str.len().astype("int64"),
+            }
+        )
+
+    return docs.map_batches(slim, batch_format="pandas")
+
+
+_PACK_COLS = ("doc_id", "n_tokens", "begin_off", "seq_begin", "seq_end")
+
+
+def _pack_table(out: pd.DataFrame) -> pa.Table:
+    if len(out) == 0:  # schema is lost on fully-empty results
+        return pa.table({c: pa.array([], pa.int64()) for c in _PACK_COLS})
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out[list(_PACK_COLS)], preserve_index=False)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512, n_rank_buckets: int | None = None) -> pa.Table:
+    """Per-doc packing assignment: (doc_id, n_tokens, begin_off,
+    seq_begin, seq_end) where begin_off is the doc's global token
+    offset in md5(doc_id) rank order and seq_begin/seq_end are the
+    first/last ``seq_len``-token training sequences it overlaps.
+    Zero-token docs consume no space and are excluded (they have no
+    sequence span)."""
+    return _pack_table(
+        pack_token_rows(_doc_token_rows(sf_dir), seq_len, n_rank_buckets).to_pandas()
+    )
 
 
 def pack_sequences_sql(seq_len: int = 512) -> str:
@@ -145,6 +200,85 @@ ORDER BY doc_id
 
 
 PACK_SEQUENCES_SQL = pack_sequences_sql()
+
+
+def corpus_to_training(
+    sf_dir: str,
+    seq_len: int = 512,
+    min_quality_x10: int = 500,
+    sample_pct: int = 50,
+    n_rank_buckets: int | None = None,
+) -> pa.Table:
+    """FLAGSHIP COMPOSITE: curation -> training rows. The curate
+    pipeline's slim survivor Dataset (lang filter -> quality gate ->
+    exact dedup -> deterministic sample, curate.curate_survivors_ds)
+    streams STRAIGHT into the packing prefix sum — no driver
+    round-trip, no re-read; survivor n_tokens computed once in the
+    curation pass is the packing input. Offsets are exact over the
+    SURVIVING corpus (they tile [0, total_kept_tokens))."""
+    from mlscraper_ray.functions.curate import curate_survivors_ds
+
+    rows = curate_survivors_ds(sf_dir, min_quality_x10, sample_pct)
+    return _pack_table(pack_token_rows(rows, seq_len, n_rank_buckets).to_pandas())
+
+
+def corpus_to_training_sql(
+    seq_len: int = 512, min_quality_x10: int = 500, sample_pct: int = 50
+) -> str:
+    from mlscraper_ray.functions.curate import curate_corpus_sql
+
+    return f"""
+WITH survivors AS (
+    SELECT doc_id, n_tokens FROM ({curate_corpus_sql(min_quality_x10, sample_pct)})
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM survivors
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS begin_off,
+       CAST((cum - n_tokens) // {seq_len} AS BIGINT) AS seq_begin,
+       CAST((cum - 1) // {seq_len} AS BIGINT) AS seq_end
+FROM c WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
+def pack_sequences_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    seq_len: int = 512,
+    n_shards: int = 16,
+    window: int = 4,
+    n_rank_buckets: int | None = None,
+) -> dict:
+    """Production sink twin of :func:`pack_sequences`, RESUMABLE
+    (marker-last shard protocol, functions/sinks.py). The prefix-sum
+    head (rank + bucket + base offsets) runs ONCE into a materialized
+    slim dataset; shard s owns the rank buckets with rb % n_shards ==
+    s, so every bucket's cumsum is shard-local and the shard union ==
+    the contract table (base offsets are data-derived, hence identical
+    on resume)."""
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    bucketed, base_ref, _ = _rank_and_base(_doc_token_rows(sf_dir), n_rank_buckets)
+    pack = _pack_bucket_fn(base_ref, seq_len)
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = bucketed.map_batches(
+            lambda df, s=s: df[df["rb"] % n_shards == s], batch_format="pandas"
+        )
+        part.groupby("rb").map_groups(pack, batch_format="pandas").write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
 def source_top_terms(sf_dir: str, k: int = 10) -> pa.Table:

@@ -45,6 +45,7 @@ def _oracle_names():
         "doc_sample_stratified",
         "pack_sequences",
         "source_top_terms",
+        "corpus_to_training",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
