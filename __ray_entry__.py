@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         joins,
         packing,
+        pagerank,
         scrub,
         similarity,
         streams,
@@ -233,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": embed_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        # link-graph PageRank over the crawled corpus (integer
+        # fixed-point iterations; generator-truth constant-table
+        # oracle value-pins extraction + graph assembly + iteration)
+        "page_rank": pagerank.page_rank,
         # sources/sinks
         "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
@@ -408,6 +413,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "warc_roundtrip": lambda: truth_oracles.warc_truth_sql(0.01),
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
+        "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

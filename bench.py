@@ -125,6 +125,7 @@ def run_bench() -> dict:
         "events_range_join",
         "top_users_by_value",
         "event_value_percentiles",
+        "page_rank",
         "dedup_exact",
         "dedup_minhash",
         "neardup_clusters",

@@ -1,0 +1,387 @@
+"""Link-graph PageRank over the crawled corpus — the classic
+crawl-prioritization / document-quality signal a webtext pipeline
+computes between crawling and curation (cf. Common Crawl's harmonic
+centrality ranks).
+
+All arithmetic is INTEGER fixed-point (rank mass in units of
+``scale=10^12``, floor division everywhere), so the iterative
+algorithm is order-independent and bit-reproducible by an independent
+single-process loop — the same trick as ``embed_kmeans_int``. The
+truth oracle (pipelines/truth_oracles.pagerank_truth_sql) renders that
+loop's output over the corpus GENERATOR's own link records
+(corpusgen.page_links — independent of this module's parse/extract
+path), so the oracle value-pins the HTML link extraction too.
+
+Per-iteration update (nodes = corpus page urls, edges = extracted
+a[href] targets that exist in the corpus; out-degree counts in-graph
+edges only):
+
+    share(u)  = rank(u) // out(u)                 (out > 0)
+    dangling  = sum(rank(u) for out(u) == 0) // N
+    rank'(v)  = ((100-d)*scale + d*(inflow(v) + dangling)) // 100
+
+Distributed plan (components.py's iterative idiom):
+- edges extracted once (parse + extract_links per batch), existence-
+  filtered against the node set in crc32(url) buckets, out-degree
+  attached by one more bucket join — all ONE-TIME costs, materialized
+  slim (src, dst, out) rows;
+- each iteration = one bucket-cogroup (ranks meet edges on src) + one
+  coarse-bucket sum (contributions by dst, zero-seed rows carry every
+  node and its out-degree through), then the damping map; rank blocks
+  are coalesced per round (``repartition(shuffle=False)``) — Ray's
+  sort groupby otherwise doubles block count every feedback round
+  (measured in components.py);
+- the dangling total is the only driver scalar (one aggregate).
+
+Node keys are the url STRINGS end to end — no hash-collision caveat
+at 10^10-node scale; the slim iteration rows are (url, int64, int64).
+A count-guarded driver fast path (mirrors
+components.connected_components) pulls graphs under
+``driver_limit`` edges and runs the loop in-process; paths are
+bit-identical (tested with the guard forced off).
+"""
+from __future__ import annotations
+
+import os
+import zlib
+from collections import defaultdict
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+SCALE = 10**12
+
+
+def pagerank_reference(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> dict[str, int]:
+    """Single-process integer loop — the driver fast path AND the
+    truth-oracle generator (fed with corpusgen.page_links there)."""
+    n = len(nodes)
+    out: dict[str, int] = {u: 0 for u in nodes}
+    by_src: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s] += 1
+        by_src[s].append(d)
+    rank = {u: scale for u in nodes}
+    keep_pct = 100 - damping_pct
+    for _ in range(n_iters):
+        inflow = {u: 0 for u in nodes}
+        dangling = 0
+        for u in nodes:
+            if out[u] == 0:
+                dangling += rank[u]
+                continue
+            share = rank[u] // out[u]
+            for d in by_src[u]:
+                inflow[d] += share
+        dshare = dangling // n
+        rank = {
+            u: (keep_pct * scale + damping_pct * (inflow[u] + dshare)) // 100
+            for u in nodes
+        }
+    return rank
+
+
+def _bucket_of(keys, n_buckets: int) -> list[int]:
+    return [zlib.crc32(k.encode()) % n_buckets for k in keys]
+
+
+def pagerank_ds(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    driver_limit: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Core operator: ``nodes`` has column ``node`` (distinct),
+    ``edges`` columns ``src``/``dst`` (already existence-filtered,
+    multiplicity = link multiplicity). Returns (node, rank)."""
+    nodes = nodes.materialize()
+    edges = edges.materialize()
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    if n_edges <= driver_limit:
+        # driver pull bounded by the CONSTANT (fast path, same idiom
+        # as connected_components' union-find shortcut)
+        node_list = nodes.to_pandas()["node"].tolist()
+        if n_edges:
+            ep = edges.to_pandas()
+            edge_list = list(zip(ep["src"], ep["dst"]))
+        else:
+            edge_list = []  # empty Dataset -> to_pandas drops columns
+        rank = pagerank_reference(node_list, edge_list, n_iters, damping_pct, scale)
+        out = pd.DataFrame(
+            {"node": node_list, "rank": pd.Series([rank[u] for u in node_list], dtype="int64")}
+        )
+        return ray.data.from_pandas(out)
+
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(n_edges)
+    B = n_buckets
+    rank_blocks = max(4, min(512, n_nodes // 1_000_000 + 1))
+    keep_pct = 100 - damping_pct
+
+    # one-time: out-degree by src, attached to both edges and ranks
+    outdeg = bucketed_aggregate(edges, ["src"], {"out": ("src", "count")}).materialize()
+
+    # NOTE: every union below unions map_batches outputs of the SAME
+    # block type (pandas) — Ray's sort-shuffle boundary sampler
+    # asserts a single block type across the unioned stream
+    def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"].astype(str),
+                "dst": df["dst"].astype(str),
+                "val": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "bucket": pd.Series(_bucket_of(df["src"], B), index=df.index, dtype="int32"),
+                "side": "e",
+            }
+        )
+
+    def out_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"].astype(str),
+                "dst": "",
+                "val": df["out"].astype("int64"),
+                "bucket": pd.Series(_bucket_of(df["src"], B), index=df.index, dtype="int32"),
+                "side": "o",
+            }
+        )
+
+    def attach_out(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(columns={"val": "out"})
+        e = g.loc[g["side"] == "e", ["key", "dst"]]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype=str),
+                    "dst": pd.Series(dtype=str),
+                    "out": pd.Series(dtype="int64"),
+                }
+            )
+        m = e.merge(o, on="key", how="left")
+        return pd.DataFrame(
+            {"src": m["key"], "dst": m["dst"], "out": m["out"].fillna(0).astype("int64")}
+        )
+
+    edges_out = (
+        edges.map_batches(edge_side, batch_format="pandas")
+        .union(outdeg.map_batches(out_side, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach_out, batch_format="pandas")
+        .materialize()
+    )
+
+    # ranks: (node, rank, out); nodes absent from outdeg are dangling
+    def node_seed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype(str),
+                "o": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+            }
+        )
+
+    def outdeg_as_node(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].astype(str), "o": df["out"].astype("int64")})
+
+    ranks = (
+        bucketed_aggregate(
+            nodes.map_batches(node_seed, batch_format="pandas").union(
+                outdeg.map_batches(outdeg_as_node, batch_format="pandas")
+            ),
+            ["node"],
+            {"out": ("o", "max")},
+        )
+        .map_batches(
+            lambda df: df.assign(rank=pd.Series([scale] * len(df), index=df.index, dtype="int64")),
+            batch_format="pandas",
+        )
+        .repartition(rank_blocks, shuffle=False)
+        .materialize()
+    )
+
+    def dangling_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["out"] == 0, ["rank"]]
+
+    def rank_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype(str),
+                "dst": "",
+                "val": df["rank"].astype("int64"),
+                "out2": df["out"].astype("int64"),
+                "bucket": pd.Series(_bucket_of(df["node"], B), index=df.index, dtype="int32"),
+                "side": "r",
+            }
+        )
+
+    def edge_side2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"].astype(str),
+                "dst": df["dst"].astype(str),
+                "val": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "out2": df["out"].astype("int64"),
+                "bucket": pd.Series(_bucket_of(df["src"], B), index=df.index, dtype="int32"),
+                "side": "e",
+            }
+        )
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[g["side"] == "r", ["key", "val"]].rename(columns={"val": "rank"})
+        e = g.loc[g["side"] == "e", ["key", "dst", "out2"]]
+        if e.empty:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=str), "c": pd.Series(dtype="int64"), "o": pd.Series(dtype="int64")}
+            )
+        m = e.merge(r, on="key", how="left")
+        share = (m["rank"].fillna(0).astype("int64") // m["out2"].astype("int64")).astype("int64")
+        return pd.DataFrame({"node": m["dst"], "c": share, "o": pd.Series([0] * len(m), dtype="int64", index=m.index)})
+
+    for _ in range(n_iters):
+        dang_ds = ranks.map_batches(dangling_rows, batch_format="pandas")
+        dangling = dang_ds.sum("rank") or 0
+        dshare = dangling // n_nodes
+
+        seeds = ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype(str),
+                    "c": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                    "o": df["out"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        flow = (
+            ranks.map_batches(rank_side, batch_format="pandas")
+            .union(edges_out.map_batches(edge_side2, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(contribs, batch_format="pandas")
+        )
+        ranks = (
+            bucketed_aggregate(
+                flow.union(seeds), ["node"], {"inflow": ("c", "sum"), "out": ("o", "max")}
+            )
+            .map_batches(
+                lambda df, ds=dshare: pd.DataFrame(
+                    {
+                        "node": df["node"].astype(str),
+                        "out": df["out"].astype("int64"),
+                        "rank": (
+                            (keep_pct * scale + damping_pct * (df["inflow"].astype("int64") + ds))
+                            // 100
+                        ).astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .repartition(rank_blocks, shuffle=False)
+            .materialize()
+        )
+
+    return ranks.map_batches(lambda df: df[["node", "rank"]], batch_format="pandas")
+
+
+def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(nodes, edges) of the crawled-corpus page graph: nodes = page
+    urls (robots.txt rows excluded), edges = extracted a[href] targets
+    that exist in the corpus — the existence filter is a bucketed
+    membership join (no driver set)."""
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    from mlscraper_ray.stages.crawl_stages import extract_links
+
+    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+
+    def page_nodes(t: pa.Table) -> pa.Table:
+        urls = [u for u in t["url"].to_pylist() if not u.endswith("/robots.txt")]
+        return pa.table({"node": pa.array(urls, pa.string())})
+
+    nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
+
+    def raw_edges(t: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if url.endswith("/robots.txt"):
+                continue
+            doc = parse_html(html if isinstance(html, bytes) else html.encode())
+            for link in extract_links(doc, url):
+                srcs.append(url)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    raw = pages.map_batches(raw_edges, batch_format="pyarrow")
+
+    # existence filter: edges meet the node list in crc32(dst) buckets
+    B = adaptive_n_buckets(nodes.count())
+
+    def edge_keyed(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_pylist()
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "bucket": pa.array(_bucket_of(dst, B), pa.int32()),
+                "side": pa.array(["e"] * len(dst), pa.string()),
+            }
+        )
+
+    def node_keyed(t: pa.Table) -> pa.Table:
+        urls = t["node"].to_pylist()
+        return pa.table(
+            {
+                "src": pa.array([""] * len(urls), pa.string()),
+                "dst": t["node"],
+                "bucket": pa.array(_bucket_of(urls, B), pa.int32()),
+                "side": pa.array(["n"] * len(urls), pa.string()),
+            }
+        )
+
+    def keep_existing(g: pd.DataFrame) -> pd.DataFrame:
+        known = set(g.loc[g["side"] == "n", "dst"])
+        e = g[g["side"] == "e"]
+        out = e[e["dst"].isin(known)][["src", "dst"]]
+        if out.empty:
+            return pd.DataFrame({"src": pd.Series(dtype=str), "dst": pd.Series(dtype=str)})
+        return out
+
+    edges = (
+        raw.map_batches(edge_keyed, batch_format="pyarrow")
+        .union(nodes.map_batches(node_keyed, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(keep_existing, batch_format="pandas")
+    )
+    return nodes, edges
+
+
+def page_rank(
+    sf_dir: str, n_iters: int = 4, damping_pct: int = 85, **kwargs
+) -> pa.Table:
+    """Driver-table wrapper (url, rank) sorted by url;
+    :func:`pagerank_ds` is the streaming core."""
+    nodes, edges = corpus_link_graph(sf_dir)
+    out = pagerank_ds(nodes, edges, n_iters, damping_pct, **kwargs).to_pandas()
+    out = out.rename(columns={"node": "url"}).sort_values("url", ignore_index=True)
+    out["rank"] = out["rank"].astype("int64")
+    return pa.Table.from_pandas(out[["url", "rank"]], preserve_index=False)

@@ -145,3 +145,41 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
         )
 
     return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", key, build)
+
+
+def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> str:
+    """(url, rank) from the single-process integer PageRank loop run
+    over the corpus GENERATOR's own link records (corpusgen.page_links
+    — independent of the pipeline's HTML parse / link-extraction
+    path), so the oracle value-pins extraction, graph assembly and the
+    distributed iteration in one table. Integer fixed-point arithmetic
+    (functions/pagerank.py) makes the loop's output exact, so the
+    constant table hash-matches bit-for-bit."""
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (f"{n_iters}:{damping_pct}:" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        nodes, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                nodes.append(u)
+                urlset.add(u)
+        edges = [
+            (spec.page_url(h, i), t)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+            for t in corpusgen.page_links(spec, h, i)
+            if t in urlset
+        ]
+        rank = pagerank_mod.pagerank_reference(nodes, edges, n_iters, damping_pct)
+        rows = sorted((u, rank[u]) for u in nodes)
+        return values_sql(rows, ["url", "rank"]) + ' ORDER BY "url"'
+
+    return _cached(corpus_dir, "pagerank", key, build)

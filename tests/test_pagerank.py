@@ -1,0 +1,124 @@
+"""Link-graph PageRank (functions/pagerank.py): the distributed
+iterative path against the single-process integer reference loop, and
+the corpus graph against the generator's own link records."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from mlscraper_ray.functions.pagerank import (
+    SCALE,
+    corpus_link_graph,
+    page_rank,
+    pagerank_ds,
+    pagerank_reference,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _graph_ds(nodes, edges):
+    n = ray.data.from_pandas(pd.DataFrame({"node": nodes}))
+    e = ray.data.from_pandas(
+        pd.DataFrame({"src": [s for s, _ in edges], "dst": [d for _, d in edges]})
+    )
+    return n, e
+
+
+def _crafted():
+    """Hub + chain + dangling sinks + an isolate (out=0 AND in=0)."""
+    nodes = [f"n{i}" for i in range(12)]
+    edges = []
+    for i in range(1, 8):
+        edges.append((f"n{i}", "n0"))  # hub in-links
+    edges += [("n0", "n1"), ("n1", "n2"), ("n2", "n3")]  # chain
+    edges += [("n4", "n9"), ("n5", "n9")]  # n9, n10 dangling sinks
+    edges += [("n6", "n10")]
+    # n11 isolate; duplicate edge for multiplicity semantics
+    edges.append(("n0", "n1"))
+    return nodes, edges
+
+
+class TestPagerankCrafted:
+    def test_distributed_matches_reference_loop(self, ray_session):
+        nodes, edges = _crafted()
+        want = pagerank_reference(nodes, edges)
+        n, e = _graph_ds(nodes, edges)
+        out = pagerank_ds(n, e, driver_limit=0, n_buckets=5).to_pandas()
+        got = dict(zip(out["node"], out["rank"]))
+        assert got == want
+
+    def test_driver_path_identical(self, ray_session):
+        nodes, edges = _crafted()
+        n, e = _graph_ds(nodes, edges)
+        fast = pagerank_ds(n, e).to_pandas()
+        n2, e2 = _graph_ds(nodes, edges)
+        slow = pagerank_ds(n2, e2, driver_limit=0).to_pandas()
+        f = dict(zip(fast["node"], fast["rank"]))
+        s = dict(zip(slow["node"], slow["rank"]))
+        assert f == s
+
+    def test_invariant_to_bucket_count(self, ray_session):
+        nodes, edges = _crafted()
+        ranks = []
+        for nb in (1, 3, 17):
+            n, e = _graph_ds(nodes, edges)
+            out = pagerank_ds(n, e, driver_limit=0, n_buckets=nb).to_pandas()
+            ranks.append(dict(zip(out["node"], out["rank"])))
+        assert ranks[0] == ranks[1] == ranks[2]
+
+    def test_rank_mass_conserved_and_ordered(self):
+        nodes, edges = _crafted()
+        rank = pagerank_reference(nodes, edges)
+        n = len(nodes)
+        total = sum(rank.values())
+        # floor divisions only LOSE mass; bounded by 1 unit per
+        # division per iteration — total stays within a tiny band
+        assert n * SCALE * 0.98 <= total <= n * SCALE
+        # the hub (7 in-links) outranks the isolate; the isolate gets
+        # exactly the no-inflow floor value
+        assert rank["n0"] > rank["n11"]
+        dshare_free = (15 * SCALE) // 100
+        assert rank["n11"] >= dshare_free
+
+    def test_empty_edges_uniform(self, ray_session):
+        nodes = ["a", "b", "c"]
+        n, e = _graph_ds(nodes, [])
+        out = pagerank_ds(n, e).to_pandas()
+        # all-dangling graph: every node identical by symmetry
+        assert len(set(out["rank"])) == 1
+        assert len(out) == 3
+
+
+class TestPagerankCorpus:
+    def test_matches_generator_truth(self, ray_session):
+        """End-to-end pin: parse + link extraction + existence filter
+        + iteration == the reference loop over corpusgen.page_links
+        (truth recorded at synthesis time, independent of the DOM)."""
+        from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+        from mlscraper_ray.sources import corpusgen
+
+        _, spec = corpus_for_sf(0.001)
+        nodes, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                nodes.append(u)
+                urlset.add(u)
+        edges = [
+            (spec.page_url(h, i), t)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+            for t in corpusgen.page_links(spec, h, i)
+            if t in urlset
+        ]
+        want = pagerank_reference(nodes, edges)
+        out = page_rank(SF_DIR)
+        got = dict(zip(out["url"].to_pylist(), out["rank"].to_pylist()))
+        assert got == want
+
+    def test_distributed_corpus_path_matches_driver(self, ray_session):
+        a = page_rank(SF_DIR)
+        b = page_rank(SF_DIR, driver_limit=0)
+        assert a.equals(b)
