@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-point iterations; generator-truth constant-table
         # oracle value-pins extraction + graph assembly + iteration)
         "page_rank": pagerank.page_rank,
+        # per-url in-link / anchor-text aggregation (same graph, two
+        # bucket-shuffle rounds of slim rows; generator-truth oracle)
+        "link_stats": pagerank.link_stats,
         # sources/sinks
         "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
@@ -414,6 +417,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
+        "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

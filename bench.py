@@ -126,6 +126,7 @@ def run_bench() -> dict:
         "top_users_by_value",
         "event_value_percentiles",
         "page_rank",
+        "link_stats",
         "dedup_exact",
         "dedup_minhash",
         "neardup_clusters",

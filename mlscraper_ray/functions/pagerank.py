@@ -385,3 +385,168 @@ def page_rank(
     out = out.rename(columns={"node": "url"}).sort_values("url", ignore_index=True)
     out["rank"] = out["rank"].astype("int64")
     return pa.Table.from_pandas(out[["url", "rank"]], preserve_index=False)
+
+
+def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-url link statistics over the crawled-corpus page graph —
+    the anchor-text / in-link signal of classic web pipelines: for
+    every corpus page url, ``in_links`` (in-corpus pages linking to
+    it; each source page counts once, extract_links' first-occurrence
+    dedup), ``src_hosts`` (distinct linking hosts), ``out_links``
+    (in-corpus out-degree), and ``top_anchor`` (most frequent in-link
+    anchor text, ties to the lexicographically smallest; empty-string
+    anchors are ignored, "" when no in-links).
+
+    Two shuffle rounds of slim rows: (1) extracted (src, dst, anchor)
+    edges meet the node list in crc32(dst) buckets — existence filter,
+    emitting in-rows keyed by dst and out-rows keyed by src; (2) those
+    meet the node seed rows in crc32(url) buckets where one vectorized
+    pandas pass per bucket computes all four stats. Html never leaves
+    the parse stage; anchors are the only strings that shuffle."""
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    from mlscraper_ray.sources.corpusgen import url_host
+    from mlscraper_ray.stages.crawl_stages import extract_links_anchors
+
+    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+
+    def page_nodes(t: pa.Table) -> pa.Table:
+        urls = [u for u in t["url"].to_pylist() if not u.endswith("/robots.txt")]
+        return pa.table({"node": pa.array(urls, pa.string())})
+
+    nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
+    B = n_buckets if n_buckets is not None else adaptive_n_buckets(nodes.count())
+
+    def raw_edges(t: pa.Table) -> pa.Table:
+        srcs, dsts, anchors = [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if url.endswith("/robots.txt"):
+                continue
+            doc = parse_html(html if isinstance(html, bytes) else html.encode())
+            for link, anchor in extract_links_anchors(doc, url):
+                srcs.append(url)
+                dsts.append(link)
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    # round 1: existence filter in crc32(dst) buckets; the node side
+    # rides along as marker rows (same block type everywhere)
+    def edge_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["src"].astype(str),
+                "dst": df["dst"].astype(str),
+                "anchor": df["anchor"].astype(str),
+                "bucket": pd.Series(_bucket_of(df["dst"], B), index=df.index, dtype="int32"),
+                "side": "e",
+            }
+        )
+
+    def node_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": "",
+                "dst": df["node"].astype(str),
+                "anchor": "",
+                "bucket": pd.Series(_bucket_of(df["node"], B), index=df.index, dtype="int32"),
+                "side": "n",
+            }
+        )
+
+    def in_out_rows(g: pd.DataFrame) -> pd.DataFrame:
+        known = set(g.loc[g["side"] == "n", "dst"])
+        e = g[g["side"] == "e"]
+        e = e[e["dst"].isin(known)]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=str),
+                    "host": pd.Series(dtype=str),
+                    "anchor": pd.Series(dtype=str),
+                    "inl": pd.Series(dtype="int64"),
+                    "outl": pd.Series(dtype="int64"),
+                }
+            )
+        inr = pd.DataFrame(
+            {
+                "url": e["dst"].to_numpy(),
+                "host": [url_host(s) for s in e["src"]],
+                "anchor": e["anchor"].to_numpy(),
+                "inl": 1,
+                "outl": 0,
+            }
+        )
+        outr = pd.DataFrame(
+            {"url": e["src"].to_numpy(), "host": "", "anchor": "", "inl": 0, "outl": 1}
+        )
+        return pd.concat([inr, outr], ignore_index=True).astype({"inl": "int64", "outl": "int64"})
+
+    flows = (
+        pages.map_batches(raw_edges, batch_format="pyarrow")
+        .map_batches(edge_keyed, batch_format="pandas")
+        .union(nodes.map_batches(node_keyed, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(in_out_rows, batch_format="pandas")
+    )
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": df["node"].astype(str),
+                "host": "",
+                "anchor": "",
+                "inl": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "outl": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+            }
+        )
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = pd.Series(_bucket_of(df["url"], B), index=df.index, dtype="int32")
+        return df
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("url", sort=False).agg(
+            in_links=("inl", "sum"), out_links=("outl", "sum")
+        )
+        hosts = g[g["host"] != ""].groupby("url")["host"].nunique()
+        out = agg.join(hosts.rename("src_hosts")).reset_index()
+        out["src_hosts"] = out["src_hosts"].fillna(0).astype("int64")
+        an = g[g["anchor"] != ""].groupby(["url", "anchor"]).size().reset_index(name="n")
+        if len(an):
+            an = an.sort_values(
+                ["url", "n", "anchor"], ascending=[True, False, True]
+            ).drop_duplicates("url")
+            out = out.merge(
+                an[["url", "anchor"]].rename(columns={"anchor": "top_anchor"}),
+                on="url",
+                how="left",
+            )
+            out["top_anchor"] = out["top_anchor"].fillna("")
+        else:
+            out["top_anchor"] = ""
+        return out.astype({"in_links": "int64", "out_links": "int64"})
+
+    return (
+        flows.union(nodes.map_batches(seed_rows, batch_format="pandas"))
+        .map_batches(rebucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(stats, batch_format="pandas")
+    )
+
+
+def link_stats(sf_dir: str, **kwargs) -> pa.Table:
+    """Driver-table wrapper: (url, in_links, src_hosts, out_links,
+    top_anchor) sorted by url; :func:`corpus_link_stats` is the
+    streaming core."""
+    out = corpus_link_stats(sf_dir, **kwargs).to_pandas()
+    out = out.sort_values("url", ignore_index=True)
+    cols = ["url", "in_links", "src_hosts", "out_links", "top_anchor"]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)

@@ -183,3 +183,52 @@ def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> st
         return values_sql(rows, ["url", "rank"]) + ' ORDER BY "url"'
 
     return _cached(corpus_dir, "pagerank", key, build)
+
+
+def link_stats_truth_sql(sf: float) -> str:
+    """(url, in_links, src_hosts, out_links, top_anchor) per corpus
+    page, recomputed from corpusgen.page_links plus the generator's
+    anchor rule (last path segment — render_page writes
+    ``<a href=u>{u.rsplit('/',1)[-1]}</a>``), independent of the DOM
+    parse / anchor-extraction path under test."""
+    from collections import Counter, defaultdict
+
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = _source_digest(corpusgen)
+
+    def build() -> str:
+        urls, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                urls.append(u)
+                urlset.add(u)
+        inl: dict[str, int] = defaultdict(int)
+        outl: dict[str, int] = defaultdict(int)
+        hosts: dict[str, set] = defaultdict(set)
+        anchors: dict[str, Counter] = defaultdict(Counter)
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                src = spec.page_url(h, i)
+                for t in corpusgen.page_links(spec, h, i):
+                    if t not in urlset:
+                        continue
+                    outl[src] += 1
+                    inl[t] += 1
+                    hosts[t].add(corpusgen.url_host(src))
+                    anchors[t][t.rsplit("/", 1)[-1]] += 1
+        rows = []
+        for u in sorted(urls):
+            top = ""
+            if anchors[u]:
+                top = min(anchors[u], key=lambda a: (-anchors[u][a], a))
+            rows.append((u, inl[u], len(hosts[u]), outl[u], top))
+        return (
+            values_sql(rows, ["url", "in_links", "src_hosts", "out_links", "top_anchor"])
+            + ' ORDER BY "url"'
+        )
+
+    return _cached(corpus_dir, "linkstats", key, build)

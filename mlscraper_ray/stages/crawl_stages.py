@@ -49,6 +49,26 @@ def extract_links(doc, base_url: str) -> list[str]:
     return out
 
 
+def extract_links_anchors(doc, base_url: str) -> list[tuple[str, str]]:
+    """(url, anchor_text) twin of :func:`extract_links` — SAME
+    absolutize/scheme/dedup semantics (first occurrence wins, so the
+    anchor is the first link's text), pinned equal by a test. Feeds
+    the link_stats anchor aggregation (functions/pagerank.py)."""
+    seen = set()
+    out = []
+    for a in doc.select("a"):
+        href = a.attrs.get("href")
+        if not href or not isinstance(href, str):
+            continue
+        absu = urljoin(base_url, href.split("#", 1)[0])
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append((absu, a.text))
+    return out
+
+
 class FetchParseExtract:
     """url rows -> fetched + parsed + extracted rows.
 

@@ -122,3 +122,82 @@ class TestPagerankCorpus:
         a = page_rank(SF_DIR)
         b = page_rank(SF_DIR, driver_limit=0)
         assert a.equals(b)
+
+
+class TestLinkStats:
+    def test_anchor_twin_matches_extract_links(self):
+        """extract_links_anchors must preserve extract_links' exact
+        url semantics (absolutize, scheme filter, first-occurrence
+        dedup) — anchors ride along, urls identical."""
+        from mlscraper_ray.htmlcore.dom import parse_html
+        from mlscraper_ray.stages.crawl_stages import (
+            extract_links,
+            extract_links_anchors,
+        )
+
+        html = (
+            b'<html><body>'
+            b'<a href="/a#frag">first</a>'
+            b'<a href="http://x.com/b">second</a>'
+            b'<a href="/a">dup-later</a>'
+            b'<a href="urn:u:1">skipme</a>'
+            b'<a>nohref</a>'
+            b'<a href="ftp://x/z">scheme</a>'
+            b'</body></html>'
+        )
+        doc = parse_html(html)
+        base = "http://h.example/p/0"
+        urls = extract_links(doc, base)
+        pairs = extract_links_anchors(doc, base)
+        assert [u for u, _ in pairs] == urls
+        got = dict(pairs)
+        assert got["http://h.example/a"] == "first"  # first occurrence wins
+        assert got["http://x.com/b"] == "second"
+
+    def test_matches_generator_truth(self, ray_session):
+        from collections import Counter, defaultdict
+
+        from mlscraper_ray.functions.pagerank import link_stats
+        from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+        from mlscraper_ray.sources import corpusgen
+
+        _, spec = corpus_for_sf(0.001)
+        urls, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                urls.append(u)
+                urlset.add(u)
+        inl = defaultdict(int)
+        outl = defaultdict(int)
+        hosts = defaultdict(set)
+        anchors = defaultdict(Counter)
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                src = spec.page_url(h, i)
+                for t in corpusgen.page_links(spec, h, i):
+                    if t not in urlset:
+                        continue
+                    outl[src] += 1
+                    inl[t] += 1
+                    hosts[t].add(corpusgen.url_host(src))
+                    anchors[t][t.rsplit("/", 1)[-1]] += 1
+        out = link_stats(SF_DIR).to_pandas()
+        assert sorted(out["url"]) == sorted(urls)
+        for row in out.itertuples(index=False):
+            assert row.in_links == inl[row.url], row
+            assert row.out_links == outl[row.url], row
+            assert row.src_hosts == len(hosts[row.url]), row
+            want_top = (
+                min(anchors[row.url], key=lambda a: (-anchors[row.url][a], a))
+                if anchors[row.url]
+                else ""
+            )
+            assert row.top_anchor == want_top, row
+
+    def test_invariant_to_bucket_count(self, ray_session):
+        from mlscraper_ray.functions.pagerank import link_stats
+
+        a = link_stats(SF_DIR, n_buckets=3)
+        b = link_stats(SF_DIR, n_buckets=101)
+        assert a.equals(b)
