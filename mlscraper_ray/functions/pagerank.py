@@ -643,3 +643,44 @@ def link_stats(sf_dir: str, **kwargs) -> pa.Table:
     out = out.sort_values("url", ignore_index=True)
     cols = ["url", "in_links", "src_hosts", "out_links", "top_anchor"]
     return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+def page_rank_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window: int = 4,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    **kwargs,
+) -> dict:
+    """Production sink twin of :func:`page_rank`, RESUMABLE: the
+    (url, rank) manifest is partitioned by crc32(url) shard, each
+    shard directory committed by the marker-last ``_SUCCESS``
+    protocol shared with ``extract_all_to_parquet`` /
+    ``exact_dedup_to_parquet``. The expensive part (graph build +
+    iterations) runs ONCE into a materialized slim rank dataset;
+    per-shard filter + write then run as ``window`` concurrent
+    Dataset executions. Returns {"written": n, "skipped": n}."""
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    nodes, edges = corpus_link_graph(sf_dir, **kwargs)
+    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct).materialize()
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = ranks.map_batches(
+            lambda df, s=s: (
+                df[[zlib.crc32(u.encode()) % n_shards == s for u in df["node"]]]
+                .rename(columns={"node": "url"})
+                .sort_values("url", ignore_index=True)
+            ),
+            batch_format="pandas",
+        )
+        part.write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)

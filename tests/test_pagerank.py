@@ -214,3 +214,39 @@ def test_page_rank_bucketed_existence_matches_broadcast(ray_session):
     a = page_rank(SF_DIR)
     b = page_rank(SF_DIR, broadcast_limit=0)
     assert a.equals(b)
+
+
+def test_page_rank_sink_matches_table_and_resumes(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mlscraper_ray.functions.pagerank import page_rank_to_parquet
+
+    out_dir = str(tmp_path / "pr")
+    r1 = page_rank_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r1 == {"written": 8, "skipped": 0}
+    files = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+    got = (
+        pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        .sort_values("url", ignore_index=True)
+    )
+    want = page_rank(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(got[["url", "rank"]], want)
+    # full resume: no shard rewritten, bytes untouched
+    import os
+
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    r2 = page_rank_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r2 == {"written": 0, "skipped": 8}
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+    # partial resume: one incomplete shard is wiped + rewritten
+    os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
+    r3 = page_rank_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r3 == {"written": 1, "skipped": 7}
+    files2 = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+    got2 = (
+        pd.concat([pq.read_table(f).to_pandas() for f in files2], ignore_index=True)
+        .sort_values("url", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got2[["url", "rank"]], want)
