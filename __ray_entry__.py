@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-url in-link / anchor-text aggregation (same graph, two
         # bucket-shuffle rounds of slim rows; generator-truth oracle)
         "link_stats": pagerank.link_stats,
+        # host-level authority roll-up (domain-reputation signal:
+        # page counts, integer rank mass, distinct in/out host degree)
+        "host_rank": pagerank.host_rank,
         # sources/sinks
         "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
@@ -418,6 +421,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
+        "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

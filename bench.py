@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "event_value_percentiles",
         "page_rank",
         "link_stats",
+        "host_rank",
         "dedup_exact",
         "dedup_minhash",
         "neardup_clusters",

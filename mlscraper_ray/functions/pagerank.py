@@ -684,3 +684,104 @@ def page_rank_to_parquet(
         part.write_parquet(dest)
 
     return run_resumable_shards(out_dir, n_shards, window, write_shard)
+
+
+def host_rank_ds(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    ranks: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Host-level authority roll-up — the domain-reputation signal
+    (cf. Common Crawl's host-level rank files): per host,
+    ``n_pages`` (corpus pages), ``rank_total`` (integer sum of page
+    ranks — exact, ranks are fixed-point ints), ``in_hosts`` /
+    ``out_hosts`` (distinct OTHER hosts with at least one edge
+    in / out). Everything is slim distributed aggregates: page rows
+    fold to per-host partials, cross-host edges dedup to distinct
+    (src_host, dst_host) pairs via the coarse-bucket aggregate
+    (host-pair cardinality ≤ hosts², far below edge count), then one
+    additive union-aggregate by host combines the three facets —
+    no driver-side table of hosts anywhere."""
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [url_host(u) for u in df["node"]],
+                "rank_total": df["rank"].astype("int64"),
+                "n_pages": pd.Series([1] * len(df), index=df.index, dtype="int64"),
+                "in_hosts": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "out_hosts": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+            }
+        )
+
+    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sh = [url_host(s) for s in df["src"]]
+        dh = [url_host(d) for d in df["dst"]]
+        p = pd.DataFrame({"sh": sh, "dh": dh})
+        p = p[p["sh"] != p["dh"]].drop_duplicates()  # local pre-dedup
+        return p
+
+    # materialized: the pair table feeds BOTH degree sides below (an
+    # unmaterialized Dataset would re-execute the whole dedup twice)
+    pairs = bucketed_aggregate(
+        edges.map_batches(host_pairs, batch_format="pandas"),
+        ["sh", "dh"],
+        {"one": ("sh", "count")},
+    ).materialize()
+
+    def in_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["dh"].astype(str),
+                "rank_total": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "n_pages": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "in_hosts": pd.Series([1] * len(df), index=df.index, dtype="int64"),
+                "out_hosts": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+            }
+        )
+
+    def out_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["sh"].astype(str),
+                "rank_total": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "n_pages": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "in_hosts": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "out_hosts": pd.Series([1] * len(df), index=df.index, dtype="int64"),
+            }
+        )
+
+    parts = _coalesce(
+        ranks.map_batches(rank_part, batch_format="pandas")
+        .union(pairs.map_batches(in_side, batch_format="pandas"))
+        .union(pairs.map_batches(out_side, batch_format="pandas")),
+        nodes.count(),
+    )
+    return bucketed_aggregate(
+        parts,
+        ["host"],
+        {
+            "n_pages": ("n_pages", "sum"),
+            "rank_total": ("rank_total", "sum"),
+            "in_hosts": ("in_hosts", "sum"),
+            "out_hosts": ("out_hosts", "sum"),
+        },
+    )
+
+
+def host_rank(
+    sf_dir: str, n_iters: int = 4, damping_pct: int = 85, **kwargs
+) -> pa.Table:
+    """Driver-table wrapper: (host, n_pages, rank_total, in_hosts,
+    out_hosts) sorted by host; :func:`host_rank_ds` is the streaming
+    core."""
+    nodes, edges = corpus_link_graph(sf_dir, **kwargs)
+    edges = edges.materialize()
+    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct)
+    out = host_rank_ds(nodes, edges, ranks).to_pandas()
+    out = out.sort_values("host", ignore_index=True).astype(
+        {c: "int64" for c in ("n_pages", "rank_total", "in_hosts", "out_hosts")}
+    )
+    cols = ["host", "n_pages", "rank_total", "in_hosts", "out_hosts"]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)

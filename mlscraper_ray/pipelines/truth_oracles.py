@@ -232,3 +232,61 @@ def link_stats_truth_sql(sf: float) -> str:
         )
 
     return _cached(corpus_dir, "linkstats", key, build)
+
+
+def host_rank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> str:
+    """(host, n_pages, rank_total, in_hosts, out_hosts) recomputed
+    from corpusgen.page_links + the single-process integer PageRank
+    loop — independent of the parse/extract/aggregation path under
+    test. rank_total is an exact integer sum of fixed-point page
+    ranks; in/out_hosts count distinct OTHER hosts with an in-corpus
+    edge."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (f"host:{n_iters}:{damping_pct}:" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        nodes, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                nodes.append(u)
+                urlset.add(u)
+        edges = [
+            (spec.page_url(h, i), t)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+            for t in corpusgen.page_links(spec, h, i)
+            if t in urlset
+        ]
+        rank = pagerank_mod.pagerank_reference(nodes, edges, n_iters, damping_pct)
+        n_pages: dict[str, int] = defaultdict(int)
+        rank_total: dict[str, int] = defaultdict(int)
+        inh: dict[str, set] = defaultdict(set)
+        outh: dict[str, set] = defaultdict(set)
+        for u in nodes:
+            hh = corpusgen.url_host(u)
+            n_pages[hh] += 1
+            rank_total[hh] += rank[u]
+        for s, d in edges:
+            sh, dh = corpusgen.url_host(s), corpusgen.url_host(d)
+            if sh != dh:
+                inh[dh].add(sh)
+                outh[sh].add(dh)
+        rows = [
+            (hh, n_pages[hh], rank_total[hh], len(inh[hh]), len(outh[hh]))
+            for hh in sorted(n_pages)
+        ]
+        return (
+            values_sql(rows, ["host", "n_pages", "rank_total", "in_hosts", "out_hosts"])
+            + ' ORDER BY "host"'
+        )
+
+    return _cached(corpus_dir, "hostrank", key, build)

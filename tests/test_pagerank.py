@@ -250,3 +250,48 @@ def test_page_rank_sink_matches_table_and_resumes(ray_session, tmp_path):
         .sort_values("url", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got2[["url", "rank"]], want)
+
+
+class TestHostRank:
+    def test_conserves_page_level_totals(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_rank
+
+        hr = host_rank(SF_DIR).to_pandas()
+        pr = page_rank(SF_DIR).to_pandas()
+        assert hr["n_pages"].sum() == len(pr)
+        assert hr["rank_total"].sum() == pr["rank"].sum()
+        # in/out distinct-host degrees are symmetric in total
+        assert hr["in_hosts"].sum() == hr["out_hosts"].sum()
+        assert (hr["n_pages"] > 0).all()
+
+    def test_crafted_cross_host_degrees(self, ray_session):
+        """3 hosts, a->b twice (distinct pages), b->c, plus an
+        intra-host edge that must NOT count toward host degree."""
+        from mlscraper_ray.functions.pagerank import host_rank_ds, pagerank_ds
+
+        nodes = [
+            "http://a.com/1", "http://a.com/2",
+            "http://b.com/1", "http://c.com/1",
+        ]
+        edges = [
+            ("http://a.com/1", "http://b.com/1"),
+            ("http://a.com/2", "http://b.com/1"),
+            ("http://b.com/1", "http://c.com/1"),
+            ("http://a.com/1", "http://a.com/2"),  # intra-host
+        ]
+        n, e = _graph_ds(nodes, edges)
+        ranks = pagerank_ds(n, e)
+        out = (
+            host_rank_ds(n, e, ranks)
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        got = {r.host: r for r in out.itertuples(index=False)}
+        assert got["a.com"].n_pages == 2
+        assert got["a.com"].out_hosts == 1 and got["a.com"].in_hosts == 0
+        assert got["b.com"].in_hosts == 1 and got["b.com"].out_hosts == 1
+        assert got["c.com"].in_hosts == 1 and got["c.com"].out_hosts == 0
+        from mlscraper_ray.functions.pagerank import pagerank_reference
+
+        want = pagerank_reference(nodes, edges)
+        assert got["a.com"].rank_total == want["http://a.com/1"] + want["http://a.com/2"]
