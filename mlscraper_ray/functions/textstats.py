@@ -664,3 +664,192 @@ SELECT source,
 FROM z
 ORDER BY source
 """
+
+
+def doc_unigram_surprisal(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-doc unigram-surprisal LM quality score — the CCNet-style
+    'how typical is this text of the corpus' signal, INTEGER-exact so
+    it hash-compares against SQL: with corpus unigram counts ``c(w)``
+    over ``T`` total whitespace tokens, a token's surprisal is
+    ``bit_length(T // c(w)) - 1`` (= floor(log2(T/c)), an integer
+    log2), a doc's score the sum over its token OCCURRENCES, plus the
+    per-token mean in milli units. Rare-word-heavy (or garbage) docs
+    score high, boilerplate scores low. Empty docs carry no tokens and
+    are absent (matching the SQL words CTE).
+
+    Distributed plan: per-batch LOCAL (word, cnt) partials fold
+    through the coarse-bucket aggregate into the corpus count table
+    (the source_top_terms shape); T is one distributed sum. The
+    join-back is chosen by VOCABULARY count (the decontaminate idiom):
+    ``<= broadcast_limit`` distinct words pull once into a
+    word->surprisal dict broadcast via ``ray.put`` — scoring is then a
+    single streaming pass; above the cap, per-doc (word, occ) partials
+    meet the count table in crc32(word) buckets and doc scores fold
+    through the coarse-bucket aggregate (nothing driver-sized). Paths
+    bit-identical (tested)."""
+    import zlib
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({"word": batch["text"].str.split()}).explode("word")
+        ex = ex[ex["word"].notna()]
+        out = ex.groupby("word", sort=False).size().rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = bucketed_aggregate(
+        docs.map_batches(local_counts, batch_format="pandas"),
+        ["word"],
+        {"cnt": ("cnt", "sum")},
+    ).materialize()
+    total = int(counts.sum("cnt") or 0)
+    vocab = counts.count()
+
+    def fold(scored: ray.data.Dataset) -> pa.Table:
+        out = scored.to_pandas()
+        if len(out) == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("doc_id", "n_tokens", "surprisal_sum", "mean_milli")
+                }
+            )
+        out = out.astype("int64")
+        out["mean_milli"] = (1000 * out["surprisal_sum"]) // out["n_tokens"]
+        out = out[["doc_id", "n_tokens", "surprisal_sum", "mean_milli"]].sort_values(
+            "doc_id", ignore_index=True
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    if vocab <= broadcast_limit:
+        # driver pull bounded by the vocabulary COUNT; one streaming
+        # scoring pass, zero further shuffle rounds
+        cp = counts.to_pandas()
+        table = {
+            w: (total // int(c)).bit_length() - 1
+            for w, c in zip(cp["word"], cp["cnt"])
+        }
+        t_ref = ray.put(table)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(t_ref)
+            ids, nt, ss = [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split()
+                if not words:
+                    continue
+                ids.append(doc_id)
+                nt.append(len(words))
+                ss.append(sum(t[w] for w in words))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                    "surprisal_sum": pd.Series(ss, dtype="int64"),
+                }
+            )
+
+        return fold(docs.map_batches(score, batch_format="pandas"))
+
+    # scale path: per-doc (word, occ) partials meet the count table in
+    # crc32(word) buckets; doc scores fold through the coarse bucket
+    B = max(64, min(65536, vocab // 100_000 + 64))
+
+    def doc_word_occ(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {"doc_id": batch["doc_id"], "word": batch["text"].str.split()}
+        ).explode("word")
+        ex = ex[ex["word"].notna()]
+        g = ex.groupby(["doc_id", "word"], sort=False).size().rename("occ").reset_index()
+        return pd.DataFrame(
+            {
+                "word": g["word"].astype(str),
+                "doc_id": g["doc_id"].astype("int64"),
+                "occ": g["occ"].astype("int64"),
+                "bucket": pd.Series(
+                    [zlib.crc32(w.encode()) % B for w in g["word"]],
+                    index=g.index,
+                    dtype="int32",
+                ),
+                "side": "d",
+            }
+        )
+
+    def count_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "word": df["word"].astype(str),
+                "doc_id": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "occ": df["cnt"].astype("int64"),
+                "bucket": pd.Series(
+                    [zlib.crc32(w.encode()) % B for w in df["word"]],
+                    index=df.index,
+                    dtype="int32",
+                ),
+                "side": "c",
+            }
+        )
+
+    def join_score(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == "c", ["word", "occ"]].rename(columns={"occ": "cnt"})
+        d = g[g["side"] == "d"]
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = d.merge(c, on="word", how="left")
+        surp = [(total // int(cc)).bit_length() - 1 for cc in m["cnt"]]
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "s": (pd.Series(surp, index=m.index, dtype="int64") * m["occ"]).astype("int64"),
+                "n": m["occ"].astype("int64"),
+            }
+        )
+
+    from mlscraper_ray.functions.pagerank import _coalesce
+
+    flags = (
+        _coalesce(
+            docs.map_batches(doc_word_occ, batch_format="pandas").union(
+                counts.map_batches(count_side, batch_format="pandas")
+            ),
+            total // 4 + 1,
+        )
+        .groupby("bucket")
+        .map_groups(join_score, batch_format="pandas")
+    )
+    scored = bucketed_aggregate(
+        flags, ["doc_id"], {"surprisal_sum": ("s", "sum"), "n_tokens": ("n", "sum")}
+    )
+    return fold(scored)
+
+
+DOC_UNIGRAM_SURPRISAL_SQL = """
+WITH words AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+tot AS (SELECT COUNT(*) AS t FROM words),
+scored AS (
+    SELECT w.doc_id,
+           length(ltrim(bin(CAST((SELECT t FROM tot) // c.c AS BIGINT)), '0')) - 1 AS s
+    FROM words w JOIN counts c USING (word)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+       CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS mean_milli
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

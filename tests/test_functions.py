@@ -46,6 +46,7 @@ def _oracle_names():
         "pack_sequences",
         "source_top_terms",
         "corpus_to_training",
+        "doc_unigram_surprisal",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
@@ -1151,3 +1152,40 @@ class TestDocDupSpanStats:
         assert out.loc[2, "dup_pct"] == 0
         assert out.loc[3, "n_dup_grams"] == 1  # only 'alpha beta gamma'
         assert out.loc[5, "n_grams"] == 1 and out.loc[5, "dup_pct"] == 0
+
+
+class TestUnigramSurprisal:
+    def test_bucketed_join_back_matches_broadcast(self, ray_session):
+        from mlscraper_ray.functions.textstats import doc_unigram_surprisal
+
+        a = doc_unigram_surprisal(SF_DIR)
+        b = doc_unigram_surprisal(SF_DIR, broadcast_limit=0)
+        assert a.equals(b)
+
+    def test_crafted_integer_log2(self, ray_session, tmp_path):
+        """8 'the' + 1 'zyzzyva' over T=9 tokens: surprisal(the) =
+        bit_length(9//8)-1 = 0, surprisal(zyzzyva) = bit_length(9)-1
+        = 3; doc scores follow exactly."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mlscraper_ray.functions.textstats import doc_unigram_surprisal
+
+        d = tmp_path / "sf"
+        os.makedirs(d, exist_ok=True)
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the the the the", "the the the the zyzzyva", ""],
+                "source": ["a", "a", "a"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), str(d / "documents.parquet"))
+        out = doc_unigram_surprisal(str(d)).to_pandas().set_index("doc_id")
+        assert list(out.index) == [1, 2]  # empty doc absent
+        assert out.loc[1, "surprisal_sum"] == 0 and out.loc[1, "n_tokens"] == 4
+        assert out.loc[2, "surprisal_sum"] == 3 and out.loc[2, "n_tokens"] == 5
+        assert out.loc[2, "mean_milli"] == 3000 // 5
