@@ -40,6 +40,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
+
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 from mlscraper_ray.functions.dedup import MINHASH_DEDUP_SQL, minhash_verified_pairs
 from mlscraper_ray.functions.joins import adaptive_n_buckets, cogroup_join
@@ -277,7 +279,7 @@ def corpus_dedup_canonical(
         loser_ref = ray.put(pa.array(np.sort(loser_ids), pa.int64()))
 
         def anti(batch: pa.Table) -> pa.Table:
-            ls = ray.get(loser_ref)
+            ls = cached_object(loser_ref)
             return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=ls)))
 
         out = docs.map_batches(anti, batch_format="pyarrow").to_pandas()

@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
+
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 from mlscraper_ray.functions.textstats import _LANGID, _QUALITY, _sql_stopword_list
 
@@ -273,7 +275,7 @@ def decontaminate_survivors(
         ho_ref = ray.put(ho)
 
         def screen(batch: pa.Table) -> pa.Table:
-            probes = ray.get(ho_ref)
+            probes = cached_object(ho_ref)
             ids, counts = [], []
             for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
                 if doc_id % holdout_mod == 0:

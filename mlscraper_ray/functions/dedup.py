@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
+
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
 # -- exact dedup ---------------------------------------------------------
@@ -468,7 +470,7 @@ def minhash_verified_pairs(
         texts_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
 
         def verify(batch: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)
+            texts = cached_object(texts_ref)
             return _jaccard_pct_rows(
                 list(zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())), texts, threshold_pct
             )

@@ -51,6 +51,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 from mlscraper_ray.functions.joins import adaptive_n_buckets
 
@@ -365,7 +366,7 @@ def corpus_link_graph(
         known_ref = ray.put(set(nodes.to_pandas()["node"]))
 
         def filt(t: pa.Table) -> pa.Table:
-            known = ray.get(known_ref)
+            known = cached_object(known_ref)
             mask = pa.array([d in known for d in t["dst"].to_pylist()])
             return t.filter(mask)
 
@@ -524,7 +525,7 @@ def corpus_link_stats(
         known_ref = ray.put(set(nodes.to_pandas()["node"]))
 
         def filter_emit(df: pd.DataFrame) -> pd.DataFrame:
-            known = ray.get(known_ref)
+            known = cached_object(known_ref)
             return in_out_from(df[df["dst"].isin(known)])
 
         flows = pages.map_batches(raw_edges, batch_format="pyarrow").map_batches(

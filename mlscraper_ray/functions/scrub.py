@@ -39,6 +39,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
+
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
 from mlscraper_ray.functions.joins import adaptive_n_buckets
 
@@ -86,7 +88,7 @@ def dedup_segments_ds(
         dup_ref = ray.put(set(dup_rows.to_pandas()["seg"]))
 
         def rewrite(batch: pa.Table) -> pa.Table:
-            dup = ray.get(dup_ref)
+            dup = cached_object(dup_ref)
             ids, cleans, removed = [], [], []
             for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
                 segs = _segments(text, seg_words)

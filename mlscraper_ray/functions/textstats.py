@@ -12,6 +12,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from mlscraper_ray.functions.broadcast import cached_object
+
 _WORD_RE = re.compile(r"\S+")
 
 _STOPWORDS = {
@@ -739,7 +741,7 @@ def doc_unigram_surprisal(
         t_ref = ray.put(table)
 
         def score(batch: pd.DataFrame) -> pd.DataFrame:
-            t = ray.get(t_ref)
+            t = cached_object(t_ref)
             ids, nt, ss = [], [], []
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
                 words = text.split()

@@ -1189,3 +1189,22 @@ class TestUnigramSurprisal:
         assert out.loc[1, "surprisal_sum"] == 0 and out.loc[1, "n_tokens"] == 4
         assert out.loc[2, "surprisal_sum"] == 3 and out.loc[2, "n_tokens"] == 5
         assert out.loc[2, "mean_milli"] == 3000 // 5
+
+
+def test_broadcast_cached_object(ray_session):
+    """cached_object returns the ray.get value, serves repeats from
+    the worker-global cache, and evicts FIFO past the cap."""
+    import ray as _ray
+
+    from mlscraper_ray.functions import broadcast as B
+
+    B._CACHE.clear()
+    refs = [_ray.put({"k": i}) for i in range(B._CACHE_MAX + 2)]
+    first = B.cached_object(refs[0])
+    assert first == {"k": 0}
+    assert B.cached_object(refs[0]) is first  # cache hit: same object
+    for r in refs[1:]:
+        B.cached_object(r)
+    assert len(B._CACHE) == B._CACHE_MAX  # FIFO-capped
+    assert refs[0].hex() not in B._CACHE  # oldest evicted
+    assert B.cached_object(refs[-1]) == {"k": len(refs) - 1}
