@@ -11,8 +11,8 @@ don't need this — the similarity/centroid broadcasts are fine as-is.)
 ``cached_object`` memoizes the deserialized value per worker process,
 keyed by the object-ref hex — the ``_STAGE_CACHE`` idiom the crawl
 stages already use for corpus readers and compiled plans. The cache
-is capped (FIFO eviction) so a long session touching many broadcasts
-cannot accumulate every one of them in worker heap.
+is capped with least-recently-used eviction so a long session touching
+many broadcasts cannot accumulate every one of them in worker heap.
 """
 from __future__ import annotations
 

@@ -52,7 +52,7 @@ import ray
 import ray.data
 
 from mlscraper_ray.functions.broadcast import cached_object
-from mlscraper_ray.functions.bucketed import bucketed_aggregate
+from mlscraper_ray.functions.bucketed import bucketed_aggregate, coalesce_blocks
 from mlscraper_ray.functions.joins import adaptive_n_buckets
 
 SCALE = 10**12
@@ -97,19 +97,6 @@ def _bucket_of(keys, n_buckets: int) -> list[int]:
     return [zlib.crc32(k.encode()) % n_buckets for k in keys]
 
 
-def _coalesce(ds: ray.data.Dataset, approx_rows: int) -> ray.data.Dataset:
-    """Bound block count before feeding a sort/groupby round. Ray's
-    sort shuffle pays per-INPUT-BLOCK plan/sample overhead, so a wide
-    union of hundreds of tiny blocks (208 edge + 208 node blocks at
-    sf0.1) costs far more in fixed overhead than in data movement —
-    measured 31.8s for the existence-filter sort before this coalesce,
-    ~1s after. repartition(shuffle=False) is a local block merge (no
-    all-to-all); target ~200k rows per block, same constant as the
-    adaptive bucket formula."""
-    nb = max(8, min(256, approx_rows // 200_000 + 8))
-    return ds.repartition(nb, shuffle=False)
-
-
 def pagerank_ds(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -120,8 +107,19 @@ def pagerank_ds(
     n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Core operator: ``nodes`` has column ``node`` (distinct),
-    ``edges`` columns ``src``/``dst`` (already existence-filtered,
-    multiplicity = link multiplicity). Returns (node, rank)."""
+    ``edges`` columns ``src``/``dst`` (already existence-filtered —
+    an edge endpoint outside ``nodes`` violates the contract: the
+    driver path raises KeyError, the distributed path would emit a
+    phantom node row; :func:`corpus_link_graph` always satisfies it),
+    multiplicity = link multiplicity. Returns (node, rank).
+
+    Scale choice bounds the corpus: the distributed update multiplies
+    ``damping_pct * (inflow + dshare)`` in int64, and a single node's
+    inflow is bounded by the total rank mass ``n_nodes * scale`` — so
+    pick ``scale`` such that worst-case concentration stays under
+    2^63 (the default 10^12 is safe beyond 10^16 total edges for any
+    realistic mass concentration; an overflow is caught loudly by the
+    non-negativity assert in the update, never wrapped silently)."""
     nodes = nodes.materialize()
     edges = edges.materialize()
     n_nodes = nodes.count()
@@ -132,9 +130,11 @@ def pagerank_ds(
             batch_format="pyarrow",
         )
 
-    if n_edges <= driver_limit:
+    if n_edges <= driver_limit and n_nodes <= driver_limit:
         # driver pull bounded by the CONSTANT (fast path, same idiom
-        # as connected_components' union-find shortcut)
+        # as connected_components' union-find shortcut); BOTH counts
+        # guard — a sparse graph can have few edges but a huge node
+        # set, and the node pull below must stay bounded too
         node_list = nodes.to_pandas()["node"].tolist()
         if n_edges:
             ep = edges.to_pandas()
@@ -198,7 +198,7 @@ def pagerank_ds(
         )
 
     edges_out = (
-        _coalesce(
+        coalesce_blocks(
             edges.map_batches(edge_side, batch_format="pandas").union(
                 outdeg.map_batches(out_side, batch_format="pandas")
             ),
@@ -223,7 +223,7 @@ def pagerank_ds(
 
     ranks = (
         bucketed_aggregate(
-            _coalesce(
+            coalesce_blocks(
                 nodes.map_batches(node_seed, batch_format="pandas").union(
                     outdeg.map_batches(outdeg_as_node, batch_format="pandas")
                 ),
@@ -299,23 +299,22 @@ def pagerank_ds(
             .groupby("bucket")
             .map_groups(contribs, batch_format="pandas")
         )
+        def damp(df: pd.DataFrame, ds: int = dshare) -> pd.DataFrame:
+            inflow = df["inflow"].astype("int64")
+            rank = ((keep_pct * scale + damping_pct * (inflow + ds)) // 100).astype("int64")
+            # int64 wrap from extreme mass concentration flips the
+            # sign — fail loudly instead of shipping garbage ranks
+            # (see the scale-choice note in the pagerank_ds docstring)
+            assert (rank >= 0).all(), "rank update overflowed int64; lower `scale`"
+            return pd.DataFrame(
+                {"node": df["node"].astype(str), "out": df["out"].astype("int64"), "rank": rank}
+            )
+
         ranks = (
             bucketed_aggregate(
                 flow.union(seeds), ["node"], {"inflow": ("c", "sum"), "out": ("o", "max")}
             )
-            .map_batches(
-                lambda df, ds=dshare: pd.DataFrame(
-                    {
-                        "node": df["node"].astype(str),
-                        "out": df["out"].astype("int64"),
-                        "rank": (
-                            (keep_pct * scale + damping_pct * (df["inflow"].astype("int64") + ds))
-                            // 100
-                        ).astype("int64"),
-                    }
-                ),
-                batch_format="pandas",
-            )
+            .map_batches(damp, batch_format="pandas")
             .repartition(rank_blocks, shuffle=False)
             .materialize()
         )
@@ -324,20 +323,24 @@ def pagerank_ds(
 
 
 def corpus_link_graph(
-    sf_dir: str, broadcast_limit: int = 2_000_000
+    sf_dir: str, broadcast_limit: int = 2_000_000, with_anchors: bool = False
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """(nodes, edges) of the crawled-corpus page graph: nodes = page
-    urls (robots.txt rows excluded), edges = extracted a[href] targets
-    that exist in the corpus. Existence filter chosen by the node
-    COUNT (the decontaminate idiom): ``<= broadcast_limit`` urls are
-    pulled once (driver pull bounded by the constant) and ``ray.put``
-    broadcast as a set — the filter is then a pure streaming
-    map_batches, zero shuffle rounds; above the cap the edges meet the
-    node list in crc32(dst) buckets (nothing driver-sized), with the
-    union coalesced first (see :func:`_coalesce`)."""
+    """(nodes, edges) of the crawled-corpus page graph — the single
+    graph builder behind :func:`page_rank`, :func:`corpus_link_stats`
+    and :func:`host_rank`: nodes = page urls (robots.txt rows
+    excluded), edges = extracted a[href] targets that exist in the
+    corpus, with an ``anchor`` text column when ``with_anchors`` (the
+    rank path skips anchor-text computation entirely). Existence
+    filter chosen by the node COUNT (the decontaminate idiom):
+    ``<= broadcast_limit`` urls are pulled once (driver pull bounded
+    by the constant) and ``ray.put`` broadcast as a set — the filter
+    is then a pure streaming map_batches, zero shuffle rounds; above
+    the cap the edges meet the node list in crc32(dst) buckets
+    (nothing driver-sized), with the union coalesced first (see
+    :func:`~mlscraper_ray.functions.bucketed.coalesce_blocks`)."""
     from mlscraper_ray.htmlcore.dom import parse_html
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
-    from mlscraper_ray.stages.crawl_stages import extract_links
+    from mlscraper_ray.stages.crawl_stages import extract_links, extract_links_anchors
 
     corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
     pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
@@ -348,17 +351,29 @@ def corpus_link_graph(
 
     nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
     n_nodes = nodes.count()
+    ecols = ["src", "dst"] + (["anchor"] if with_anchors else [])
 
     def raw_edges(t: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
+        srcs, dsts, anchors = [], [], []
         for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
             if url.endswith("/robots.txt"):
                 continue
             doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            for link in extract_links(doc, url):
-                srcs.append(url)
-                dsts.append(link)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+            if with_anchors:
+                for link, anchor in extract_links_anchors(doc, url):
+                    srcs.append(url)
+                    dsts.append(link)
+                    anchors.append(anchor)
+            else:
+                # plain extract_links: skips the Node.text computation
+                # per anchor that the rank path never uses
+                for link in extract_links(doc, url):
+                    srcs.append(url)
+                    dsts.append(link)
+        cols = {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        if with_anchors:
+            cols["anchor"] = pa.array(anchors, pa.string())
+        return pa.table(cols)
 
     raw = pages.map_batches(raw_edges, batch_format="pyarrow")
 
@@ -375,40 +390,31 @@ def corpus_link_graph(
     # scale path: edges meet the node list in crc32(dst) buckets
     B = adaptive_n_buckets(n_nodes)
 
-    def edge_keyed(t: pa.Table) -> pa.Table:
-        dst = t["dst"].to_pylist()
-        return pa.table(
-            {
-                "src": t["src"],
-                "dst": t["dst"],
-                "bucket": pa.array(_bucket_of(dst, B), pa.int32()),
-                "side": pa.array(["e"] * len(dst), pa.string()),
-            }
-        )
+    def edge_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = {c: df[c].astype(str) for c in ecols}
+        out["bucket"] = pd.Series(_bucket_of(df["dst"], B), index=df.index, dtype="int32")
+        out["side"] = "e"
+        return pd.DataFrame(out)
 
-    def node_keyed(t: pa.Table) -> pa.Table:
-        urls = t["node"].to_pylist()
-        return pa.table(
-            {
-                "src": pa.array([""] * len(urls), pa.string()),
-                "dst": t["node"],
-                "bucket": pa.array(_bucket_of(urls, B), pa.int32()),
-                "side": pa.array(["n"] * len(urls), pa.string()),
-            }
-        )
+    def node_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = {c: "" for c in ecols}
+        out["dst"] = df["node"].astype(str)
+        out["bucket"] = pd.Series(_bucket_of(df["node"], B), index=df.index, dtype="int32")
+        out["side"] = "n"
+        return pd.DataFrame(out, index=df.index)
 
     def keep_existing(g: pd.DataFrame) -> pd.DataFrame:
         known = set(g.loc[g["side"] == "n", "dst"])
         e = g[g["side"] == "e"]
-        out = e[e["dst"].isin(known)][["src", "dst"]]
+        out = e[e["dst"].isin(known)][ecols]
         if out.empty:
-            return pd.DataFrame({"src": pd.Series(dtype=str), "dst": pd.Series(dtype=str)})
+            return pd.DataFrame({c: pd.Series(dtype=str) for c in ecols})
         return out
 
     edges = (
-        _coalesce(
-            raw.map_batches(edge_keyed, batch_format="pyarrow").union(
-                nodes.map_batches(node_keyed, batch_format="pyarrow")
+        coalesce_blocks(
+            raw.map_batches(edge_keyed, batch_format="pandas").union(
+                nodes.map_batches(node_keyed, batch_format="pandas")
             ),
             n_nodes * 5,
         )
@@ -448,131 +454,48 @@ def corpus_link_stats(
     anchor text, ties to the lexicographically smallest; empty-string
     anchors are ignored, "" when no in-links).
 
-    The existence filter is chosen by node COUNT (the decontaminate
-    idiom): ``<= broadcast_limit`` urls broadcast once as a set, so
-    the extracted (src, dst, anchor) edges filter and emit in-rows
-    (keyed by dst) + out-rows (keyed by src) in ONE streaming
-    map_batches — the stats groupby in crc32(url) buckets is then the
-    only shuffle round. Above the cap, round 1 becomes the bucketed
-    membership join (nothing driver-sized). Either way the union is
-    block-coalesced before each sort round (see :func:`_coalesce`);
-    html never leaves the parse stage; anchors are the only strings
-    that shuffle."""
-    from mlscraper_ray.htmlcore.dom import parse_html
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
-    from mlscraper_ray.sources.corpusgen import url_host
-    from mlscraper_ray.stages.crawl_stages import extract_links_anchors
-
-    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
-    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
-
-    def page_nodes(t: pa.Table) -> pa.Table:
-        urls = [u for u in t["url"].to_pylist() if not u.endswith("/robots.txt")]
-        return pa.table({"node": pa.array(urls, pa.string())})
-
-    nodes = pages.map_batches(page_nodes, batch_format="pyarrow").materialize()
+    Composes :func:`corpus_link_graph` (with anchors; the broadcast /
+    bucketed existence-filter choice lives there) with one streaming
+    map to additive in-rows + out-rows and a single stats shuffle in
+    crc32(url) buckets. Html never leaves the parse stage; anchors
+    are the only strings that shuffle."""
+    nodes, edges = corpus_link_graph(
+        sf_dir, broadcast_limit=broadcast_limit, with_anchors=True
+    )
     n_nodes = nodes.count()
     B = n_buckets if n_buckets is not None else adaptive_n_buckets(n_nodes)
-
-    def raw_edges(t: pa.Table) -> pa.Table:
-        srcs, dsts, anchors = [], [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if url.endswith("/robots.txt"):
-                continue
-            doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            for link, anchor in extract_links_anchors(doc, url):
-                srcs.append(url)
-                dsts.append(link)
-                anchors.append(anchor)
-        return pa.table(
-            {
-                "src": pa.array(srcs, pa.string()),
-                "dst": pa.array(dsts, pa.string()),
-                "anchor": pa.array(anchors, pa.string()),
-            }
-        )
-
-    def in_out_from(e: pd.DataFrame) -> pd.DataFrame:
-        """(src, dst, anchor) existence-filtered edges -> additive
-        in-rows + out-rows for the stats groupby."""
-        if e.empty:
-            return pd.DataFrame(
-                {
-                    "url": pd.Series(dtype=str),
-                    "host": pd.Series(dtype=str),
-                    "anchor": pd.Series(dtype=str),
-                    "inl": pd.Series(dtype="int64"),
-                    "outl": pd.Series(dtype="int64"),
-                }
-            )
-        inr = pd.DataFrame(
-            {
-                "url": e["dst"].to_numpy(),
-                "host": [url_host(s) for s in e["src"]],
-                "anchor": e["anchor"].to_numpy(),
-                "inl": 1,
-                "outl": 0,
-            }
-        )
-        outr = pd.DataFrame(
-            {"url": e["src"].to_numpy(), "host": "", "anchor": "", "inl": 0, "outl": 1}
-        )
-        return pd.concat([inr, outr], ignore_index=True).astype({"inl": "int64", "outl": "int64"})
-
-    if n_nodes <= broadcast_limit:
-        # zero-shuffle round 1: broadcast membership filter, in/out
-        # rows emitted straight from the extraction stream
-        known_ref = ray.put(set(nodes.to_pandas()["node"]))
-
-        def filter_emit(df: pd.DataFrame) -> pd.DataFrame:
-            known = cached_object(known_ref)
-            return in_out_from(df[df["dst"].isin(known)])
-
-        flows = pages.map_batches(raw_edges, batch_format="pyarrow").map_batches(
-            filter_emit, batch_format="pandas"
-        )
-        return _link_stats_aggregate(flows, nodes, B, n_nodes, _bucket_of)
-
-    # scale round 1: existence filter in crc32(dst) buckets; the node
-    # side rides along as marker rows (same block type everywhere)
-    def edge_keyed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": df["src"].astype(str),
-                "dst": df["dst"].astype(str),
-                "anchor": df["anchor"].astype(str),
-                "bucket": pd.Series(_bucket_of(df["dst"], B), index=df.index, dtype="int32"),
-                "side": "e",
-            }
-        )
-
-    def node_keyed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": "",
-                "dst": df["node"].astype(str),
-                "anchor": "",
-                "bucket": pd.Series(_bucket_of(df["node"], B), index=df.index, dtype="int32"),
-                "side": "n",
-            }
-        )
-
-    def in_out_rows(g: pd.DataFrame) -> pd.DataFrame:
-        known = set(g.loc[g["side"] == "n", "dst"])
-        e = g[g["side"] == "e"]
-        return in_out_from(e[e["dst"].isin(known)])
-
-    flows = (
-        _coalesce(
-            pages.map_batches(raw_edges, batch_format="pyarrow")
-            .map_batches(edge_keyed, batch_format="pandas")
-            .union(nodes.map_batches(node_keyed, batch_format="pandas")),
-            n_nodes * 5,
-        )
-        .groupby("bucket")
-        .map_groups(in_out_rows, batch_format="pandas")
-    )
+    flows = edges.map_batches(_in_out_from, batch_format="pandas")
     return _link_stats_aggregate(flows, nodes, B, n_nodes, _bucket_of)
+
+
+def _in_out_from(e: pd.DataFrame) -> pd.DataFrame:
+    """(src, dst, anchor) existence-filtered edges -> additive in-rows
+    (keyed by dst) + out-rows (keyed by src) for the stats groupby."""
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    if e.empty or "src" not in e.columns:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype=str),
+                "host": pd.Series(dtype=str),
+                "anchor": pd.Series(dtype=str),
+                "inl": pd.Series(dtype="int64"),
+                "outl": pd.Series(dtype="int64"),
+            }
+        )
+    inr = pd.DataFrame(
+        {
+            "url": e["dst"].to_numpy(),
+            "host": [url_host(s) for s in e["src"]],
+            "anchor": e["anchor"].to_numpy(),
+            "inl": 1,
+            "outl": 0,
+        }
+    )
+    outr = pd.DataFrame(
+        {"url": e["src"].to_numpy(), "host": "", "anchor": "", "inl": 0, "outl": 1}
+    )
+    return pd.concat([inr, outr], ignore_index=True).astype({"inl": "int64", "outl": "int64"})
 
 
 def _link_stats_aggregate(
@@ -626,7 +549,7 @@ def _link_stats_aggregate(
         return out.astype({"in_links": "int64", "out_links": "int64"})
 
     return (
-        _coalesce(
+        coalesce_blocks(
             flows.union(nodes.map_batches(seed_rows, batch_format="pandas")),
             n_nodes * 8,
         )
@@ -653,9 +576,12 @@ def page_rank_to_parquet(
     window: int = 4,
     n_iters: int = 4,
     damping_pct: int = 85,
+    broadcast_limit: int = 2_000_000,
     **kwargs,
 ) -> dict:
-    """Production sink twin of :func:`page_rank`, RESUMABLE: the
+    """Production sink twin of :func:`page_rank` (same kwargs routing:
+    ``broadcast_limit`` to the graph builder, the rest — e.g.
+    ``driver_limit`` — to :func:`pagerank_ds`), RESUMABLE: the
     (url, rank) manifest is partitioned by crc32(url) shard, each
     shard directory committed by the marker-last ``_SUCCESS``
     protocol shared with ``extract_all_to_parquet`` /
@@ -669,8 +595,8 @@ def page_rank_to_parquet(
     if all_shards_done(out_dir, n_shards):
         return {"written": 0, "skipped": n_shards}
 
-    nodes, edges = corpus_link_graph(sf_dir, **kwargs)
-    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct).materialize()
+    nodes, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct, **kwargs).materialize()
     _pin_fsspec_http_stub()
 
     def write_shard(s: int, dest: str) -> None:
@@ -753,7 +679,7 @@ def host_rank_ds(
             }
         )
 
-    parts = _coalesce(
+    parts = coalesce_blocks(
         ranks.map_batches(rank_part, batch_format="pandas")
         .union(pairs.map_batches(in_side, batch_format="pandas"))
         .union(pairs.map_batches(out_side, batch_format="pandas")),
@@ -772,17 +698,27 @@ def host_rank_ds(
 
 
 def host_rank(
-    sf_dir: str, n_iters: int = 4, damping_pct: int = 85, **kwargs
+    sf_dir: str,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+    broadcast_limit: int = 2_000_000,
+    **kwargs,
 ) -> pa.Table:
     """Driver-table wrapper: (host, n_pages, rank_total, in_hosts,
     out_hosts) sorted by host; :func:`host_rank_ds` is the streaming
-    core."""
-    nodes, edges = corpus_link_graph(sf_dir, **kwargs)
+    core. Kwargs routing matches :func:`page_rank`
+    (``broadcast_limit`` to the graph builder, the rest to
+    :func:`pagerank_ds`)."""
+    nodes, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
     edges = edges.materialize()
-    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct)
+    ranks = pagerank_ds(nodes, edges, n_iters, damping_pct, **kwargs)
     out = host_rank_ds(nodes, edges, ranks).to_pandas()
     out = out.sort_values("host", ignore_index=True).astype(
         {c: "int64" for c in ("n_pages", "rank_total", "in_hosts", "out_hosts")}
     )
+    # a host with >~9.2M pages at scale=10^12 would wrap the int64
+    # rank_total sum — the wrap flips sign, so fail loudly (same
+    # policy as the pagerank_ds damping update)
+    assert (out["rank_total"] >= 0).all(), "host rank_total overflowed int64; lower `scale`"
     cols = ["host", "n_pages", "rank_total", "in_hosts", "out_hosts"]
     return pa.Table.from_pandas(out[cols], preserve_index=False)

@@ -762,7 +762,9 @@ def doc_unigram_surprisal(
 
     # scale path: per-doc (word, occ) partials meet the count table in
     # crc32(word) buckets; doc scores fold through the coarse bucket
-    B = max(64, min(65536, vocab // 100_000 + 64))
+    from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+    B = adaptive_n_buckets(vocab)
 
     def doc_word_occ(batch: pd.DataFrame) -> pd.DataFrame:
         ex = pd.DataFrame(
@@ -820,10 +822,10 @@ def doc_unigram_surprisal(
             }
         )
 
-    from mlscraper_ray.functions.pagerank import _coalesce
+    from mlscraper_ray.functions.bucketed import coalesce_blocks
 
     flags = (
-        _coalesce(
+        coalesce_blocks(
             docs.map_batches(doc_word_occ, batch_format="pandas").union(
                 counts.map_batches(count_side, batch_format="pandas")
             ),

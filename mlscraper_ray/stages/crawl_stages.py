@@ -33,7 +33,13 @@ from mlscraper_ray.sources.corpusgen import url_host
 
 def extract_links(doc, base_url: str) -> list[str]:
     """Absolutized, deduped (stable order) a[href] targets, fragments
-    stripped; non-http(s) schemes dropped."""
+    stripped; non-http(s) schemes dropped.
+
+    Kept as its own loop (not delegated to
+    :func:`extract_links_anchors`) because this is the crawl hot path
+    and the anchors twin computes ``Node.text`` per link; the two
+    loops' url semantics are pinned byte-equal by
+    tests/test_pagerank.py — change them TOGETHER."""
     seen = set()
     out = []
     for a in doc.select("a"):

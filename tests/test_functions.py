@@ -1202,9 +1202,9 @@ def test_broadcast_cached_object(ray_session):
     refs = [_ray.put({"k": i}) for i in range(B._CACHE_MAX + 2)]
     first = B.cached_object(refs[0])
     assert first == {"k": 0}
-    assert B.cached_object(refs[0]) is first  # cache hit: same object
+    assert B.cached_object(refs[0]) is first  # cache hit: same object (LRU-refreshed)
     for r in refs[1:]:
         B.cached_object(r)
-    assert len(B._CACHE) == B._CACHE_MAX  # FIFO-capped
+    assert len(B._CACHE) == B._CACHE_MAX  # LRU-capped
     assert refs[0].hex() not in B._CACHE  # oldest evicted
     assert B.cached_object(refs[-1]) == {"k": len(refs) - 1}
