@@ -295,3 +295,23 @@ class TestHostRank:
 
         want = pagerank_reference(nodes, edges)
         assert got["a.com"].rank_total == want["http://a.com/1"] + want["http://a.com/2"]
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_distributed_matches_reference_on_random_graphs(ray_session, seed):
+    """Seeded random digraphs (multi-edges, dangling nodes, isolates):
+    the distributed path must equal the big-int reference loop node
+    for node — also exercises the overflow assert on healthy input."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    nodes = [f"u{i}" for i in range(n)]
+    edges = []
+    for _ in range(rng.randrange(30, 120)):
+        edges.append((rng.choice(nodes), rng.choice(nodes)))
+    want = pagerank_reference(nodes, edges)
+    nd, ed = _graph_ds(nodes, edges)
+    out = pagerank_ds(nd, ed, driver_limit=0, n_buckets=rng.choice([1, 5, 13])).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    assert got == want
