@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-surprisal LM quality proxy (integer log2 via
         # bit_length -> hash-exact vs SQL; count-guarded join-back)
         "doc_unigram_surprisal": textstats.doc_unigram_surprisal,
+        # bigram conditional surprisal (next-word predictability, one
+        # LM order up; same integer-log2 discipline + path choice)
+        "doc_bigram_surprisal": textstats.doc_bigram_surprisal,
         "doc_bpe_token_stats": textstats.bpe_token_stats,
         "source_token_totals": textstats.source_token_totals,
         # per-source token-budget selection (distributed prefix sum:
@@ -357,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
+        "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,

@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "source_distinct_hll",
         "doc_bpe_token_stats",
         "doc_unigram_surprisal",
+        "doc_bigram_surprisal",
         "doc_quality",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",

@@ -857,3 +857,224 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS mean_milli
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def doc_bigram_surprisal(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-doc bigram CONDITIONAL surprisal — the next-word-
+    predictability LM proxy one order above
+    :func:`doc_unigram_surprisal`, same integer discipline: a bigram
+    position's surprisal is ``bit_length(c1(prev) // c2(prev, cur))
+    - 1`` (integer floor log2 of the inverse conditional frequency;
+    ``c1 >= c2`` always, so scores are >= 0), a doc's score the sum
+    over its n-1 bigram positions plus the milli mean. Docs with
+    fewer than 2 tokens are absent (matching the SQL pos CTE).
+
+    Distributed plan: unigram and bigram corpus counts each fold from
+    per-batch LOCAL partials through the coarse-bucket aggregate; the
+    join-back is chosen by combined distinct-count (the decontaminate
+    idiom) — under the cap both tables broadcast as dicts for a single
+    streaming scoring pass; above it, per-doc (prev, cur, occ)
+    partials meet BOTH count tables in crc32(prev) buckets (unigram
+    keyed by prev and bigram by the pair land in the same bucket, so
+    one shuffle round serves both joins) and doc scores fold through
+    the coarse-bucket aggregate. Paths bit-identical (tested)."""
+    import zlib
+
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate, coalesce_blocks
+    from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def local_uni(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({"word": batch["text"].str.split()}).explode("word")
+        ex = ex[ex["word"].notna()]
+        out = ex.groupby("word", sort=False).size().rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def local_bi(batch: pd.DataFrame) -> pd.DataFrame:
+        w1s, w2s = [], []
+        for text in batch["text"]:
+            words = text.split()
+            w1s.extend(words[:-1])
+            w2s.extend(words[1:])
+        p = pd.DataFrame({"w1": w1s, "w2": w2s})
+        out = p.groupby(["w1", "w2"], sort=False).size().rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    uni = bucketed_aggregate(
+        docs.map_batches(local_uni, batch_format="pandas"), ["word"], {"cnt": ("cnt", "sum")}
+    ).materialize()
+    bi = bucketed_aggregate(
+        docs.map_batches(local_bi, batch_format="pandas"),
+        ["w1", "w2"],
+        {"cnt": ("cnt", "sum")},
+    ).materialize()
+    n_distinct = uni.count() + bi.count()
+
+    def fold(scored: ray.data.Dataset) -> pa.Table:
+        out = scored.to_pandas()
+        if len(out) == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("doc_id", "n_bigrams", "surprisal_sum", "mean_milli")
+                }
+            )
+        out = out.astype("int64")
+        out = out[out["n_bigrams"] > 0]
+        out["mean_milli"] = (1000 * out["surprisal_sum"]) // out["n_bigrams"]
+        out = out[["doc_id", "n_bigrams", "surprisal_sum", "mean_milli"]].sort_values(
+            "doc_id", ignore_index=True
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    if n_distinct <= broadcast_limit:
+        up = uni.to_pandas()
+        bp = bi.to_pandas()
+        c1 = dict(zip(up["word"], up["cnt"].astype(int)))
+        c2 = dict(zip(zip(bp["w1"], bp["w2"]), bp["cnt"].astype(int)))
+        t_ref = ray.put((c1, c2))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            u, b = cached_object(t_ref)
+            ids, nb, ss = [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split()
+                if len(words) < 2:
+                    continue
+                s = 0
+                for i in range(len(words) - 1):
+                    s += (u[words[i]] // b[(words[i], words[i + 1])]).bit_length() - 1
+                ids.append(doc_id)
+                nb.append(len(words) - 1)
+                ss.append(s)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bigrams": pd.Series(nb, dtype="int64"),
+                    "surprisal_sum": pd.Series(ss, dtype="int64"),
+                }
+            )
+
+        return fold(docs.map_batches(score, batch_format="pandas"))
+
+    # scale path: one crc32(prev) bucket round serves BOTH joins
+    B = adaptive_n_buckets(n_distinct)
+
+    def bkt(words) -> list[int]:
+        return [zlib.crc32(w.encode()) % B for w in words]
+
+    def doc_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, w1s, w2s = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split()
+            ids.extend([doc_id] * max(0, len(words) - 1))
+            w1s.extend(words[:-1])
+            w2s.extend(words[1:])
+        p = pd.DataFrame({"doc_id": ids, "w1": w1s, "w2": w2s})
+        g = p.groupby(["doc_id", "w1", "w2"], sort=False).size().rename("occ").reset_index()
+        return pd.DataFrame(
+            {
+                "w1": g["w1"].astype(str),
+                "w2": g["w2"].astype(str),
+                "doc_id": g["doc_id"].astype("int64"),
+                "occ": g["occ"].astype("int64"),
+                "bucket": pd.Series(bkt(g["w1"]), index=g.index, dtype="int32"),
+                "side": "d",
+            }
+        )
+
+    def uni_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "w1": df["word"].astype(str),
+                "w2": "",
+                "doc_id": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "occ": df["cnt"].astype("int64"),
+                "bucket": pd.Series(bkt(df["word"]), index=df.index, dtype="int32"),
+                "side": "u",
+            }
+        )
+
+    def bi_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].astype(str),
+                "w2": df["w2"].astype(str),
+                "doc_id": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                "occ": df["cnt"].astype("int64"),
+                "bucket": pd.Series(bkt(df["w1"]), index=df.index, dtype="int32"),
+                "side": "b",
+            }
+        )
+
+    def join_score(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == "d"]
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        u = g.loc[g["side"] == "u", ["w1", "occ"]].rename(columns={"occ": "c1"})
+        b = g.loc[g["side"] == "b", ["w1", "w2", "occ"]].rename(columns={"occ": "c2"})
+        m = d.merge(u, on="w1").merge(b, on=["w1", "w2"])
+        surp = [(int(a) // int(c)).bit_length() - 1 for a, c in zip(m["c1"], m["c2"])]
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "s": (pd.Series(surp, index=m.index, dtype="int64") * m["occ"]).astype("int64"),
+                "n": m["occ"].astype("int64"),
+            }
+        )
+
+    flags = (
+        coalesce_blocks(
+            docs.map_batches(doc_pairs, batch_format="pandas")
+            .union(uni.map_batches(uni_side, batch_format="pandas"))
+            .union(bi.map_batches(bi_side, batch_format="pandas")),
+            n_distinct * 2,
+        )
+        .groupby("bucket")
+        .map_groups(join_score, batch_format="pandas")
+    )
+    scored = bucketed_aggregate(
+        flags, ["doc_id"], {"surprisal_sum": ("s", "sum"), "n_bigrams": ("n", "sum")}
+    )
+    return fold(scored)
+
+
+DOC_BIGRAM_SURPRISAL_SQL = """
+WITH docs_tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+),
+pos AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM docs_tk, LATERAL unnest(generate_series(1, len(tk)-1)) AS t(i)
+  WHERE len(tk) >= 2
+),
+uni AS (
+  SELECT word, COUNT(*) AS c1
+  FROM (SELECT unnest(tk) AS word FROM docs_tk) GROUP BY word
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pos GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         length(ltrim(bin(CAST(u.c1 // b.c2 AS BIGINT)), '0')) - 1 AS s
+  FROM pos p JOIN uni u ON p.w1 = u.word JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+       CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS mean_milli
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -47,6 +47,7 @@ def _oracle_names():
         "source_top_terms",
         "corpus_to_training",
         "doc_unigram_surprisal",
+        "doc_bigram_surprisal",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "source_token_totals",
@@ -1208,3 +1209,34 @@ def test_broadcast_cached_object(ray_session):
     assert len(B._CACHE) == B._CACHE_MAX  # LRU-capped
     assert refs[0].hex() not in B._CACHE  # oldest evicted
     assert B.cached_object(refs[-1]) == {"k": len(refs) - 1}
+
+
+def test_bigram_paths_and_crafted(ray_session, tmp_path):
+    """bigram twin: c1('b')=5, pairs (a,b)=2 (b,a)=1 (b,c)=1
+    (b,b)=2 over the crafted corpus -> doc1 sum 0+0+2+2=4,
+    doc4 (b b b) sum 1+1=2; 1-token and empty docs absent."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlscraper_ray.functions.textstats import doc_bigram_surprisal
+
+    d = tmp_path / "sfb"
+    os.makedirs(d, exist_ok=True)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b c", "a", "", "b b b"],
+            "source": ["x"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), str(d / "documents.parquet"))
+    out = doc_bigram_surprisal(str(d)).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 4]
+    assert out.loc[1, "surprisal_sum"] == 4 and out.loc[1, "n_bigrams"] == 4
+    assert out.loc[4, "surprisal_sum"] == 2 and out.loc[4, "n_bigrams"] == 2
+    a = doc_bigram_surprisal(str(d))
+    b = doc_bigram_surprisal(str(d), broadcast_limit=0)
+    assert a.equals(b)
