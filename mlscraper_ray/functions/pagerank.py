@@ -117,9 +117,10 @@ def pagerank_ds(
     ``damping_pct * (inflow + dshare)`` in int64, and a single node's
     inflow is bounded by the total rank mass ``n_nodes * scale`` — so
     pick ``scale`` such that worst-case concentration stays under
-    2^63 (the default 10^12 is safe beyond 10^16 total edges for any
-    realistic mass concentration; an overflow is caught loudly by the
-    non-negativity assert in the update, never wrapped silently)."""
+    2^63. Feasibility is checked EXACTLY at runtime: each update
+    asserts the max inflow against the pre-multiply int64 bound, so
+    an infeasible (corpus, scale) pair fails loudly before any wrap
+    (a post-hoc sign check would miss wraps that land positive)."""
     nodes = nodes.materialize()
     edges = edges.materialize()
     n_nodes = nodes.count()
@@ -299,13 +300,20 @@ def pagerank_ds(
             .groupby("bucket")
             .map_groups(contribs, batch_format="pandas")
         )
-        def damp(df: pd.DataFrame, ds: int = dshare) -> pd.DataFrame:
+        # exact pre-multiply bound: the update wraps iff
+        # damping_pct * (inflow + dshare) exceeds int64 — check the
+        # operand BEFORE multiplying (a post-hoc sign check misses
+        # even-multiple-of-2^64 wraps, which land positive)
+        inflow_cap = ((2**63 - 1) - keep_pct * scale) // damping_pct - dshare
+
+        def damp(df: pd.DataFrame, cap: int = inflow_cap, ds: int = dshare) -> pd.DataFrame:
             inflow = df["inflow"].astype("int64")
+            if len(inflow):
+                assert int(inflow.max()) <= cap, (
+                    "rank update would overflow int64; lower `scale` "
+                    "(see the scale-choice note in the pagerank_ds docstring)"
+                )
             rank = ((keep_pct * scale + damping_pct * (inflow + ds)) // 100).astype("int64")
-            # int64 wrap from extreme mass concentration flips the
-            # sign — fail loudly instead of shipping garbage ranks
-            # (see the scale-choice note in the pagerank_ds docstring)
-            assert (rank >= 0).all(), "rank update overflowed int64; lower `scale`"
             return pd.DataFrame(
                 {"node": df["node"].astype(str), "out": df["out"].astype("int64"), "rank": rank}
             )
@@ -628,8 +636,29 @@ def host_rank_ds(
     (src_host, dst_host) pairs via the coarse-bucket aggregate
     (host-pair cardinality ≤ hosts², far below edge count), then one
     additive union-aggregate by host combines the three facets —
-    no driver-side table of hosts anywhere."""
+    no driver-side table of hosts anywhere.
+
+    Overflow feasibility is checked up front with the exact bound
+    ``n_pages * max_rank < 2^63`` (no host can exceed it): computed
+    from two cheap distributed aggregates with Python big-int
+    arithmetic, it proves the int64 rank_total sums cannot wrap. If
+    the bound cannot be proven, a RuntimeWarning says to lower
+    ``scale`` — the post-hoc sign assert alone would miss wraps that
+    land positive."""
+    import warnings
+
     from mlscraper_ray.sources.corpusgen import url_host
+
+    ranks = ranks.materialize()
+    n_pages_total = ranks.count()
+    max_rank = int(ranks.max("rank") or 0)
+    if n_pages_total * max_rank >= 2**63:
+        warnings.warn(
+            "host rank_total may overflow int64 (n_pages * max_rank >= 2^63) — "
+            "lower `scale` in the rank computation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def rank_part(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -716,9 +745,10 @@ def host_rank(
     out = out.sort_values("host", ignore_index=True).astype(
         {c: "int64" for c in ("n_pages", "rank_total", "in_hosts", "out_hosts")}
     )
-    # a host with >~9.2M pages at scale=10^12 would wrap the int64
-    # rank_total sum — the wrap flips sign, so fail loudly (same
-    # policy as the pagerank_ds damping update)
+    # backstop only: host_rank_ds proves no-overflow up front (exact
+    # n_pages*max_rank bound) — this catches odd-multiple wraps if a
+    # caller bypassed it; even-multiple wraps land positive, which is
+    # why the up-front bound, not this check, is the real guard
     assert (out["rank_total"] >= 0).all(), "host rank_total overflowed int64; lower `scale`"
     cols = ["host", "n_pages", "rank_total", "in_hosts", "out_hosts"]
     return pa.Table.from_pandas(out[cols], preserve_index=False)

@@ -699,15 +699,10 @@ def doc_unigram_surprisal(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = pd.DataFrame({"word": batch["text"].str.split()}).explode("word")
-        ex = ex[ex["word"].notna()]
-        out = ex.groupby("word", sort=False).size().rename("cnt").reset_index()
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
-
     counts = bucketed_aggregate(
-        docs.map_batches(local_counts, batch_format="pandas"),
+        docs.map_batches(
+            lambda b: _local_word_counts(b["text"]), batch_format="pandas"
+        ),
         ["word"],
         {"cnt": ("cnt", "sum")},
     ).materialize()
@@ -840,6 +835,17 @@ def doc_unigram_surprisal(
     return fold(scored)
 
 
+def _local_word_counts(texts: pd.Series) -> pd.DataFrame:
+    """Per-batch LOCAL (word, cnt) partials over whitespace tokens —
+    the shared tokenize-and-count step of both surprisal operators
+    (one definition so their unigram semantics cannot desynchronize)."""
+    ex = pd.DataFrame({"word": texts.str.split()}).explode("word")
+    ex = ex[ex["word"].notna()]
+    out = ex.groupby("word", sort=False).size().rename("cnt").reset_index()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
 DOC_UNIGRAM_SURPRISAL_SQL = """
 WITH words AS (
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -882,7 +888,6 @@ def doc_bigram_surprisal(
     the coarse-bucket aggregate. Paths bit-identical (tested)."""
     import zlib
 
-    from mlscraper_ray.functions.broadcast import cached_object
     from mlscraper_ray.functions.bucketed import bucketed_aggregate, coalesce_blocks
     from mlscraper_ray.functions.joins import adaptive_n_buckets
 
@@ -890,31 +895,36 @@ def doc_bigram_surprisal(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def local_uni(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = pd.DataFrame({"word": batch["text"].str.split()}).explode("word")
-        ex = ex[ex["word"].notna()]
-        out = ex.groupby("word", sort=False).size().rename("cnt").reset_index()
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
-
-    def local_bi(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_both(batch: pd.DataFrame) -> pd.DataFrame:
+        """ONE tokenize pass emits both count partials: bigram rows
+        (w1, w2) plus unigram rows marked w2="" — "" can never be a
+        real token (whitespace split yields non-empty strings only),
+        so the sentinel is collision-free and one bucketed aggregate
+        serves both tables instead of re-reading the corpus."""
         w1s, w2s = [], []
         for text in batch["text"]:
             words = text.split()
             w1s.extend(words[:-1])
             w2s.extend(words[1:])
         p = pd.DataFrame({"w1": w1s, "w2": w2s})
-        out = p.groupby(["w1", "w2"], sort=False).size().rename("cnt").reset_index()
+        bi_part = p.groupby(["w1", "w2"], sort=False).size().rename("cnt").reset_index()
+        uni_part = _local_word_counts(batch["text"]).rename(columns={"word": "w1"})
+        uni_part["w2"] = ""
+        out = pd.concat([bi_part, uni_part[["w1", "w2", "cnt"]]], ignore_index=True)
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
-    uni = bucketed_aggregate(
-        docs.map_batches(local_uni, batch_format="pandas"), ["word"], {"cnt": ("cnt", "sum")}
-    ).materialize()
-    bi = bucketed_aggregate(
-        docs.map_batches(local_bi, batch_format="pandas"),
+    both = bucketed_aggregate(
+        docs.map_batches(local_both, batch_format="pandas"),
         ["w1", "w2"],
         {"cnt": ("cnt", "sum")},
+    ).materialize()
+    uni = both.map_batches(
+        lambda df: df[df["w2"] == ""][["w1", "cnt"]].rename(columns={"w1": "word"}),
+        batch_format="pandas",
+    ).materialize()
+    bi = both.map_batches(
+        lambda df: df[df["w2"] != ""], batch_format="pandas"
     ).materialize()
     n_distinct = uni.count() + bi.count()
 
