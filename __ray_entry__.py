@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mlscraper_ray.functions import (
         aggregates,
         components,
+        content,
         curate,
         dedup,
         joins,
@@ -240,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": embed_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        # main-content extraction (densest-block boilerplate removal;
+        # generator-TEMPLATE truth pins parser text + density choice)
+        "extract_main_content": content.extract_main_content,
         # link-graph PageRank over the crawled corpus (integer
         # fixed-point iterations; generator-truth constant-table
         # oracle value-pins extraction + graph assembly + iteration)
@@ -428,6 +432,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
+        "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
     }

@@ -128,6 +128,7 @@ def run_bench() -> dict:
         "page_rank",
         "link_stats",
         "host_rank",
+        "extract_main_content",
         "dedup_exact",
         "dedup_minhash",
         "neardup_clusters",

@@ -1,0 +1,103 @@
+"""Main-content extraction — the boilerplate-removal step of a
+webtext pipeline (cf. trafilatura / jusText / Common Crawl WET
+generation): pick the page's highest-text-density top-level block and
+keep its text, dropping navigation chrome, link lists and headers.
+
+Density here is exact integer arithmetic: block score =
+``text_chars / (1 + n_descendant_elements)``, compared by
+cross-multiplication (``a_chars * (1 + b_desc) > b_chars *
+(1 + a_desc)``) so no float ever enters the choice; ties keep the
+EARLIEST block in document order. The operator reports the chosen
+block's position, tag, first class, text length and text sha256 — the
+hash pins the extracted text byte-for-byte without shipping it to the
+driver.
+
+The truth oracle (pipelines/truth_oracles.main_content_truth_sql)
+recomputes every block's text and descendant-element count from the
+corpus GENERATOR's page template (sources/corpusgen.render_page
+structure + its deterministic RNG draws) — synthesis-time knowledge,
+fully independent of this module's DOM parse — so the oracle
+value-pins the parser's text semantics and the density choice at
+once.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def pick_densest_block(blocks: list[tuple[str, str, int, int]]) -> int:
+    """Index of the densest (tag, first_class, text_chars, n_desc)
+    block by exact cross-multiplied comparison; ties keep the
+    earliest. Shared by the operator and the truth builder so the
+    choice rule has ONE definition."""
+    best = 0
+    for i in range(1, len(blocks)):
+        _, _, tc_i, nd_i = blocks[i]
+        _, _, tc_b, nd_b = blocks[best]
+        if tc_i * (1 + nd_b) > tc_b * (1 + nd_i):
+            best = i
+    return best
+
+
+def main_content_ds(sf_dir: str) -> ray.data.Dataset:
+    """Streaming core: one parse pass over the corpus pages
+    (robots.txt rows skipped), each page reduced to its densest
+    top-level body block's summary row. No shuffle at all — the
+    operator is a pure per-record map, the cheapest shape there is."""
+    from mlscraper_ray.htmlcore.dom import Element, parse_html
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+
+    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        urls, idxs, tags, classes, chars, hashes = [], [], [], [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if url.endswith("/robots.txt"):
+                continue
+            doc = parse_html(html if isinstance(html, bytes) else html.encode())
+            body = doc.select("body", limit=1)
+            if not body:
+                continue
+            elems = [c for c in body[0].children if isinstance(c, Element)]
+            if not elems:
+                continue
+            blocks = []
+            texts = []
+            for b in elems:
+                txt = b.text
+                texts.append(txt)
+                n_desc = sum(1 for _ in b.iter_elements())
+                blocks.append((b.tag, b.classes[0] if b.classes else "", len(txt), n_desc))
+            k = pick_densest_block(blocks)
+            urls.append(url)
+            idxs.append(k)
+            tags.append(blocks[k][0])
+            classes.append(blocks[k][1])
+            chars.append(blocks[k][2])
+            hashes.append(hashlib.sha256(texts[k].encode()).hexdigest())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "block_index": pa.array(idxs, pa.int64()),
+                "block_tag": pa.array(tags, pa.string()),
+                "block_class": pa.array(classes, pa.string()),
+                "text_chars": pa.array(chars, pa.int64()),
+                "text_sha256": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return pages.map_batches(extract, batch_format="pyarrow")
+
+
+def extract_main_content(sf_dir: str) -> pa.Table:
+    """Driver-table wrapper sorted by url; :func:`main_content_ds` is
+    the streaming core."""
+    out = main_content_ds(sf_dir).to_pandas().sort_values("url", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

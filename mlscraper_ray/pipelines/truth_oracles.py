@@ -290,3 +290,72 @@ def host_rank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> s
         )
 
     return _cached(corpus_dir, "hostrank", key, build)
+
+
+def main_content_truth_sql(sf: float) -> str:
+    """(url, block_index, block_tag, block_class, text_chars,
+    text_sha256) for every corpus content page, recomputed from the
+    GENERATOR's page template — the block structure, per-block text
+    and descendant-element counts are synthesis-time facts
+    (sources/corpusgen.render_page: body = [div.header(h1),
+    div.content(6 elements per entry), ul.links(2 per link),
+    div.footer(p)]; RNG draw order = filler first, then 12 body words
+    per entry) — fully independent of the DOM parser under test. The
+    density argmax itself is the shared
+    functions/content.pick_densest_block rule."""
+    from mlscraper_ray.functions import content as content_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = _source_digest(corpusgen, content_mod)
+
+    def build() -> str:
+        rows = []
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                rng = corpusgen._page_rng(spec, h, i)
+                entries = corpusgen.page_entries(spec, h, i)
+                links = corpusgen.page_links(spec, h, i)
+                # SAME draw order as render_page: filler words first,
+                # then 12 body words per entry
+                filler = " ".join(
+                    rng.choice(corpusgen._WORDS) for _ in range(spec.filler_words)
+                )
+                title = f"{spec.host(h)} page {i}"
+                content_text = "".join(
+                    e["votes"]
+                    + "user"
+                    + "some time ago"
+                    + " ".join(rng.choice(corpusgen._WORDS) for _ in range(12))
+                    for e in entries
+                )
+                links_text = "".join(u.rsplit("/", 1)[-1] for u in links)
+                blocks = [
+                    ("div", "header", len(title), 1),
+                    ("div", "content", len(content_text), 6 * len(entries)),
+                    ("ul", "links", len(links_text), 2 * len(links)),
+                    ("div", "footer", len(filler), 1),
+                ]
+                texts = [title, content_text, links_text, filler]
+                k = content_mod.pick_densest_block(blocks)
+                rows.append(
+                    (
+                        spec.page_url(h, i),
+                        k,
+                        blocks[k][0],
+                        blocks[k][1],
+                        blocks[k][2],
+                        hashlib.sha256(texts[k].encode()).hexdigest(),
+                    )
+                )
+        rows.sort()
+        return (
+            values_sql(
+                rows,
+                ["url", "block_index", "block_tag", "block_class", "text_chars", "text_sha256"],
+            )
+            + ' ORDER BY "url"'
+        )
+
+    return _cached(corpus_dir, "maincontent", key, build)

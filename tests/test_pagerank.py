@@ -315,3 +315,42 @@ def test_distributed_matches_reference_on_random_graphs(ray_session, seed):
     out = pagerank_ds(nd, ed, driver_limit=0, n_buckets=rng.choice([1, 5, 13])).to_pandas()
     got = dict(zip(out["node"], out["rank"]))
     assert got == want
+
+
+class TestMainContent:
+    def test_densest_block_rule(self):
+        from mlscraper_ray.functions.content import pick_densest_block
+
+        # cross-multiplied exact compare; tie keeps the earliest
+        blocks = [("div", "a", 10, 1), ("div", "b", 20, 3), ("p", "c", 5, 0)]
+        # densities: 10/2=5, 20/4=5, 5/1=5 -> all tie, first wins
+        assert pick_densest_block(blocks) == 0
+        blocks[1] = ("div", "b", 21, 3)  # 21/4 > 5
+        assert pick_densest_block(blocks) == 1
+
+    def test_extracted_text_hash_matches_dom_text(self, ray_session):
+        """The chosen block's sha256 must equal hashing the block's
+        DOM text directly (re-derived with an independent pass)."""
+        import hashlib
+
+        from mlscraper_ray.functions.content import extract_main_content
+        from mlscraper_ray.htmlcore.dom import Element, parse_html
+        from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+        from mlscraper_ray.sources.corpusgen import render_page
+
+        out = extract_main_content(SF_DIR).to_pandas().set_index("url")
+        _, spec = corpus_for_sf(0.001)
+        checked = 0
+        for h in range(min(3, spec.n_hosts)):
+            for i in range(min(2, spec.n_pages(h))):
+                url = spec.page_url(h, i)
+                html, _ = render_page(spec, h, i)
+                doc = parse_html(html.encode())
+                body = doc.select("body", limit=1)[0]
+                elems = [c for c in body.children if isinstance(c, Element)]
+                row = out.loc[url]
+                want = hashlib.sha256(elems[row.block_index].text.encode()).hexdigest()
+                assert row.text_sha256 == want
+                assert row.text_chars == len(elems[row.block_index].text)
+                checked += 1
+        assert checked >= 4
