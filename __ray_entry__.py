@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         streams,
         textstats,
+        wet,
     )
     from mlscraper_ray.pipelines import crawl_pipeline
 
@@ -244,6 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # main-content extraction (densest-block boilerplate removal;
         # generator-TEMPLATE truth pins parser text + density choice)
         "extract_main_content": content.extract_main_content,
+        # crawl -> WET -> curated manifest composite (extraction +
+        # lang tag + token gate fused in one map; one dedup shuffle
+        # of slim rows; template-truth oracle replays it end to end)
+        "wet_curate": wet.wet_curate,
         # link-graph PageRank over the crawled corpus (integer
         # fixed-point iterations; generator-truth constant-table
         # oracle value-pins extraction + graph assembly + iteration)
@@ -329,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         streams,
         textstats,
+        wet,
     )
 
     return {
@@ -433,6 +439,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
+        "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
     }

@@ -129,6 +129,7 @@ def run_bench() -> dict:
         "link_stats",
         "host_rank",
         "extract_main_content",
+        "wet_curate",
         "dedup_exact",
         "dedup_minhash",
         "neardup_clusters",

@@ -45,12 +45,35 @@ def pick_densest_block(blocks: list[tuple[str, str, int, int]]) -> int:
     return best
 
 
+def page_blocks(doc) -> tuple[list[tuple[str, str, int, int]], list[str]] | None:
+    """(blocks, texts) of a parsed page's top-level body children —
+    blocks are (tag, first_class, text_chars, n_descendant_elements)
+    summaries aligned with their text strings; None when the page has
+    no body or no element children. The single block-enumeration
+    shared by :func:`main_content_ds` and the WET composite."""
+    from mlscraper_ray.htmlcore.dom import Element
+
+    body = doc.select("body", limit=1)
+    if not body:
+        return None
+    elems = [c for c in body[0].children if isinstance(c, Element)]
+    if not elems:
+        return None
+    blocks, texts = [], []
+    for b in elems:
+        txt = b.text
+        texts.append(txt)
+        n_desc = sum(1 for _ in b.iter_elements())
+        blocks.append((b.tag, b.classes[0] if b.classes else "", len(txt), n_desc))
+    return blocks, texts
+
+
 def main_content_ds(sf_dir: str) -> ray.data.Dataset:
     """Streaming core: one parse pass over the corpus pages
     (robots.txt rows skipped), each page reduced to its densest
     top-level body block's summary row. No shuffle at all — the
     operator is a pure per-record map, the cheapest shape there is."""
-    from mlscraper_ray.htmlcore.dom import Element, parse_html
+    from mlscraper_ray.htmlcore.dom import parse_html
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
 
     corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
@@ -62,19 +85,10 @@ def main_content_ds(sf_dir: str) -> ray.data.Dataset:
             if url.endswith("/robots.txt"):
                 continue
             doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            body = doc.select("body", limit=1)
-            if not body:
+            got = page_blocks(doc)
+            if got is None:
                 continue
-            elems = [c for c in body[0].children if isinstance(c, Element)]
-            if not elems:
-                continue
-            blocks = []
-            texts = []
-            for b in elems:
-                txt = b.text
-                texts.append(txt)
-                n_desc = sum(1 for _ in b.iter_elements())
-                blocks.append((b.tag, b.classes[0] if b.classes else "", len(txt), n_desc))
+            blocks, texts = got
             k = pick_densest_block(blocks)
             urls.append(url)
             idxs.append(k)

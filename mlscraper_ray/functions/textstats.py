@@ -168,6 +168,21 @@ ORDER BY doc_id
 """
 
 
+def lang_vote(text: str) -> tuple[str, int]:
+    """The single definition of the stopword-vote language rule
+    (en/de/fr, 'und' fallback, ties in en < de < fr order, floor-milli
+    integer score) — shared by :class:`LangIdStage`, the curation
+    composites and the WET truth builder so the rule cannot fork."""
+    tokens = [t.lower() for t in text.split()[:500]]
+    n = max(1, len(tokens))
+    best_lang, best = "und", 0
+    for lang in ("en", "de", "fr"):
+        hits = sum(1 for t in tokens if t in _STOPWORDS[lang])
+        if hits > best:
+            best, best_lang = hits, lang
+    return best_lang, (1000 * best) // n
+
+
 class LangIdStage:
     """Actor-pool stage: stopword-voting language ID (en/de/fr) with an
     'und' (undetermined) fallback. Deterministic heuristic; ties break
@@ -180,15 +195,9 @@ class LangIdStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         langs, scores = [], []
         for text in batch["text"]:
-            tokens = [t.lower() for t in text.split()[:500]]
-            n = max(1, len(tokens))
-            best_lang, best = "und", 0
-            for lang in ("en", "de", "fr"):
-                hits = sum(1 for t in tokens if t in self.stopwords[lang])
-                if hits > best:
-                    best, best_lang = hits, lang
-            langs.append(best_lang)
-            scores.append((1000 * best) // n)
+            lang, score = lang_vote(text)
+            langs.append(lang)
+            scores.append(score)
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": langs, "lang_score_milli": scores})
 
 

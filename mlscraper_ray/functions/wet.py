@@ -1,0 +1,115 @@
+"""Crawl-corpus -> WET -> curated-manifest composite: the full
+Common-Crawl-style path from raw pages to a deduplicated training
+text inventory, in one streaming pipeline.
+
+Per page (robots.txt rows skipped): extract the MAIN-CONTENT text
+(densest top-level block, functions/content.py's shared rule), tag it
+with the shared stopword language vote (functions/textstats.lang_vote
+— informational on this corpus: the synthetic filler vocabulary
+carries no stopwords, so every page votes 'und'; a real corpus would
+gate on it), gate on a minimum whitespace token count, then
+exact-dedup survivors on md5(text) keeping the lexicographically
+smallest url as canonical. The kept-page manifest reports (url, lang,
+n_tokens, n_dups, text_sha256) — the sha256 byte-pins the extracted
+text without ever shipping it to the driver.
+
+Scale shape: extraction + gating is ONE per-record map (html never
+leaves it); only slim rows (md5 hash, url, token count, sha) cross
+the single dedup shuffle (the coarse-bucket aggregate). The truth
+oracle (pipelines/truth_oracles.wet_curate_truth_sql) replays the
+whole composite single-process over the GENERATOR's page template —
+block texts and element counts are synthesis-time facts, so the
+oracle pins parsing, extraction, gating and dedup end to end.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from mlscraper_ray.functions.bucketed import bucketed_aggregate
+from mlscraper_ray.functions.content import page_blocks, pick_densest_block
+from mlscraper_ray.functions.textstats import lang_vote
+
+
+def wet_rows_ds(sf_dir: str, min_tokens: int = 20) -> ray.data.Dataset:
+    """Slim survivor rows (h, url, n_tokens, sha) — extraction, lang
+    gate and length gate fused in one streaming map."""
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+
+    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+
+    def extract_gate(t: pa.Table) -> pa.Table:
+        hs, urls, langs, toks, shas = [], [], [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if url.endswith("/robots.txt"):
+                continue
+            doc = parse_html(html if isinstance(html, bytes) else html.encode())
+            got = page_blocks(doc)
+            if got is None:
+                continue
+            blocks, texts = got
+            text = texts[pick_densest_block(blocks)]
+            lang, _score = lang_vote(text)
+            n_tokens = len(text.split())
+            if n_tokens < min_tokens:
+                continue
+            hs.append(hashlib.md5(text.encode()).hexdigest())
+            urls.append(url)
+            langs.append(lang)
+            toks.append(n_tokens)
+            shas.append(hashlib.sha256(text.encode()).hexdigest())
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "text_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+    return pages.map_batches(extract_gate, batch_format="pyarrow")
+
+
+def wet_curate_ds(sf_dir: str, min_tokens: int = 20) -> ray.data.Dataset:
+    """Streaming core: survivor rows dedup by content hash in the
+    coarse-bucket aggregate (canonical = min url; identical text ->
+    identical n_tokens/sha, so min folds are exact)."""
+    return bucketed_aggregate(
+        wet_rows_ds(sf_dir, min_tokens),
+        ["h"],
+        {
+            "url": ("url", "min"),
+            "lang": ("lang", "min"),
+            "n_tokens": ("n_tokens", "min"),
+            "text_sha256": ("text_sha256", "min"),
+            "n_dups": ("h", "count"),
+        },
+    )
+
+
+def wet_curate(sf_dir: str, min_tokens: int = 20) -> pa.Table:
+    """Driver-table wrapper: (url, lang, n_tokens, n_dups,
+    text_sha256) of the kept canonical pages sorted by url."""
+    out = wet_curate_ds(sf_dir, min_tokens).to_pandas()
+    cols = ["url", "lang", "n_tokens", "n_dups", "text_sha256"]
+    if len(out) == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+                "text_sha256": pa.array([], pa.string()),
+            }
+        )
+    out = out.astype({"n_tokens": "int64", "n_dups": "int64"})
+    out = out[cols].sort_values("url", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -292,6 +292,38 @@ def host_rank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> s
     return _cached(corpus_dir, "hostrank", key, build)
 
 
+def _template_page_blocks(spec, h: int, i: int):
+    """(blocks, texts) of page (h, i)'s top-level body children
+    recomputed from the GENERATOR's template (render_page structure:
+    body = [div.header(h1), div.content(6 elements per entry),
+    ul.links(2 per link), div.footer(p)]; RNG draw order = filler
+    first, then 12 body words per entry) — synthesis-time knowledge,
+    independent of the DOM parser. Shared by the main-content and WET
+    truth builders."""
+    from mlscraper_ray.sources import corpusgen
+
+    rng = corpusgen._page_rng(spec, h, i)
+    entries = corpusgen.page_entries(spec, h, i)
+    links = corpusgen.page_links(spec, h, i)
+    filler = " ".join(rng.choice(corpusgen._WORDS) for _ in range(spec.filler_words))
+    title = f"{spec.host(h)} page {i}"
+    content_text = "".join(
+        e["votes"]
+        + "user"
+        + "some time ago"
+        + " ".join(rng.choice(corpusgen._WORDS) for _ in range(12))
+        for e in entries
+    )
+    links_text = "".join(u.rsplit("/", 1)[-1] for u in links)
+    blocks = [
+        ("div", "header", len(title), 1),
+        ("div", "content", len(content_text), 6 * len(entries)),
+        ("ul", "links", len(links_text), 2 * len(links)),
+        ("div", "footer", len(filler), 1),
+    ]
+    return blocks, [title, content_text, links_text, filler]
+
+
 def main_content_truth_sql(sf: float) -> str:
     """(url, block_index, block_tag, block_class, text_chars,
     text_sha256) for every corpus content page, recomputed from the
@@ -314,30 +346,7 @@ def main_content_truth_sql(sf: float) -> str:
         rows = []
         for h in range(spec.n_hosts):
             for i in range(spec.n_pages(h)):
-                rng = corpusgen._page_rng(spec, h, i)
-                entries = corpusgen.page_entries(spec, h, i)
-                links = corpusgen.page_links(spec, h, i)
-                # SAME draw order as render_page: filler words first,
-                # then 12 body words per entry
-                filler = " ".join(
-                    rng.choice(corpusgen._WORDS) for _ in range(spec.filler_words)
-                )
-                title = f"{spec.host(h)} page {i}"
-                content_text = "".join(
-                    e["votes"]
-                    + "user"
-                    + "some time ago"
-                    + " ".join(rng.choice(corpusgen._WORDS) for _ in range(12))
-                    for e in entries
-                )
-                links_text = "".join(u.rsplit("/", 1)[-1] for u in links)
-                blocks = [
-                    ("div", "header", len(title), 1),
-                    ("div", "content", len(content_text), 6 * len(entries)),
-                    ("ul", "links", len(links_text), 2 * len(links)),
-                    ("div", "footer", len(filler), 1),
-                ]
-                texts = [title, content_text, links_text, filler]
+                blocks, texts = _template_page_blocks(spec, h, i)
                 k = content_mod.pick_densest_block(blocks)
                 rows.append(
                     (
@@ -359,3 +368,54 @@ def main_content_truth_sql(sf: float) -> str:
         )
 
     return _cached(corpus_dir, "maincontent", key, build)
+
+
+def wet_curate_truth_sql(sf: float, min_tokens: int = 20) -> str:
+    """(url, n_tokens, n_dups, text_sha256) of the WET composite's
+    kept canonical pages, replayed single-process over the generator
+    template: densest-block text (shared pick_densest_block rule),
+    shared lang_vote tag, min-token gate, md5(text) dedup keeping
+    the smallest url — pinning the distributed extraction + gating +
+    dedup plumbing end to end."""
+    from mlscraper_ray.functions import content as content_mod
+    from mlscraper_ray.functions import wet as wet_mod
+    from mlscraper_ray.functions.textstats import lang_vote
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (f"wet:{min_tokens}:" + _source_digest(corpusgen, content_mod, wet_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        groups: dict[str, list] = {}
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                blocks, texts = _template_page_blocks(spec, h, i)
+                text = texts[content_mod.pick_densest_block(blocks)]
+                lang, _ = lang_vote(text)
+                n_tokens = len(text.split())
+                if n_tokens < min_tokens:
+                    continue
+                key_h = hashlib.md5(text.encode()).hexdigest()
+                groups.setdefault(key_h, []).append(
+                    (
+                        spec.page_url(h, i),
+                        lang,
+                        n_tokens,
+                        hashlib.sha256(text.encode()).hexdigest(),
+                    )
+                )
+        rows = []
+        for members in groups.values():
+            url = min(m[0] for m in members)
+            lang = min(m[1] for m in members)
+            rows.append((url, lang, members[0][2], len(members), members[0][3]))
+        rows.sort()
+        return (
+            values_sql(rows, ["url", "lang", "n_tokens", "n_dups", "text_sha256"])
+            + ' ORDER BY "url"'
+        )
+
+    return _cached(corpus_dir, "wet", key, build)

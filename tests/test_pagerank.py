@@ -354,3 +354,27 @@ class TestMainContent:
                 assert row.text_chars == len(elems[row.block_index].text)
                 checked += 1
         assert checked >= 4
+
+
+class TestWetCurate:
+    def test_min_token_gate_and_empty_path(self, ray_session):
+        from mlscraper_ray.functions.wet import wet_curate
+
+        full = wet_curate(SF_DIR).to_pandas()
+        assert len(full) > 0
+        assert (full["n_tokens"] >= 20).all()
+        # gate above every page's token count -> typed empty table
+        none = wet_curate(SF_DIR, min_tokens=10**6).to_pandas()
+        assert len(none) == 0
+        assert list(none.columns) == ["url", "lang", "n_tokens", "n_dups", "text_sha256"]
+
+    def test_sha_matches_main_content_extraction(self, ray_session):
+        """The composite's kept text is exactly the main-content
+        extractor's block text (same shared density rule)."""
+        from mlscraper_ray.functions.content import extract_main_content
+        from mlscraper_ray.functions.wet import wet_curate
+
+        w = wet_curate(SF_DIR).to_pandas().set_index("url")
+        m = extract_main_content(SF_DIR).to_pandas().set_index("url")
+        for url, row in w.iterrows():
+            assert m.loc[url, "text_sha256"] == row["text_sha256"]
