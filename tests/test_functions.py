@@ -1242,3 +1242,18 @@ def test_bigram_paths_and_crafted(ray_session, tmp_path):
     a = doc_bigram_surprisal(str(d))
     b = doc_bigram_surprisal(str(d), broadcast_limit=0)
     assert a.equals(b)
+
+
+def test_coalesce_blocks_bounds_block_count(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mlscraper_ray.functions.bucketed import coalesce_blocks
+
+    parts = [ray.data.from_pandas(pd.DataFrame({"x": [i]})) for i in range(40)]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    out = coalesce_blocks(ds, approx_rows=40).materialize()
+    assert out.num_blocks() <= 8
+    assert sorted(out.to_pandas()["x"]) == list(range(40))

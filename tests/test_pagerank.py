@@ -378,3 +378,29 @@ class TestWetCurate:
         m = extract_main_content(SF_DIR).to_pandas().set_index("url")
         for url, row in w.iterrows():
             assert m.loc[url, "text_sha256"] == row["text_sha256"]
+
+    def test_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from mlscraper_ray.functions.wet import wet_curate, wet_curate_to_parquet
+
+        out_dir = str(tmp_path / "wet")
+        r1 = wet_curate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        files = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+        got = (
+            pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+            .astype({"n_tokens": "int64", "n_dups": "int64"})
+            .sort_values("url", ignore_index=True)
+        )
+        want = wet_curate(SF_DIR).to_pandas()
+        cols = ["url", "lang", "n_tokens", "n_dups", "text_sha256"]
+        pd.testing.assert_frame_equal(got[cols], want[cols])
+        r2 = wet_curate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0005", "_SUCCESS"))
+        r3 = wet_curate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
