@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-quantized Lloyd's: every reduction is an int sum, so
         # the whole ITERATIVE algorithm is SQL-oracled (chained CTEs)
         "embed_kmeans_int": similarity.embedding_kmeans_int,
+        # SemDeDup (Abbas et al. 2023): k-means clusters bound the
+        # quadratic, cosine compare within clusters, keep lowest id
+        "embed_semdedup": similarity.embed_semdedup,
         # stream-shaped
         "sessionize": streams.sessionize,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -385,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
+        "embed_semdedup": similarity.embed_semdedup_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

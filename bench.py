@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "embed_neardup_pairs",
         "embed_kmeans",
         "embed_kmeans_int",
+        "embed_semdedup",
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",

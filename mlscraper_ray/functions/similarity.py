@@ -801,3 +801,143 @@ def embedding_kmeans(sf_dir: str, n_clusters: int = 16, n_iters: int = 5) -> pa.
         "vec_id", ignore_index=True
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# -- SemDeDup: semantic dedup via cluster-then-compare ---------------------
+
+
+def embed_semdedup(
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    max_cluster_docs: int | None = 4096,
+) -> pa.Table:
+    """SemDeDup-style SEMANTIC deduplication (public method: Abbas et
+    al. 2023, arXiv:2303.09540): k-means-cluster the embeddings, then
+    compare cosine similarity only WITHIN clusters and keep one
+    representative per semantic duplicate set. The clustering bounds
+    the quadratic — the whole point of the method at corpus scale.
+
+    Composition of two already-oracled stages:
+
+    - centroids from :func:`kmeans_int_fit` (distributed integer
+      Lloyd's — order-independent, bit-reproducible);
+    - per-batch integer argmin assignment (ties -> lowest cluster id),
+      identical to :func:`embedding_kmeans_int`;
+    - per-cluster dedup in ``groupby("cluster").map_groups``: a vector
+      is a DUPLICATE iff some LOWER vec_id in its cluster has cosine
+      >= ``threshold`` (the deterministic keep-lowest-id greedy used
+      by the reference implementation — a dropped doc still shadows
+      later docs, so the rule needs no iteration and is
+      SQL-expressible). ``dup_of`` is the smallest such neighbour.
+
+    Scale notes: ``n_clusters`` is the scale knob (SemDeDup grows it
+    with the corpus so clusters stay bounded); ``max_cluster_docs`` is
+    the hot-cluster guard — an over-cap cluster compares each member
+    only against its ``max_cluster_docs`` lowest-id members (the
+    anchor prefix), keeping compute linear in cluster size; pass None
+    for unconditional exactness. Only slim (vec_id, cluster, unit)
+    rows cross the one shuffle.
+
+    Returns one row per vector: (vec_id, cluster, is_dup, dup_of).
+    """
+    centroids = kmeans_int_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters)
+    cents_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # first min == (dist2, cid) order
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "vec_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "is_dup": pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        u = np.stack([np.asarray(v) for v in g["unit"]])
+        n = len(ids)
+        cap = n if max_cluster_docs is None else min(n, max_cluster_docs)
+        # anchor-prefix similarity: rows = cap lowest-id members,
+        # columns = every member; j-vs-i valid iff j < i (lower id)
+        sims = u[:cap] @ u.T
+        hit = sims >= threshold
+        hit &= np.arange(cap)[:, None] < np.arange(n)[None, :]
+        any_hit = hit.any(axis=0)
+        first = hit.argmax(axis=0)  # first True == smallest lower id
+        dup_of = np.where(any_hit, ids[np.minimum(first, cap - 1)], -1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(dtype=np.int64),
+                "is_dup": any_hit.astype(np.int64),
+                "dup_of": dup_of,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_semdedup_sql(
+    threshold: float = 0.35, n_clusters: int = 8, n_iters: int = 3, dim: int = 64
+) -> str:
+    """End-to-end DuckDB oracle for :func:`embed_semdedup`: the full
+    k-means training chain (shared :func:`_kmeans_int_prefix_parts`
+    CTEs), the final assignment, and the within-cluster lowest-id
+    shadow rule as a cosine self-join."""
+    parts = _kmeans_int_prefix_parts(n_clusters, n_iters, dim)
+    d_final = _int_dist2_sql("q.v", f"c{n_iters}f.v")
+    parts.append(
+        f""",
+asg AS (
+    SELECT vec_id, c FROM (
+        SELECT q.vec_id, c{n_iters}f.c,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_final}, c{n_iters}f.c) AS rn
+        FROM q CROSS JOIN c{n_iters}f
+    ) WHERE rn = 1
+),
+dup AS (
+    SELECT hi.vec_id AS vid, MIN(lo.vec_id) AS dup_of
+    FROM asg hi JOIN asg lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
+    JOIN embeddings be ON be.vec_id = hi.vec_id
+    JOIN embeddings ae ON ae.vec_id = lo.vec_id
+    WHERE list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                                 CAST(be.embedding AS DOUBLE[])) >= {threshold}
+    GROUP BY hi.vec_id
+)
+SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster,
+       CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup,
+       COALESCE(dup.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.vid
+ORDER BY asg.vec_id"""
+    )
+    return "".join(parts)

@@ -68,6 +68,7 @@ def _oracle_names():
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
         "embed_kmeans_int",
+        "embed_semdedup",
         "embed_neardup_pairs",
         "multimodal_features",
         "sessionize",
@@ -841,6 +842,83 @@ class TestEmbeddingNeardupGuard:
         assert (out["score_x10k"] == 10000).all()
         out2 = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=None).to_pandas()
         assert len(out2) == n * (n - 1) // 2
+
+
+class TestSemDeDup:
+    @staticmethod
+    def _write_vecs(tmp_path, vecs):
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    def test_planted_semantic_dups_found(self, ray_session, tmp_path):
+        """Exact and near copies must be flagged with dup_of = the
+        original (identical vectors always share a cluster — the
+        integer argmin assignment is a pure function of the vector)."""
+        from mlscraper_ray.functions.similarity import embed_semdedup
+
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((30, 16)).astype(np.float32)
+        vecs = list(base)
+        vecs.append(base[0])  # 30: exact dup of 0
+        vecs.append(base[5] + rng.standard_normal(16).astype(np.float32) * 0.005)  # 31
+        self._write_vecs(tmp_path, vecs)
+        out = embed_semdedup(
+            str(tmp_path), threshold=0.92, n_clusters=4, n_iters=2
+        ).to_pandas().set_index("vec_id")
+        assert out.loc[30, "is_dup"] == 1 and out.loc[30, "dup_of"] == 0
+        assert out.loc[31, "is_dup"] == 1 and out.loc[31, "dup_of"] == 5
+        assert out.loc[0, "is_dup"] == 0 and out.loc[0, "dup_of"] == -1
+
+    def test_matches_end_to_end_sql_on_planted(self, ray_session, tmp_path):
+        """Non-vacuous oracle check on a corpus that HAS semantic dups:
+        the full train->assign->within-cluster-shadow pipeline equals
+        the chained-CTE DuckDB replay."""
+        import duckdb
+
+        from mlscraper_ray.functions.similarity import embed_semdedup, embed_semdedup_sql
+
+        rng = np.random.RandomState(13)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        vecs = list(base)
+        for i in range(5):
+            vecs.append(base[i] + rng.standard_normal(16).astype(np.float32) * 0.01)
+        self._write_vecs(tmp_path, vecs)
+        out = embed_semdedup(
+            str(tmp_path), threshold=0.9, n_clusters=4, n_iters=2
+        ).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+        oracle = con.execute(embed_semdedup_sql(0.9, 4, 2, dim=16)).fetchdf()
+        assert int(oracle["is_dup"].sum()) >= 5  # planted dups really flagged
+        for col in ("vec_id", "cluster", "is_dup", "dup_of"):
+            assert out[col].tolist() == oracle[col].tolist(), col
+
+    def test_hot_cluster_anchor_guard(self, ray_session, tmp_path):
+        """All-identical embeddings: one cluster holds the corpus. The
+        anchor-prefix guard keeps compute linear and — because the
+        lowest id is always an anchor — still yields the exact result
+        here; guard and exact paths must agree."""
+        from mlscraper_ray.functions.similarity import embed_semdedup
+
+        n = 200
+        vec = list(np.arange(1, 17, dtype=np.float64))
+        self._write_vecs(tmp_path, [vec] * n)
+        guarded = embed_semdedup(
+            str(tmp_path), threshold=0.92, n_clusters=2, n_iters=1, max_cluster_docs=16
+        ).to_pandas()
+        exact = embed_semdedup(
+            str(tmp_path), threshold=0.92, n_clusters=2, n_iters=1, max_cluster_docs=None
+        ).to_pandas()
+        pd.testing.assert_frame_equal(guarded, exact)
+        assert (guarded.loc[guarded["vec_id"] > 0, "dup_of"] == 0).all()
+        assert guarded.loc[guarded["vec_id"] == 0, "is_dup"].iloc[0] == 0
 
 
 class TestExactDedupSink:
