@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         packing,
         pagerank,
         scrub,
+        search,
         similarity,
         streams,
         textstats,
@@ -219,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming screen pass, no shuffle
         "corpus_decontaminate": curate.decontaminate,
         # similarity search
+        # lexical top-k search: integer fixed-point BM25, one
+        # tokenize pass + per-batch partial top-k, no shuffle
+        "text_search_bm25": search.bm25_topk,
         "ann_cosine_topk": similarity.cosine_topk,
         # batched serving shape: one broadcast query MATRIX, one
         # matmul per batch for all queries
@@ -334,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         joins,
         packing,
         scrub,
+        search,
         similarity,
         streams,
         textstats,
@@ -385,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
+        "text_search_bm25": search.bm25_topk_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),

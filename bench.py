@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
         "doc_quality",
+        "text_search_bm25",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",

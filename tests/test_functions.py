@@ -63,6 +63,7 @@ def _oracle_names():
         "dedup_minhash",
         "neardup_clusters",
         "corpus_dedup_canonical",
+        "text_search_bm25",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
@@ -842,6 +843,69 @@ class TestEmbeddingNeardupGuard:
         assert (out["score_x10k"] == 10000).all()
         out2 = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=None).to_pandas()
         assert len(out2) == n * (n - 1) // 2
+
+
+class TestBM25Search:
+    def test_ranking_semantics_on_crafted_corpus(self, ray_session, tmp_path):
+        """Rank order must follow BM25 intuition: matching a RARE term
+        beats matching a common one; higher tf beats lower tf; length
+        normalization penalizes padded docs; non-matching docs score 0
+        but still fill the top-k like the SQL LIMIT does."""
+        from mlscraper_ray.functions.search import bm25_topk
+
+        texts = [
+            "rare common filler filler",              # 0: rare + common
+            "common filler filler filler",            # 1: common only
+            "rare rare common filler",                # 2: rare twice
+            "rare " + "pad " * 60,                    # 3: rare, long doc
+            "nothing here at all",                    # 4: no match
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = bm25_topk(str(tmp_path), terms=("rare", "common"), k=5).to_pandas()
+        ranked = out["doc_id"].tolist()
+        score = dict(zip(out["doc_id"], out["score_m"]))
+        assert ranked[0] == 2          # tf=2 on the rarer term wins
+        assert score[0] > score[1]     # rare+common > common-only
+        assert score[0] > score[3]     # same terms, shorter doc wins
+        assert score[4] == 0 and ranked[-1] == 4
+
+    def test_topk_stable_under_block_structure(self, ray_session, tmp_path):
+        """Partial top-k + driver merge must equal the global order no
+        matter how rows split into blocks: many tiny blocks vs one."""
+        import ray.data
+
+        from mlscraper_ray.functions.search import bm25_topk
+
+        rng = np.random.RandomState(5)
+        words = ["alpha", "beta", "gamma", "delta", "pad"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(3, 30)))
+            for _ in range(200)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d1 = tmp_path / "one"
+        d1.mkdir()
+        pq.write_table(t, str(d1 / "documents.parquet"))
+        d2 = tmp_path / "many"
+        (d2 / "documents.parquet").mkdir(parents=True)  # dir-of-files read
+        for i in range(8):  # 8 separate files -> many blocks
+            pq.write_table(
+                t.slice(i * 25, 25), str(d2 / "documents.parquet" / f"part_{i}.parquet")
+            )
+        a = bm25_topk(str(d1), terms=("alpha", "gamma")).to_pandas()
+        b = bm25_topk(str(d2), terms=("alpha", "gamma")).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
 
 
 class TestSemDeDup:
