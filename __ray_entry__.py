@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-point iterations; generator-truth constant-table
         # oracle value-pins extraction + graph assembly + iteration)
         "page_rank": pagerank.page_rank,
+        # HITS hubs/authorities: integer fixed-point max-normalized
+        # mutual recursion over the same link graph
+        "link_hits": _link_hits,
         # per-url in-link / anchor-text aggregation (same graph, two
         # bucket-shuffle rounds of slim rows; generator-truth oracle)
         "link_stats": pagerank.link_stats,
@@ -435,6 +438,12 @@ ORDER BY doc_id
     }
 
 
+def _link_hits(sf_dir: str):
+    from mlscraper_ray.functions.hits import link_hits
+
+    return link_hits(sf_dir)
+
+
 def _truth_oracle_entries() -> dict[str, str]:
     """Built per-entry with failure isolation: if a builder cannot run
     (e.g. unwritable corpus scratch dir), that pipeline degrades to
@@ -448,6 +457,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
+        "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),

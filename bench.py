@@ -126,6 +126,7 @@ def run_bench() -> dict:
         "top_users_by_value",
         "event_value_percentiles",
         "page_rank",
+        "link_hits",
         "link_stats",
         "host_rank",
         "extract_main_content",

@@ -185,6 +185,42 @@ def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> st
     return _cached(corpus_dir, "pagerank", key, build)
 
 
+def hits_truth_sql(sf: float, n_iters: int = 4) -> str:
+    """(url, hub, auth) from the single-process integer HITS loop run
+    over the corpus GENERATOR's own link records (corpusgen.page_links
+    — independent of the pipeline's HTML parse / link-extraction
+    path). Integer fixed-point max-normalization makes the loop exact,
+    so the constant table hash-matches bit-for-bit."""
+    from mlscraper_ray.functions import hits as hits_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (f"{n_iters}:" + _source_digest(corpusgen, hits_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        nodes, urlset = [], set()
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                u = spec.page_url(h, i)
+                nodes.append(u)
+                urlset.add(u)
+        edges = [
+            (spec.page_url(h, i), t)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+            for t in corpusgen.page_links(spec, h, i)
+            if t in urlset
+        ]
+        ha = hits_mod.hits_reference(nodes, edges, n_iters)
+        rows = sorted((u, ha[u][0], ha[u][1]) for u in nodes)
+        return values_sql(rows, ["url", "hub", "auth"]) + ' ORDER BY "url"'
+
+    return _cached(corpus_dir, "hits", key, build)
+
+
 def link_stats_truth_sql(sf: float) -> str:
     """(url, in_links, src_hosts, out_links, top_anchor) per corpus
     page, recomputed from corpusgen.page_links plus the generator's

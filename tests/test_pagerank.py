@@ -317,6 +317,73 @@ def test_distributed_matches_reference_on_random_graphs(ray_session, seed):
     assert got == want
 
 
+class TestHITS:
+    def test_distributed_matches_reference_loop(self, ray_session):
+        from mlscraper_ray.functions.hits import hits_ds, hits_reference
+
+        nodes, edges = _crafted()
+        want = hits_reference(nodes, edges)
+        n, e = _graph_ds(nodes, edges)
+        out = hits_ds(n, e, driver_limit=0, n_buckets=5).to_pandas()
+        got = {r["node"]: (r["hub"], r["auth"]) for _, r in out.iterrows()}
+        assert got == want
+
+    def test_driver_path_identical(self, ray_session):
+        from mlscraper_ray.functions.hits import hits_ds
+
+        nodes, edges = _crafted()
+        n, e = _graph_ds(nodes, edges)
+        fast = hits_ds(n, e).to_pandas().sort_values("node", ignore_index=True)
+        n2, e2 = _graph_ds(nodes, edges)
+        slow = (
+            hits_ds(n2, e2, driver_limit=0)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+            .astype(fast.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_hub_authority_semantics(self):
+        from mlscraper_ray.functions.hits import SCALE, hits_reference
+
+        # star: c links to a1..a3; a1..a3 link nowhere
+        nodes = ["c", "a1", "a2", "a3"]
+        edges = [("c", "a1"), ("c", "a2"), ("c", "a3")]
+        got = hits_reference(nodes, edges)
+        assert got["c"][0] == SCALE and got["c"][1] == 0  # pure hub
+        for a in ("a1", "a2", "a3"):
+            assert got[a][1] == SCALE and got[a][0] == 0  # pure authorities
+
+    @pytest.mark.parametrize("seed", [3, 29])
+    def test_distributed_matches_reference_on_random_graphs(self, ray_session, seed):
+        import random
+
+        from mlscraper_ray.functions.hits import hits_ds, hits_reference
+
+        rng = random.Random(seed)
+        nodes = [f"u{i}" for i in range(40)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randrange(30, 120))
+        ]
+        want = hits_reference(nodes, edges)
+        nd, ed = _graph_ds(nodes, edges)
+        out = hits_ds(
+            nd, ed, driver_limit=0, n_buckets=rng.choice([1, 5, 13])
+        ).to_pandas()
+        got = {r["node"]: (r["hub"], r["auth"]) for _, r in out.iterrows()}
+        assert got == want
+
+    def test_matches_generator_truth(self, ray_session):
+        from oracle_compare import compare
+
+        from mlscraper_ray.functions.hits import link_hits
+        from mlscraper_ray.pipelines import truth_oracles
+
+        c = compare(link_hits(SF_DIR), truth_oracles.hits_truth_sql(0.001), SF_DIR)
+        assert c["hash_match"], c
+
+
 class TestMainContent:
     def test_densest_block_rule(self):
         from mlscraper_ray.functions.content import pick_densest_block
