@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (all four SQL-checked; minhash/simhash oracles are
         # exhaustive O(n^2) joins that verify LSH recall itself)
         "dedup_exact": dedup.exact_dedup,
+        # recurring-crawl shape: new snapshot deduped against the
+        # prior manifest, one shuffle of slim hash rows, no broadcast
+        "dedup_incremental": dedup.incremental_dedup,
         "dedup_minhash": dedup.minhash_dedup,
         # connected components over the verified pair graph (iterative
         # min-label propagation) and the canonical-doc keep manifest
@@ -359,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
         "dedup_exact": dedup_exact_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_dup_span_stats": _dup_span_sql(),
         "dedup_segments": scrub.DEDUP_SEGMENTS_SQL,
@@ -495,6 +499,12 @@ def _decontaminate_sql() -> str:
     from mlscraper_ray.functions.curate import DECONTAMINATE_SQL
 
     return DECONTAMINATE_SQL
+
+
+def _dedup_incremental_sql() -> str:
+    from mlscraper_ray.functions.dedup import incremental_dedup_sql
+
+    return incremental_dedup_sql()
 
 
 def dedup_exact_sql() -> str:

@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "extract_main_content",
         "wet_curate",
         "dedup_exact",
+        "dedup_incremental",
         "dedup_minhash",
         "neardup_clusters",
         "corpus_dedup_canonical",

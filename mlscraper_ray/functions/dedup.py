@@ -1038,3 +1038,94 @@ FROM per
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# -- cross-snapshot incremental dedup --------------------------------------
+
+
+_PRIOR_SENTINEL = 1 << 62  # rides the min() so prior rows never win it
+
+
+def incremental_dedup(sf_dir: str, snapshot_mod: int = 2) -> pa.Table:
+    """Cross-SNAPSHOT incremental exact dedup — the recurring-crawl
+    shape: a new snapshot is deduplicated against everything already
+    kept from prior snapshots (cf. Common Crawl's per-crawl URL/content
+    dedup against earlier crawls). The prior snapshot here is the
+    deterministic slice ``doc_id % snapshot_mod == 0`` (a stand-in for
+    a real earlier-crawl manifest; the operator shape is identical).
+
+    A NEW document survives iff its content hash appears in NO prior
+    document and it has the minimum doc_id among new documents sharing
+    that hash. Returns (doc_id, h, n_new) sorted by doc_id, where
+    ``n_new`` counts the new-snapshot copies of that text.
+
+    Scale shape: ONE streaming pass emits slim (h, id-or-sentinel,
+    flags) rows — prior rows carry a doc_id sentinel above any real id
+    so a single coarse-bucket aggregate computes, per hash, the prior
+    presence flag AND the min new id AND the new-copy count; the
+    contaminated-or-duplicate filter is then a pure map. No broadcast,
+    no driver structure, exactly one shuffle of slim rows."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        is_prior = [1 if d % snapshot_mod == 0 else 0 for d in ids]
+        return pa.table(
+            {
+                "h": pa.array(hashes, pa.string()),
+                "min_id": pa.array(
+                    [_PRIOR_SENTINEL if p else d for d, p in zip(ids, is_prior)], pa.int64()
+                ),
+                "is_prior": pa.array(is_prior, pa.int64()),
+                "is_new": pa.array([1 - p for p in is_prior], pa.int64()),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["h"],
+        {
+            "prior": ("is_prior", "max"),
+            "doc_id": ("min_id", "min"),
+            "n_new": ("is_new", "sum"),
+        },
+    )
+    out = (
+        agg.map_batches(
+            lambda df: df.loc[
+                (df["prior"] == 0) & (df["n_new"] > 0), ["doc_id", "h", "n_new"]
+            ].astype({"doc_id": "int64", "n_new": "int64"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.string()),
+                "n_new": pa.array([], pa.int64()),
+            }
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def incremental_dedup_sql(snapshot_mod: int = 2) -> str:
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, md5(text) AS h, doc_id % {snapshot_mod} = 0 AS is_prior
+    FROM documents
+),
+new_groups AS (
+    SELECT h, MIN(doc_id) AS doc_id, COUNT(*) AS n_new
+    FROM hashed WHERE NOT is_prior GROUP BY h
+)
+SELECT n.doc_id, n.h, n.n_new
+FROM new_groups n
+WHERE n.h NOT IN (SELECT h FROM hashed WHERE is_prior)
+ORDER BY n.doc_id
+"""

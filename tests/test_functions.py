@@ -36,6 +36,7 @@ def _oracle_names():
         "events_asof_join",
         "events_range_join",
         "dedup_exact",
+        "dedup_incremental",
         "dedup_ngram_jaccard",
         "doc_dup_span_stats",
         "dedup_simhash_pairs",
@@ -844,6 +845,38 @@ class TestEmbeddingNeardupGuard:
         assert (out["score_x10k"] == 10000).all()
         out2 = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=None).to_pandas()
         assert len(out2) == n * (n - 1) // 2
+
+
+class TestIncrementalDedup:
+    def test_planted_cross_snapshot_semantics(self, ray_session, tmp_path):
+        """Non-vacuous semantics pin (the shipped documents table has
+        no exact text dups, so the SQL oracle is vacuous there): a new
+        doc sharing text with a PRIOR doc is dropped entirely; new
+        dups keep the minimum new doc_id with the right count; prior
+        texts never appear in the output."""
+        from mlscraper_ray.functions.dedup import incremental_dedup
+
+        # snapshot_mod=2: even doc_ids are the prior snapshot
+        texts = {
+            0: "prior text alpha",     # prior
+            2: "prior text beta",      # prior
+            1: "prior text alpha",     # new, contaminated by 0 -> dropped
+            3: "fresh text one",       # new, unique -> kept
+            5: "fresh text two",       # new, dup head -> kept (min id)
+            7: "fresh text two",       # new, dup of 5 -> folded into 5
+            9: "fresh text two",       # new, dup of 5 -> folded into 5
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = incremental_dedup(str(tmp_path)).to_pandas()
+        assert out["doc_id"].tolist() == [3, 5]
+        assert out.loc[out["doc_id"] == 5, "n_new"].iloc[0] == 3
+        assert out.loc[out["doc_id"] == 3, "n_new"].iloc[0] == 1
 
 
 class TestBM25Search:
