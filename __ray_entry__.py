@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textstats.quality_scores,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
+        # PII scrub: count + redact emails/phones/IPs, pure streaming
+        "doc_pii_scrub": textstats.pii_scrub,
         "doc_sample_10pct": textstats.sample_documents,
         # per-language rate mixing (50% en / 20% rest, seedless)
         "doc_sample_stratified": textstats.sample_stratified,
@@ -393,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
+        "doc_pii_scrub": textstats.pii_scrub_sql(),
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -154,6 +154,7 @@ def run_bench() -> dict:
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
         "doc_quality",
+        "doc_pii_scrub",
         "text_search_bm25",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",

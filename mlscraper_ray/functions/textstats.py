@@ -1097,3 +1097,70 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS mean_milli
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- PII detection / redaction ---------------------------------------------
+
+# explicit ASCII classes (no \d / \w): Python `re` treats those as
+# unicode while DuckDB's RE2 is ASCII-first — explicit classes make
+# the two engines agree by construction. Order matters and is part of
+# the contract: emails first (they contain dots+digits), then phones
+# (the dotted form would otherwise shadow as an IP prefix), then IPs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(sf_dir: str) -> pa.Table:
+    """PII detection + redaction over the corpus — the standard
+    pre-training scrub (public pipelines: C4, CCNet, Dolma): count
+    email / phone / IP matches per document (on the ORIGINAL text,
+    each pattern independently) and redact them sequentially with
+    typed placeholders. Pure streaming ``map_batches`` — compiled
+    patterns, vectorized pandas str kernels, no shuffle; the redacted
+    text is returned as its md5 so only slim rows reach the driver
+    (the redacted body itself would stream to a parquet sink in
+    production, same shape as doc_clean).
+
+    Returns (doc_id, n_email, n_phone, n_ip, redacted_md5)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": batch["doc_id"].astype("int64")}
+        red = batch["text"]
+        for name, pat, repl in PII_PATTERNS:
+            out[f"n_{name}"] = batch["text"].str.count(pat).astype("int64")
+            red = red.str.replace(pat, repl, regex=True)
+        out["redacted_md5"] = [hashlib.md5(t.encode()).hexdigest() for t in red]
+        return pd.DataFrame(out)
+
+    out = (
+        ds.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pii_scrub_sql() -> str:
+    """DuckDB mirror of :func:`pii_scrub`: same patterns, same
+    sequential replacement order, global flag on every replace."""
+    red = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(text, '{pat}')) AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts_sql = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id,
+       {counts_sql},
+       md5({red}) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+"""

@@ -57,6 +57,7 @@ def _oracle_names():
         "doc_quality",
         "doc_langid",
         "doc_clean",
+        "doc_pii_scrub",
         "doc_sample_10pct",
         "doc_fingerprints",
         "corpus_curate",
@@ -845,6 +846,49 @@ class TestEmbeddingNeardupGuard:
         assert (out["score_x10k"] == 10000).all()
         out2 = embedding_neardup_pairs(str(tmp_path), max_bucket_docs=None).to_pandas()
         assert len(out2) == n * (n - 1) // 2
+
+
+class TestPIIScrub:
+    def test_planted_pii_counts_and_redaction(self, ray_session, tmp_path):
+        """Non-vacuous pin (the synthetic corpus contains no PII): the
+        counts, placeholder substitution, ordering contract (emails
+        before phones before IPs) and the DuckDB mirror must all agree
+        on planted samples."""
+        import duckdb
+
+        from mlscraper_ray.functions.textstats import pii_scrub, pii_scrub_sql
+
+        texts = [
+            "contact bob.smith+spam@example.co.uk or call 555-123-4567 now",
+            "server at 10.0.255.7 and backup at 192.168.1.1",
+            "dotted phone 555.123.4567 must be a phone, not an IP",
+            "no pii here at all",
+            "two mails a@b.io c@d.org one ip 8.8.8.8",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = pii_scrub(str(tmp_path)).to_pandas()
+        assert out["n_email"].tolist() == [1, 0, 0, 0, 2]
+        assert out["n_phone"].tolist() == [1, 0, 1, 0, 0]
+        assert out["n_ip"].tolist() == [0, 2, 0, 0, 1]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+        ora = con.execute(pii_scrub_sql()).fetchdf()
+        for c in ("n_email", "n_phone", "n_ip", "redacted_md5"):
+            assert out[c].tolist() == ora[c].tolist(), c
+        # the redaction really substitutes: doc 0's md5 equals the
+        # hand-redacted text's
+        import hashlib
+
+        want = hashlib.md5(
+            b"contact <EMAIL> or call <PHONE> now"
+        ).hexdigest()
+        assert out.loc[0, "redacted_md5"] == want
 
 
 class TestIncrementalDedup:
