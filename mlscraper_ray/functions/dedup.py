@@ -1093,13 +1093,22 @@ def incremental_dedup(sf_dir: str, snapshot_mod: int = 2) -> pa.Table:
             "n_new": ("is_new", "sum"),
         },
     )
+    def keep_clean(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "prior" not in df.columns:
+            # empty blocks can arrive schema-less through the shuffle
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "h": pd.Series(dtype=str),
+                    "n_new": pd.Series(dtype="int64"),
+                }
+            )
+        return df.loc[
+            (df["prior"] == 0) & (df["n_new"] > 0), ["doc_id", "h", "n_new"]
+        ].astype({"doc_id": "int64", "n_new": "int64"})
+
     out = (
-        agg.map_batches(
-            lambda df: df.loc[
-                (df["prior"] == 0) & (df["n_new"] > 0), ["doc_id", "h", "n_new"]
-            ].astype({"doc_id": "int64", "n_new": "int64"}),
-            batch_format="pandas",
-        )
+        agg.map_batches(keep_clean, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )

@@ -502,6 +502,20 @@ def _quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat * _KQ_SCALE + 0.5).astype(np.int64) + _KQ_OFFSET
 
 
+
+def _int_dist2(x: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """Exact integer squared distances |x|^2 - 2<x,c> + |c|^2 via one
+    int64 matmul — identical values to ((x[:,None]-cents)**2).sum(2)
+    (integer arithmetic, no rounding anywhere) but O(batch*k) memory
+    instead of O(batch*k*dim): the broadcast form is a scale wall at
+    SemDeDup-sized cluster counts (k ~ 1e5 -> tens of GB per batch).
+    Operands stay far under 2^63: quantized entries are ~2*10^5, so a
+    64-dim inner product is ~2.6*10^12."""
+    xx = (x * x).sum(axis=1)[:, None]
+    cc = (cents * cents).sum(axis=1)[None, :]
+    return xx - 2 * (x @ cents.T) + cc
+
+
 def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.ndarray:
     """Integer-quantized distributed Lloyd's k-means.
 
@@ -527,7 +541,7 @@ def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.nda
             cents = ray.get(cents_ref)
             ids, mat = _batch_matrix(batch)
             x = _quantize(mat)
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = _int_dist2(x, cents)
             assign = np.argmin(d2, axis=1)
             rows = {"cluster": [], "count": [], "vec_sum": []}
             for c in np.unique(assign):
@@ -565,7 +579,7 @@ def embedding_kmeans_int(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> 
         cents = ray.get(cents_ref)
         ids, mat = _batch_matrix(batch)
         x = _quantize(mat)
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _int_dist2(x, cents)
         assign = np.argmin(d2, axis=1)
         return pa.table(
             {
@@ -699,7 +713,7 @@ def ivf_trained_topk(
         qv, cents, probe_set = ray.get(state_ref)
         ids, mat = _batch_matrix(batch)
         x = _quantize(mat)
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _int_dist2(x, cents)
         assign = np.argmin(d2, axis=1)
         mask = np.isin(assign, list(probe_set))
         if not mask.any():
@@ -849,7 +863,7 @@ def embed_semdedup(
         cents = ray.get(cents_ref)
         ids, mat = _batch_matrix(batch)
         x = _quantize(mat)
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _int_dist2(x, cents)
         assign = np.argmin(d2, axis=1)  # first min == (dist2, cid) order
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         unit = mat / norms[:, None]
