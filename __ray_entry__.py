@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # main-content extraction (densest-block boilerplate removal;
         # generator-TEMPLATE truth pins parser text + density choice)
         "extract_main_content": content.extract_main_content,
+        # FUSED single-parse page profile: main-content facts + token/
+        # lang stats + distinct link count in one per-record map
+        "page_profile": content.page_profile,
         # crawl -> WET -> curated manifest composite (extraction +
         # lang tag + token gate fused in one map; one dedup shuffle
         # of slim rows; template-truth oracle replays it end to end)
@@ -466,6 +469,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
+        "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.01),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),

@@ -130,6 +130,7 @@ def run_bench() -> dict:
         "link_stats",
         "host_rank",
         "extract_main_content",
+        "page_profile",
         "wet_curate",
         "dedup_exact",
         "dedup_incremental",

@@ -115,3 +115,62 @@ def extract_main_content(sf_dir: str) -> pa.Table:
     the streaming core."""
     out = main_content_ds(sf_dir).to_pandas().sort_values("url", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def page_profile_ds(sf_dir: str) -> ray.data.Dataset:
+    """FUSED page-feature pass — the production shape the independent
+    page-level queries (main content, WET stats, link counts) would
+    take in one run: a single parse per page yields the densest-block
+    summary, the main-text token count + language vote, and the
+    distinct out-link count together. One per-record map, no shuffle;
+    at sf0.1 this replaces ~3 full corpus parses with one. The truth
+    oracle (pipelines/truth_oracles.page_profile_truth_sql) replays
+    every facet from the generator template + link records."""
+    from mlscraper_ray.functions.textstats import lang_vote
+    from mlscraper_ray.htmlcore.dom import parse_html
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    from mlscraper_ray.stages.crawl_stages import extract_links
+
+    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+
+    def profile(t: pa.Table) -> pa.Table:
+        urls, idxs, chars, shas, toks, langs, links = [], [], [], [], [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if url.endswith("/robots.txt"):
+                continue
+            doc = parse_html(html if isinstance(html, bytes) else html.encode())
+            got = page_blocks(doc)
+            if got is None:
+                continue
+            blocks, texts = got
+            k = pick_densest_block(blocks)
+            text = texts[k]
+            lang, _score = lang_vote(text)
+            urls.append(url)
+            idxs.append(k)
+            chars.append(blocks[k][2])
+            shas.append(hashlib.sha256(text.encode()).hexdigest())
+            toks.append(len(text.split()))
+            langs.append(lang)
+            links.append(len(extract_links(doc, url)))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "block_index": pa.array(idxs, pa.int64()),
+                "text_chars": pa.array(chars, pa.int64()),
+                "text_sha256": pa.array(shas, pa.string()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_links": pa.array(links, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(profile, batch_format="pyarrow")
+
+
+def page_profile(sf_dir: str) -> pa.Table:
+    """Driver-table wrapper sorted by url; :func:`page_profile_ds` is
+    the streaming core."""
+    out = page_profile_ds(sf_dir).to_pandas().sort_values("url", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -406,6 +406,54 @@ def main_content_truth_sql(sf: float) -> str:
     return _cached(corpus_dir, "maincontent", key, build)
 
 
+def page_profile_truth_sql(sf: float) -> str:
+    """(url, block_index, text_chars, text_sha256, n_tokens, lang,
+    n_links) per content page — the FUSED single-parse profile,
+    replayed facet by facet from the generator template (blocks,
+    main-text stats) and the generator link records (distinct
+    targets), independent of the parse/extract path under test."""
+    from mlscraper_ray.functions import content as content_mod
+    from mlscraper_ray.functions.textstats import lang_vote
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("profile:" + _source_digest(corpusgen, content_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        rows = []
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                blocks, texts = _template_page_blocks(spec, h, i)
+                k = content_mod.pick_densest_block(blocks)
+                text = texts[k]
+                lang, _ = lang_vote(text)
+                n_links = len(set(corpusgen.page_links(spec, h, i)))
+                rows.append(
+                    (
+                        spec.page_url(h, i),
+                        k,
+                        blocks[k][2],
+                        hashlib.sha256(text.encode()).hexdigest(),
+                        len(text.split()),
+                        lang,
+                        n_links,
+                    )
+                )
+        rows.sort()
+        return (
+            values_sql(
+                rows,
+                ["url", "block_index", "text_chars", "text_sha256", "n_tokens", "lang", "n_links"],
+            )
+            + ' ORDER BY "url"'
+        )
+
+    return _cached(corpus_dir, "pageprofile", key, build)
+
+
 def wet_curate_truth_sql(sf: float, min_tokens: int = 20) -> str:
     """(url, n_tokens, n_dups, text_sha256) of the WET composite's
     kept canonical pages, replayed single-process over the generator

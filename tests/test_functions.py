@@ -95,7 +95,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "wet_curate"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_profile", "wet_curate"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -116,6 +116,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.001),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
+        "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.001),
     }
     result = entry_mod.queries()[name](SF_DIR)
