@@ -154,6 +154,8 @@ def hits_ds(
     """Core operator: ``nodes`` has column ``node`` (distinct),
     ``edges`` columns ``src``/``dst`` (existence-filtered, same
     contract as pagerank_ds). Returns (node, hub, auth)."""
+    if n_iters < 1:
+        raise ValueError("hits_ds needs n_iters >= 1 (auth is undefined before the first half-step)")
     nodes = nodes.materialize()
     edges = edges.materialize()
     n_nodes = nodes.count()

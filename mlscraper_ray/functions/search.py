@@ -81,6 +81,13 @@ def bm25_topk(
     def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         len_d = batch["n_tokens"].to_numpy(dtype=np.int64)
+        if len(len_d):
+            # exact pre-multiply bound (python ints don't wrap): the
+            # norm intermediate is 750 * len_d * N before the divide
+            assert 750 * int(len_d.max()) * n_docs < 2**63, (
+                "BM25 length-norm intermediate would overflow int64 "
+                "(doc length x corpus size too large for the fixed-point scale)"
+            )
         norm_m = 250 + (750 * len_d * n_docs) // total
         score = np.zeros(len(ids), dtype=np.int64)
         for i in range(m):
