@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         content,
         curate,
         dedup,
+        hits,
         joins,
         packing,
         pagerank,
@@ -270,7 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_rank": pagerank.page_rank,
         # HITS hubs/authorities: integer fixed-point max-normalized
         # mutual recursion over the same link graph
-        "link_hits": _link_hits,
+        "link_hits": hits.link_hits,
         # per-url in-link / anchor-text aggregation (same graph, two
         # bucket-shuffle rounds of slim rows; generator-truth oracle)
         "link_stats": pagerank.link_stats,
@@ -446,12 +447,6 @@ ORDER BY doc_id
         # pipelines from rows-only to full value pins
         **_truth_oracle_entries(),
     }
-
-
-def _link_hits(sf_dir: str):
-    from mlscraper_ray.functions.hits import link_hits
-
-    return link_hits(sf_dir)
 
 
 def _truth_oracle_entries() -> dict[str, str]:

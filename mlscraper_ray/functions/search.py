@@ -35,12 +35,20 @@ import ray.data
 DEFAULT_TERMS = ("scan", "column", "window", "sort")
 
 
+# token = maximal run of non-whitespace where whitespace is RE2's \s
+# class [\t\n\f\r ] EXACTLY — pandas .str.split() would split on
+# unicode whitespace (and python \s adds \v), silently diverging from
+# the DuckDB mirror on e.g. a NBSP (the same re/RE2 parity discipline
+# as the PII patterns)
+_TOKEN_RE = r"[^\t\n\f\r ]+"
+
+
 def _tf_fn(terms: tuple[str, ...]):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split()
+        toks = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
         out = {
             "doc_id": batch["doc_id"].astype("int64"),
-            "n_tokens": toks.str.len().fillna(0).astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
         }
         for i, t in enumerate(terms):
             # list.count is a C-level scan per document, not a token loop
@@ -82,11 +90,13 @@ def bm25_topk(
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         len_d = batch["n_tokens"].to_numpy(dtype=np.int64)
         if len(len_d):
-            # exact pre-multiply bound (python ints don't wrap): the
-            # norm intermediate is 750 * len_d * N before the divide
-            assert 750 * int(len_d.max()) * n_docs < 2**63, (
-                "BM25 length-norm intermediate would overflow int64 "
-                "(doc length x corpus size too large for the fixed-point scale)"
+            # exact pre-multiply bounds (python ints don't wrap): the
+            # norm intermediate is 750 * len_d * N, and the saturation
+            # numerator is tf * 2.2e9 with tf <= len_d
+            mx = int(len_d.max())
+            assert 750 * mx * n_docs < 2**63 and mx * 2_200_000_000 < 2**63, (
+                "BM25 fixed-point intermediate would overflow int64 "
+                "(doc length x corpus size too large for the scale)"
             )
         norm_m = 250 + (750 * len_d * n_docs) // total
         score = np.zeros(len(ids), dtype=np.int64)
@@ -136,7 +146,7 @@ def bm25_topk_sql(terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 10) -> str:
     return f"""
 WITH tk AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           list_filter(string_split_regex(lower(text), '[\\t\\n\\f\\r ]+'), x -> x <> '') AS w
     FROM documents
 ),
 tf AS (

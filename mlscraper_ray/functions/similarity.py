@@ -826,6 +826,7 @@ def embed_semdedup(
     n_clusters: int = 8,
     n_iters: int = 3,
     max_cluster_docs: int | None = 4096,
+    _chunk_cols: int | None = None,
 ) -> pa.Table:
     """SemDeDup-style SEMANTIC deduplication (public method: Abbas et
     al. 2023, arXiv:2303.09540): k-means-cluster the embeddings, then
@@ -850,8 +851,18 @@ def embed_semdedup(
     with the corpus so clusters stay bounded); ``max_cluster_docs`` is
     the hot-cluster guard — an over-cap cluster compares each member
     only against its ``max_cluster_docs`` lowest-id members (the
-    anchor prefix), keeping compute linear in cluster size; pass None
-    for unconditional exactness. Only slim (vec_id, cluster, unit)
+    anchor prefix), keeping compute linear in cluster size (the
+    similarity matrix is built in bounded column chunks, so memory is
+    O(cap * chunk) however large the cluster). Pass None for
+    unconditional exactness. CAVEATS (same class as minhash_dedup's
+    documented ``max_bucket_docs`` default): the SQL oracle models the
+    UNCAPPED semantics, exact whenever no cluster exceeds the cap
+    (true at every driver compare scale; the guard path is pinned by
+    its own pytest instead); and the threshold compare is float — like
+    ``embedding_neardup_pairs``, numpy unit-dot vs DuckDB
+    list_cosine_similarity agree except within ~1 ulp of the
+    threshold, and all-zero embeddings (norm-clamped here, NaN-cosine
+    in SQL) are out of contract. Only slim (vec_id, cluster, unit)
     rows cross the one shuffle.
 
     Returns one row per vector: (vec_id, cluster, is_dup, dup_of).
@@ -890,13 +901,22 @@ def embed_semdedup(
         u = np.stack([np.asarray(v) for v in g["unit"]])
         n = len(ids)
         cap = n if max_cluster_docs is None else min(n, max_cluster_docs)
-        # anchor-prefix similarity: rows = cap lowest-id members,
-        # columns = every member; j-vs-i valid iff j < i (lower id)
-        sims = u[:cap] @ u.T
-        hit = sims >= threshold
-        hit &= np.arange(cap)[:, None] < np.arange(n)[None, :]
-        any_hit = hit.any(axis=0)
-        first = hit.argmax(axis=0)  # first True == smallest lower id
+        anchors = u[:cap]
+        any_hit = np.zeros(n, dtype=bool)
+        first = np.zeros(n, dtype=np.int64)
+        # anchor-prefix similarity in bounded COLUMN CHUNKS: the full
+        # cap-by-n matrix would be tens of GB for the guard's own
+        # motivating case (a ~1M-row degenerate cluster); chunking
+        # keeps memory O(cap * chunk) with identical results
+        chunk = _chunk_cols or max(1, 8_388_608 // max(1, cap))  # ~64 MB float64 tiles
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            sims = anchors @ u[lo:hi].T
+            hit = sims >= threshold
+            # j-vs-i valid iff j < i (lower id) and j is an anchor
+            hit &= np.arange(cap)[:, None] < np.arange(lo, hi)[None, :]
+            any_hit[lo:hi] = hit.any(axis=0)
+            first[lo:hi] = hit.argmax(axis=0)  # first True == smallest lower id
         dup_of = np.where(any_hit, ids[np.minimum(first, cap - 1)], -1).astype(np.int64)
         return pd.DataFrame(
             {

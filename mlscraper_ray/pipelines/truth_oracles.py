@@ -413,13 +413,16 @@ def page_profile_truth_sql(sf: float) -> str:
     main-text stats) and the generator link records (distinct
     targets), independent of the parse/extract path under test."""
     from mlscraper_ray.functions import content as content_mod
+    from mlscraper_ray.functions import textstats as textstats_mod
     from mlscraper_ray.functions.textstats import lang_vote
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
     from mlscraper_ray.sources import corpusgen
 
     corpus_dir, spec = corpus_for_sf(sf)
+    # digest includes textstats: the hashed lang column comes from
+    # lang_vote, so an edit there must invalidate the cached SQL
     key = hashlib.md5(
-        ("profile:" + _source_digest(corpusgen, content_mod)).encode()
+        ("profile:" + _source_digest(corpusgen, content_mod, textstats_mod)).encode()
     ).hexdigest()[:10]
 
     def build() -> str:
@@ -468,8 +471,10 @@ def wet_curate_truth_sql(sf: float, min_tokens: int = 20) -> str:
     from mlscraper_ray.sources import corpusgen
 
     corpus_dir, spec = corpus_for_sf(sf)
+    from mlscraper_ray.functions import textstats as textstats_mod
+
     key = hashlib.md5(
-        (f"wet:{min_tokens}:" + _source_digest(corpusgen, content_mod, wet_mod)).encode()
+        (f"wet:{min_tokens}:" + _source_digest(corpusgen, content_mod, wet_mod, textstats_mod)).encode()
     ).hexdigest()[:10]
 
     def build() -> str:

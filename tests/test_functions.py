@@ -1062,6 +1062,12 @@ class TestSemDeDup:
         pd.testing.assert_frame_equal(guarded, exact)
         assert (guarded.loc[guarded["vec_id"] > 0, "dup_of"] == 0).all()
         assert guarded.loc[guarded["vec_id"] == 0, "is_dup"].iloc[0] == 0
+        # multi-chunk column tiling must be invisible in the result
+        chunked = embed_semdedup(
+            str(tmp_path), threshold=0.92, n_clusters=2, n_iters=1,
+            max_cluster_docs=16, _chunk_cols=7,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(chunked, guarded)
 
 
 class TestExactDedupSink:
