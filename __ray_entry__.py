@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scrub: count + redact emails/phones/IPs, pure streaming
         "doc_pii_scrub": textstats.pii_scrub,
         "doc_sample_10pct": textstats.sample_documents,
+        # deterministic train/val/test split bookkeeping (data card)
+        "corpus_split": textstats.corpus_split,
         # per-language rate mixing (50% en / 20% rest, seedless)
         "doc_sample_stratified": textstats.sample_stratified,
         # training-sequence packing: exact global token offsets via a
@@ -401,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
+        "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
         "corpus_decontaminate": _decontaminate_sql(),

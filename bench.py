@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "doc_bigram_surprisal",
         "doc_quality",
         "doc_pii_scrub",
+        "corpus_split",
         "text_search_bm25",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",

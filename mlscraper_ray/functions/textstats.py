@@ -1164,3 +1164,80 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# -- deterministic train/val/test split assignment --------------------------
+
+
+def corpus_split(
+    sf_dir: str, val_pct: int = 10, test_pct: int = 10
+) -> pa.Table:
+    """Deterministic TRAIN/VAL/TEST split assignment — the holdout
+    bookkeeping every training run needs, cluster- and rerun-stable:
+    a doc lands in a split purely by md5(doc_id) mod 100 (the repo's
+    seedless sampling idiom), so the same rows form the same splits on
+    any worker count, any snapshot, any engine. The summary rolls up
+    per (source, split) doc and token counts — the table a data card
+    reports.
+
+    Plan shape: the assignment is a pure streaming map; the summary is
+    one small groupby (sources x 3 splits) folded from per-batch
+    integer partials — nothing driver-sized, no shuffle of doc rows.
+
+    Returns (source, split, n_docs, n_tokens) sorted by (source,
+    split)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        r = pd.Series(
+            [
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 100
+                for d in batch["doc_id"]
+            ],
+            index=batch.index,
+        )
+        split = pd.Series("train", index=batch.index)
+        split[r < val_pct + test_pct] = "val"
+        split[r < test_pct] = "test"
+        toks = batch["text"].str.findall(_WORD_RE).str.len().astype("int64")
+        g = (
+            pd.DataFrame({"source": batch["source"], "split": split, "n_tokens": toks})
+            .groupby(["source", "split"], sort=False, as_index=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["source", "split"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+        .sort_values(["source", "split"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def corpus_split_sql(val_pct: int = 10, test_pct: int = 10) -> str:
+    return f"""
+WITH assigned AS (
+    SELECT source,
+           CASE
+               WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {test_pct} THEN 'test'
+               WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {val_pct + test_pct} THEN 'val'
+               ELSE 'train'
+           END AS split,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""

@@ -59,6 +59,7 @@ def _oracle_names():
         "doc_clean",
         "doc_pii_scrub",
         "doc_sample_10pct",
+        "corpus_split",
         "doc_fingerprints",
         "corpus_curate",
         "corpus_decontaminate",
