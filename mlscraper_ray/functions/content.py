@@ -174,3 +174,34 @@ def page_profile(sf_dir: str) -> pa.Table:
     the streaming core."""
     out = page_profile_ds(sf_dir).to_pandas().sort_values("url", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def page_profile_to_parquet(
+    sf_dir: str, out_dir: str, n_shards: int = 16, window: int = 4
+) -> dict:
+    """Production sink twin of :func:`page_profile`, RESUMABLE
+    (marker-last shard protocol, functions/sinks.py): the fused
+    single-parse pass runs ONCE into a materialized profile dataset;
+    shards partition on crc32(url) so output is stable under any
+    worker count, and a re-invoked run skips finished shards."""
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    prof = page_profile_ds(sf_dir).materialize()
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = prof.map_batches(
+            lambda df, s=s: df[
+                [zlib.crc32(u.encode()) % n_shards == s for u in df["url"]]
+            ].sort_values("url", ignore_index=True),
+            batch_format="pandas",
+        )
+        part.write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)

@@ -252,6 +252,36 @@ def test_page_rank_sink_matches_table_and_resumes(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got2[["url", "rank"]], want)
 
 
+def test_page_profile_sink_matches_table_and_resumes(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mlscraper_ray.functions.content import page_profile, page_profile_to_parquet
+
+    out_dir = str(tmp_path / "profile")
+    r1 = page_profile_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r1 == {"written": 8, "skipped": 0}
+    files = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+    got = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+    ).sort_values("url", ignore_index=True)
+    want = page_profile(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # full resume skips every shard; a wiped marker rewrites one
+    r2 = page_profile_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r2 == {"written": 0, "skipped": 8}
+    os.remove(os.path.join(out_dir, "shard=0002", "_SUCCESS"))
+    r3 = page_profile_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+    assert r3 == {"written": 1, "skipped": 7}
+    files2 = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+    got2 = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files2], ignore_index=True
+    ).sort_values("url", ignore_index=True)
+    pd.testing.assert_frame_equal(got2[want.columns.tolist()], want)
+
+
 class TestHostRank:
     def test_conserves_page_level_totals(self, ray_session):
         from mlscraper_ray.functions.pagerank import host_rank
