@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
         "doc_simhash": dedup.simhash_table,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # asymmetric containment screen: directed subset/quote pairs
+        # that Jaccard misses (same shared inverted-index pair plan)
+        "dedup_containment": dedup.ngram_containment_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
         # corpus-level body REWRITES: cross-doc duplicated-segment
@@ -372,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "dedup_containment": _ngram_containment_sql(),
         "doc_dup_span_stats": _dup_span_sql(),
         "dedup_segments": scrub.DEDUP_SEGMENTS_SQL,
         "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
@@ -522,6 +526,12 @@ def _ngram_jaccard_sql() -> str:
     from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
 
     return NGRAM_JACCARD_SQL
+
+
+def _ngram_containment_sql() -> str:
+    from mlscraper_ray.functions.dedup import NGRAM_CONTAINMENT_SQL
+
+    return NGRAM_CONTAINMENT_SQL
 
 
 def _simhash_pairs_sql() -> str:

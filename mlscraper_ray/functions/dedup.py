@@ -609,20 +609,28 @@ ORDER BY doc_a, doc_b
 # -- n-gram Jaccard (exact similarity join) ------------------------------
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap: int | None = None) -> pa.Table:
-    """Exact word-n-gram Jaccard similarity join over documents.
+def _ngram_pair_counts(
+    docs: ray.data.Dataset,
+    n: int,
+    df_cap: int | None,
+    min_grams: int | None = None,
+) -> ray.data.Dataset:
+    """Shared inverted-index plan of the exact n-gram similarity joins
+    (Jaccard and containment): Dataset of per-pair rows ``(doc_a,
+    doc_b, inter, na, nb)`` with ``doc_a < doc_b``, ``inter`` =
+    |A ∩ B| over DISTINCT word n-grams, ``na``/``nb`` the docs' own
+    distinct-gram counts.
 
     Distributed plan (no driver-side pair loop):
       1. map_batches: explode each doc to DISTINCT (gram, doc_id) rows
          tagged with a coarse gram-hash bucket;
       2. groupby(gram_bucket).map_groups: per-gram candidate pairs
-         emitted vectorized inside each bucket — complete, since
-         jaccard > 0 implies a shared gram — pre-counted per batch
+         emitted vectorized inside each bucket — complete, since any
+         gram overlap implies a shared gram — pre-counted per batch
          with the pair packed into one int64 key;
       3. groupby(pair_bucket).map_groups: sum |A ∩ B| per pair inside
          coarse buckets (see functions/bucketed.py for why native
-         high-cardinality aggregates are avoided) and filter by
-         integer-exact floor(100*i/(na+nb-i)) >= threshold_pct there.
+         high-cardinality aggregates are avoided).
 
     |A| (a doc's distinct-gram count) is known LOCALLY at explode time
     — it's len(gram_set) of that one doc — so it rides along on every
@@ -632,10 +640,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
     ``df_cap`` drops grams whose document frequency exceeds the cap
     (stopword-gram pruning) — the standard 100TB-scale guard against
     quadratic pair blowup in hot groups; None keeps the join exact and
-    oracle-matching. Integer percent with floor division keeps the Ray
-    and SQL sides bit-identical (no float rounding-mode mismatch).
+    oracle-matching. ``min_grams`` drops docs whose distinct-gram
+    count is below the floor AT EXPLODE TIME (they contribute no rows,
+    so no pairs — equivalent to the oracle's post-hoc n >= min filter
+    but cheaper).
     """
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         grams, ids, buckets, ngrams = [], [], [], []
@@ -645,6 +654,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
                 gset = {" ".join(words)} if words else set()
             else:
                 gset = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            if min_grams is not None and len(gset) < min_grams:
+                continue
             grams.extend(gset)
             ids.extend([doc_id] * len(gset))
             buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
@@ -686,23 +697,96 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap
         s = g.groupby("pair_key", sort=False).agg(
             inter=("inter", "sum"), na=("na", "first"), nb=("nb", "first")
         ).reset_index()
-        union = s["na"] + s["nb"] - s["inter"]
-        s["jaccard_pct"] = (100 * s["inter"]) // union
-        s = s[s["jaccard_pct"] >= threshold_pct]
         s["doc_a"] = (s["pair_key"] // _PAIR_BASE).astype("int64")
         s["doc_b"] = (s["pair_key"] % _PAIR_BASE).astype("int64")
-        return s[["doc_a", "doc_b", "jaccard_pct"]]
+        return s[["doc_a", "doc_b", "inter", "na", "nb"]]
 
-    out = (
+    return (
         exploded.groupby("gram_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby("pair_bucket")
         .map_groups(combine_bucket, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold_pct: int = 70, df_cap: int | None = None) -> pa.Table:
+    """Exact word-n-gram Jaccard similarity join over documents — the
+    shared :func:`_ngram_pair_counts` plan plus a STREAMING threshold
+    filter (integer-exact floor(100*i/(na+nb-i)) >= threshold_pct, so
+    the Ray and SQL sides stay bit-identical; sub-threshold pairs die
+    in the filter stage, never reaching the driver)."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pairs = _ngram_pair_counts(docs, n, df_cap)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        union = df["na"] + df["nb"] - df["inter"]
+        df = df.assign(jaccard_pct=((100 * df["inter"]) // union).astype("int64"))
+        df = df[df["jaccard_pct"] >= threshold_pct]
+        return df[["doc_a", "doc_b", "jaccard_pct"]]
+
+    out = pairs.map_batches(score, batch_format="pandas").to_pandas()
     if len(out) == 0:
         return _EMPTY_PAIRS
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_EMPTY_CONTAIN = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "other_id": pa.array([], pa.int64()),
+        "containment_pct": pa.array([], pa.int64()),
+    }
+)
+
+
+def ngram_containment_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold_pct: int = 80,
+    min_grams: int = 5,
+    df_cap: int | None = None,
+) -> pa.Table:
+    """ASYMMETRIC n-gram containment join: directed pairs ``(doc_id,
+    other_id)`` where floor(100 * |A ∩ B| / |A|) >= threshold_pct —
+    i.e. at least that fraction of doc A's distinct grams also appear
+    in doc B. Catches subset/quote-inclusion duplicates that Jaccard
+    misses (a short doc fully quoted inside a long one has tiny
+    Jaccard but 100% containment) — the standard second screen next to
+    near-dup in web-corpus curation.
+
+    Same shared :func:`_ngram_pair_counts` plan as Jaccard (each
+    unordered pair is counted once, then BOTH directions are scored
+    from the one (inter, na, nb) row in a streaming filter stage).
+    ``min_grams`` floors the doc's distinct-gram count — sub-floor
+    docs are dropped at explode time, since near-empty docs are
+    trivially "contained" everywhere.
+    """
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pairs = _ngram_pair_counts(docs, n, df_cap, min_grams=min_grams)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {
+                "doc_id": df["doc_a"],
+                "other_id": df["doc_b"],
+                "containment_pct": (100 * df["inter"]) // df["na"],
+            }
+        )
+        rev = pd.DataFrame(
+            {
+                "doc_id": df["doc_b"],
+                "other_id": df["doc_a"],
+                "containment_pct": (100 * df["inter"]) // df["nb"],
+            }
+        )
+        out = pd.concat([fwd, rev], ignore_index=True)
+        return out[out["containment_pct"] >= threshold_pct].astype("int64")
+
+    out = pairs.map_batches(score, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return _EMPTY_CONTAIN
+    out = out.sort_values(["doc_id", "other_id"], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -735,6 +819,53 @@ JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE (100 * i) // (ca.n + cb.n - i) >= 70
 ORDER BY doc_a, doc_b
+"""
+
+
+# Exhaustive directed-containment oracle: same words/grams/cnt/inter
+# CTEs as NGRAM_JACCARD_SQL, but each unordered pair scores BOTH
+# directions (i // na and i // nb) and the min_grams=5 floor is the
+# post-hoc n >= 5 filter (equivalent to the engine's explode-time drop
+# — floored docs can't form pairs either way).
+NGRAM_CONTAINMENT_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+paired AS (
+    SELECT doc_a, doc_b, i, ca.n AS na, cb.n AS nb
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE ca.n >= 5 AND cb.n >= 5
+),
+directed AS (
+    SELECT doc_a AS doc_id, doc_b AS other_id, (100 * i) // na AS containment_pct
+    FROM paired
+    UNION ALL
+    SELECT doc_b, doc_a, (100 * i) // nb FROM paired
+)
+SELECT doc_id, other_id, containment_pct
+FROM directed
+WHERE containment_pct >= 80
+ORDER BY doc_id, other_id
 """
 
 

@@ -38,6 +38,7 @@ def _oracle_names():
         "dedup_exact",
         "dedup_incremental",
         "dedup_ngram_jaccard",
+        "dedup_containment",
         "doc_dup_span_stats",
         "dedup_simhash_pairs",
         "doc_simhash",
@@ -210,6 +211,62 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_containment_catches_quote_inclusion(self, ray_session, tmp_path):
+        """A short doc quoted verbatim inside a long one: containment
+        fires 100% in the short->long direction only, while Jaccard at
+        its default threshold misses the pair entirely."""
+        from mlscraper_ray.functions.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        longdoc = (
+            "intro words about something else entirely now quoting "
+            + short
+            + " and then a very long tail of additional unrelated filler"
+            " content that keeps going with many more distinct words"
+            " padding the gram set far beyond the quoted span size"
+        )
+        other = "totally disjoint text speaking of arrow blocks and ray actors in production"
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([short, longdoc, other], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        cont = ngram_containment_pairs(str(tmp_path)).to_pandas()
+        got = {(r.doc_id, r.other_id): r.containment_pct for r in cont.itertuples()}
+        assert got.get((0, 1)) == 100  # short fully inside long
+        assert (1, 0) not in got       # reverse direction below threshold
+        assert all(k[0] != 2 and k[1] != 2 for k in got)
+
+        jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+        assert len(jac) == 0  # Jaccard-blind duplicate class
+
+    def test_containment_min_grams_floor_drops_tiny_docs(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.dedup import ngram_containment_pairs
+
+        # doc 0 has 3 words -> 1 distinct gram, under the floor of 5;
+        # without the floor it would be 100%-contained in doc 1
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [
+                        "tiny little doc",
+                        "tiny little doc plus many extra words forming a longer body here",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = ngram_containment_pairs(str(tmp_path)).to_pandas()
+        assert len(out) == 0
 
     def test_minhash_identical_docs_collapse_linear(self, ray_session, tmp_path):
         """All-identical corpus: every doc shares every band bucket —
