@@ -45,6 +45,7 @@ def _mm_ncpus() -> int:
 def queries() -> dict[str, Callable[[str], Any]]:
     from mlscraper_ray.functions import (
         aggregates,
+        classifier,
         components,
         content,
         curate,
@@ -206,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reproduced bit-for-bit by the SQL oracle)
         "source_distinct_hll": textstats.source_distinct_tokens_hll,
         "doc_quality": textstats.quality_scores,
+        # model-inference stage shape: hashed-linear quality scorer,
+        # weights built once per actor, integer-exact vs SQL
+        "doc_quality_classifier": classifier.quality_classifier,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -403,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
+        "doc_quality_classifier": _quality_classifier_sql(),
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),
@@ -526,6 +531,12 @@ def _ngram_jaccard_sql() -> str:
     from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
 
     return NGRAM_JACCARD_SQL
+
+
+def _quality_classifier_sql() -> str:
+    from mlscraper_ray.functions.classifier import QUALITY_CLASSIFIER_SQL
+
+    return QUALITY_CLASSIFIER_SQL
 
 
 def _ngram_containment_sql() -> str:

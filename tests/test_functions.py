@@ -56,6 +56,7 @@ def _oracle_names():
         "source_token_quota",
         "source_distinct_hll",
         "doc_quality",
+        "doc_quality_classifier",
         "doc_langid",
         "doc_clean",
         "doc_pii_scrub",
@@ -211,6 +212,21 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_quality_classifier_sign_discipline(self, ray_session):
+        """The classifier's mean uses the positive-shift division form
+        (DuckDB // truncates, Python floors). Pin that the testdata
+        actually exercises NEGATIVE scores (else the parity check is
+        vacuous) and that mean_milli equals the shifted formula."""
+        from mlscraper_ray.functions.classifier import quality_classifier
+
+        out = quality_classifier(SF_DIR).to_pandas()
+        assert (out["score"] < 0).any() and (out["score"] > 0).any()
+        expect = (1000 * out["score"] + 1_000_000 * out["n_tokens"]) // out[
+            "n_tokens"
+        ] - 1_000_000
+        assert (out["mean_milli"] == expect).all()
+        assert (out["keep"] == (out["score"] >= 0)).all()
 
     def test_containment_catches_quote_inclusion(self, ray_session, tmp_path):
         """A short doc quoted verbatim inside a long one: containment
