@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         hits,
         joins,
+        keywords,
         packing,
         pagerank,
         scrub,
@@ -198,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM order up; same integer-log2 discipline + path choice)
         "doc_bigram_surprisal": textstats.doc_bigram_surprisal,
         "doc_bpe_token_stats": textstats.bpe_token_stats,
+        # per-doc top-k keywords by integer tf-idf (count-guarded
+        # broadcast df table vs bucketed join-back + doc-group cut)
+        "doc_tfidf_top_terms": keywords.doc_tfidf_top_terms,
         "source_token_totals": textstats.source_token_totals,
         # per-source token-budget selection (distributed prefix sum:
         # rank-bucket partials + driver prefix over the tiny
@@ -403,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
+        "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
@@ -531,6 +536,12 @@ def _ngram_jaccard_sql() -> str:
     from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
 
     return NGRAM_JACCARD_SQL
+
+
+def _tfidf_sql() -> str:
+    from mlscraper_ray.functions.keywords import DOC_TFIDF_TOP_TERMS_SQL
+
+    return DOC_TFIDF_TOP_TERMS_SQL
 
 
 def _quality_classifier_sql() -> str:

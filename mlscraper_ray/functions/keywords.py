@@ -1,0 +1,256 @@
+"""Per-document top-k keyword extraction by integer tf-idf.
+
+The classic corpus-statistics keyword signal for web documents:
+``score = tf * idf_m`` with ``idf_m = (N * 1000) // df`` (fixed-point
+milli idf, the BM25 idf discipline from functions/search.py), ``tf``
+the token-occurrence count inside the doc, ``df`` the number of
+distinct docs containing the word and ``N`` the count of non-empty
+docs. Integer arithmetic end to end, so the whole operator (including
+the per-doc top-k cut with its (-score, term) tie rule) hash-matches
+the DOC_TFIDF_TOP_TERMS_SQL oracle.
+
+Distributed plan (the doc_unigram_surprisal shape):
+  1. per-batch local (doc, word, tf) partials — exact, since a doc's
+     text lives in one row;
+  2. df per word + N via the coarse-bucket aggregate (no native
+     high-cardinality groupby, see functions/bucketed.py);
+  3. join-back chosen by VOCABULARY count: ``<= broadcast_limit``
+     distinct words pull once into a word->df dict broadcast with
+     ``ray.put`` — scoring AND the per-doc top-k are then one
+     streaming pass (each doc's words are local, zero further
+     shuffles); above the cap, tf rows meet the df table in
+     crc32(word) buckets and the top-k cut happens in a second
+     doc-bucket group round (nothing driver-sized). Paths
+     bit-identical (tested).
+"""
+from __future__ import annotations
+
+import heapq
+import os
+import zlib
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from mlscraper_ray.functions.broadcast import cached_object
+from mlscraper_ray.functions.bucketed import bucketed_aggregate, coalesce_blocks
+
+_OUT_COLS = ("doc_id", "term", "tf", "score")
+
+
+def _empty_out() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _doc_tf(batch: pd.DataFrame) -> pd.DataFrame:
+    """Local exact (doc_id, word, tf) rows for a batch of docs."""
+    ids, words, tfs = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        c = Counter(text.split())
+        ids.extend([doc_id] * len(c))
+        words.extend(c.keys())
+        tfs.extend(c.values())
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "word": pd.Series(words, dtype=str),
+            "tf": pd.Series(tfs, dtype="int64"),
+        }
+    )
+
+
+def _topk_cut(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic per-doc top-k: score desc, term lex asc."""
+    df = df.sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    return df.groupby("doc_id", sort=False).head(k)
+
+
+def doc_tfidf_top_terms(
+    sf_dir: str, k: int = 5, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    tf_rows = docs.map_batches(_doc_tf, batch_format="pandas").materialize()
+    # df = per-word count of (doc, word) rows; N = distinct non-empty docs
+    df_tbl = bucketed_aggregate(
+        tf_rows.map_batches(
+            lambda b: pd.DataFrame(
+                {"word": b["word"], "df": pd.Series([1] * len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        ["word"],
+        {"df": ("df", "sum")},
+    ).materialize()
+    # N = docs with at least one token (one doc per input row, so a
+    # per-batch vectorized count folds to the exact distinct count)
+    n_docs = int(
+        docs.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": pd.Series([int((b["text"].str.strip() != "").sum())], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    vocab = df_tbl.count()
+
+    def fold(out: pd.DataFrame) -> pa.Table:
+        if len(out) == 0:
+            return _empty_out()
+        out = out.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            ignore_index=True,
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(out[list(_OUT_COLS)], preserve_index=False)
+
+    if vocab <= broadcast_limit:
+        # driver pull bounded by the vocabulary COUNT; one streaming
+        # score+topk pass over the docs, zero further shuffle rounds
+        dp = df_tbl.to_pandas()
+        idf = {w: (n_docs * 1000) // int(d) for w, d in zip(dp["word"], dp["df"])}
+        idf_ref = ray.put(idf)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            table = cached_object(idf_ref)
+            ids, terms, tfs, scores = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                c = Counter(text.split())
+                if not c:
+                    continue
+                top = heapq.nsmallest(
+                    k,
+                    ((-tf * table[w], w, tf) for w, tf in c.items()),
+                )
+                for neg, w, tf in top:
+                    ids.append(doc_id)
+                    terms.append(w)
+                    tfs.append(tf)
+                    scores.append(-neg)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "term": pd.Series(terms, dtype=str),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "score": pd.Series(scores, dtype="int64"),
+                }
+            )
+
+        return fold(docs.map_batches(score, batch_format="pandas").to_pandas())
+
+    # scale path: tf rows meet the df table in crc32(word) buckets,
+    # then the top-k cut runs in doc-hash groups
+    from mlscraper_ray.functions.joins import adaptive_n_buckets
+
+    B = adaptive_n_buckets(vocab)
+
+    def tag_tf(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            bucket=pd.Series(
+                [zlib.crc32(w.encode()) % B for w in b["word"]],
+                index=b.index,
+                dtype="int32",
+            ),
+            side="t",
+        )
+        return b[["word", "doc_id", "tf", "bucket", "side"]]
+
+    def tag_df(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "word": b["word"].astype(str),
+                "doc_id": pd.Series([0] * len(b), index=b.index, dtype="int64"),
+                "tf": b["df"].astype("int64"),
+                "bucket": pd.Series(
+                    [zlib.crc32(w.encode()) % B for w in b["word"]],
+                    index=b.index,
+                    dtype="int32",
+                ),
+                "side": "c",
+            }
+        )
+
+    def join_score(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == "c", ["word", "tf"]].rename(columns={"tf": "df"})
+        t = g[g["side"] == "t"]
+        if t.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype=str),
+                    "tf": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="int64"),
+                    "doc_bucket": pd.Series(dtype="int32"),
+                }
+            )
+        m = t.merge(c, on="word")
+        idf = (n_docs * 1000) // m["df"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "term": m["word"].astype(str),
+                "tf": m["tf"].astype("int64"),
+                "score": (m["tf"] * idf).astype("int64"),
+                "doc_bucket": (m["doc_id"] % 1024).astype("int32"),
+            }
+        )
+
+    total_rows = tf_rows.count()
+    scored = (
+        coalesce_blocks(
+            tf_rows.map_batches(tag_tf, batch_format="pandas").union(
+                df_tbl.map_batches(tag_df, batch_format="pandas")
+            ),
+            total_rows,
+        )
+        .groupby("bucket")
+        .map_groups(join_score, batch_format="pandas")
+    )
+    cut = (
+        coalesce_blocks(scored, total_rows)
+        .groupby("doc_bucket")
+        .map_groups(lambda g: _topk_cut(g, k)[list(_OUT_COLS)], batch_format="pandas")
+    )
+    return fold(cut.to_pandas())
+
+
+def doc_tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM words GROUP BY doc_id, word
+),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM words),
+scored AS (
+    SELECT t.doc_id, t.word AS term, t.tf,
+           t.tf * (((SELECT n FROM n) * 1000) // d.df) AS score
+    FROM tf t JOIN df d ON d.word = t.word
+)
+SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= {k}
+ORDER BY doc_id, score DESC, term
+"""
+
+
+DOC_TFIDF_TOP_TERMS_SQL = doc_tfidf_top_terms_sql()

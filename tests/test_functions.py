@@ -52,6 +52,7 @@ def _oracle_names():
         "doc_bigram_surprisal",
         "doc_token_stats",
         "doc_bpe_token_stats",
+        "doc_tfidf_top_terms",
         "source_token_totals",
         "source_token_quota",
         "source_distinct_hll",
@@ -212,6 +213,16 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_tfidf_paths_bit_identical(self, ray_session):
+        """broadcast_limit=0 forces the bucketed join-back + doc-group
+        top-k cut; it must equal the broadcast path bit for bit."""
+        from mlscraper_ray.functions.keywords import doc_tfidf_top_terms
+
+        a = doc_tfidf_top_terms(SF_DIR).to_pandas()
+        b = doc_tfidf_top_terms(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
 
     def test_quality_classifier_sign_discipline(self, ray_session):
         """The classifier's mean uses the positive-shift division form
