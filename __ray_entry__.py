@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         streams,
         textstats,
+        urls,
         wet,
     )
     from mlscraper_ray.pipelines import crawl_pipeline
@@ -291,6 +292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-level authority roll-up (domain-reputation signal:
         # page counts, integer rank mass, distinct in/out host degree)
         "host_rank": pagerank.host_rank,
+        # URL canonicalization + canonical-form dedup (real stdlib
+        # parser; deterministic dirty-URL synthesis, expected-value
+        # oracle per spelling)
+        "url_canonical_dedup": urls.url_canonical_dedup,
         # sources/sinks
         "warc_roundtrip": _warc_roundtrip,
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
@@ -422,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _curate_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
         "text_search_bm25": search.bm25_topk_sql(),
+        "url_canonical_dedup": _url_dedup_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
@@ -536,6 +542,12 @@ def _ngram_jaccard_sql() -> str:
     from mlscraper_ray.functions.dedup import NGRAM_JACCARD_SQL
 
     return NGRAM_JACCARD_SQL
+
+
+def _url_dedup_sql() -> str:
+    from mlscraper_ray.functions.urls import URL_CANONICAL_DEDUP_SQL
+
+    return URL_CANONICAL_DEDUP_SQL
 
 
 def _tfidf_sql() -> str:

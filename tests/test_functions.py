@@ -66,6 +66,7 @@ def _oracle_names():
         "doc_fingerprints",
         "corpus_curate",
         "corpus_decontaminate",
+        "url_canonical_dedup",
         "dedup_minhash",
         "neardup_clusters",
         "corpus_dedup_canonical",
@@ -213,6 +214,29 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_canonicalize_url_rules(self):
+        """One assertion per documented canonicalization rule."""
+        from mlscraper_ray.functions.urls import canonicalize_url as c
+
+        assert c("HTTPS://Example.COM/a") == "https://example.com/a"
+        assert c("https://example.com:443/a") == "https://example.com/a"
+        assert c("http://example.com:80/a") == "http://example.com/a"
+        assert c("http://example.com:8080/a") == "http://example.com:8080/a"
+        assert c("https://example.com/a#frag") == "https://example.com/a"
+        assert c("https://example.com/a?utm_source=x&q=1") == "https://example.com/a?q=1"
+        assert c("https://example.com/a?b=2&a=1") == "https://example.com/a?a=1&b=2"
+        assert c("https://example.com/a/") == "https://example.com/a"
+        assert c("https://example.com/") == "https://example.com"
+        # duplicate non-utm keys survive, sorted by (key, value)
+        assert c("https://example.com/a?x=2&x=1") == "https://example.com/a?x=1&x=2"
+        # blank values survive (keep_blank_values)
+        assert c("https://example.com/a?flag=&z=1") == "https://example.com/a?flag=&z=1"
+        # userinfo and non-default port preserved
+        assert c("https://u:p@Example.com:444/a") == "https://u:p@example.com:444/a"
+        # idempotent on already-canonical forms
+        for u in ["https://example.com/a?a=1&b=2", "http://h.io/x"]:
+            assert c(c(u)) == c(u)
 
     def test_tfidf_paths_bit_identical(self, ray_session):
         """broadcast_limit=0 forces the bucketed join-back + doc-group
