@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl + extraction (pinned by in-repo oracle, rows-only here)
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
+        # tier-budgeted crawl: per-host fetch budgets by authority
+        # tier (the north-star host-budget priority leg)
+        "crawl_order_tiered": crawl_pipeline.crawl_order_tiered_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "extract_from_warc": crawl_pipeline.extract_from_warc_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
@@ -484,6 +487,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "warc_roundtrip": lambda: truth_oracles.warc_truth_sql(0.01),
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
+        "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),

@@ -115,6 +115,15 @@ def run_bench() -> dict:
     queries["extract_all"] = min(extract_secs)
     extras["extract_secs_runs"] = extract_secs
     extras["extract_pages_per_sec"] = round(extracted.num_rows / queries["extract_all"], 1)
+
+    # tier-budgeted crawl (head 16 / torso 8 / tail 1 tokens per
+    # round): one timed pass, includes the host-tier derivation
+    from mlscraper_ray.pipelines.crawl_pipeline import crawl_order_tiered_query
+
+    t0 = time.time()
+    tiered = crawl_order_tiered_query(sf_dir)
+    queries["crawl_tiered"] = round(time.time() - t0, 3)
+    extras["crawl_tiered_urls"] = tiered.num_rows
     extras["host_probe_ms_after"] = _probe_ms()
 
     table_ops = [
@@ -140,6 +149,7 @@ def run_bench() -> dict:
         "dedup_simhash_pairs",
         "doc_simhash",
         "dedup_ngram_jaccard",
+        "dedup_containment",
         "doc_dup_span_stats",
         "dedup_segments",
         "doc_collapse_repeats",
@@ -155,8 +165,11 @@ def run_bench() -> dict:
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
         "doc_quality",
+        "doc_quality_classifier",
+        "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",
+        "url_canonical_dedup",
         "text_search_bm25",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",

@@ -53,6 +53,28 @@ class CrawlConfig:
     fetch_rows_per_block: int = 192
     seed: int = 42
     plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
+    # TIERED CRAWL: per-host fetch budget by host tier (the north-star
+    # "host-budget" leg of the priority key). ``tier_budgets[t]`` is
+    # the per-round token budget of a tier-``t`` host; hosts absent
+    # from ``host_tiers`` fall to ``default_tier``. Empty
+    # ``tier_budgets`` = uniform ``tokens_per_round`` (the crawl-once
+    # contract, unchanged). The tier map is policy metadata (domain
+    # reputation / authority ranking); it rides in the checkpoint
+    # manifest like everything determinism depends on. At the 10^10
+    # design point keep it to the ranked head+tail of hosts (the
+    # default tier covers the torso), not all hosts.
+    host_tiers: dict = field(default_factory=dict)  # host -> tier index
+    tier_budgets: list = field(default_factory=list)  # tokens per tier
+    default_tier: int = 1
+
+    def budget_for(self, host: str) -> int:
+        if not self.tier_budgets:
+            return self.tokens_per_round
+        t = self.host_tiers.get(host, self.default_tier)
+        return self.tier_budgets[min(max(t, 0), len(self.tier_budgets) - 1)]
+
+    def max_budget(self) -> int:
+        return max(self.tier_budgets) if self.tier_budgets else self.tokens_per_round
 
     def to_dict(self) -> dict:
         return asdict(self)

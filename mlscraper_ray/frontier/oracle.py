@@ -97,7 +97,7 @@ def oracle_crawl(corpus_dir: str, config: CrawlConfig, seeds_path: str | None = 
         admitted = []
         for host in sorted(heaps):
             heap = heaps[host]
-            for _ in range(min(config.tokens_per_round, len(heap))):
+            for _ in range(min(config.budget_for(host), len(heap))):
                 depth, _ts, url = heapq.heappop(heap)
                 admitted.append((url, host, depth))
             if not heap:

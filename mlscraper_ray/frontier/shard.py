@@ -146,15 +146,17 @@ class FrontierShard:
 
     # -- admission (politeness gate) ------------------------------------
     def admit(self) -> pa.Table:
-        """Flush the round buffer, then pop up to ``tokens_per_round``
-        URLs per host, in (depth, warc_ts, url) order; hosts processed in sorted
-        order so the emitted table is deterministic."""
+        """Flush the round buffer, then pop up to the host's TIER
+        BUDGET (``cfg.budget_for(host)``; uniform ``tokens_per_round``
+        when no tiers are configured) URLs per host, in (depth,
+        warc_ts, url) order; hosts processed in sorted order so the
+        emitted table is deterministic."""
         self._evict_expired()
         self._flush_round()
         urls, hosts, depths = [], [], []
         for host in sorted(self.heaps):
             heap = self.heaps[host]
-            for _ in range(min(self.cfg.tokens_per_round, len(heap))):
+            for _ in range(min(self.cfg.budget_for(host), len(heap))):
                 depth, _ts, url = heapq.heappop(heap)
                 urls.append(url)
                 hosts.append(host)
@@ -206,7 +208,7 @@ class FrontierShard:
             return t
         hosts = t["host"].to_pylist()
         counts = Counter(hosts)
-        floor = min(self.cfg.salt_min_rows, self.cfg.tokens_per_round - 1)
+        floor = min(self.cfg.salt_min_rows, self.cfg.max_budget() - 1)
         threshold = max(floor, -(-len(hosts) // n_parts))
         part_ids: list[int] = []
         dealt: Counter = Counter()

@@ -100,6 +100,77 @@ def crawl_order_query(sf_dir: str) -> pa.Table:
     return crawl_order(out_dir)
 
 
+def tiers_from_counts(counts: dict[str, int]) -> dict[str, int]:
+    """Host tier assignment rule, shared VERBATIM by the distributed
+    pipeline and the single-process truth oracle (the COUNTS reach it
+    by independent paths): rank hosts by (-count, host), top quarter
+    (ceil) -> tier 0, bottom quarter (floor) -> tier 2; the torso is
+    OMITTED from the map (it falls to ``default_tier`` = 1), keeping
+    the policy table to the ranked head+tail — the shape that stays
+    bounded at the 10^10 design point."""
+    hosts = sorted(counts, key=lambda h: (-counts[h], h))
+    n = len(hosts)
+    top, bot = -(-n // 4), n // 4
+    tiers = {h: 0 for h in hosts[:top]}
+    if bot:
+        tiers.update({h: 2 for h in hosts[n - bot :]})
+    return tiers
+
+
+def host_page_counts_distributed(corpus_dir: str) -> dict[str, int]:
+    """Per-host corpus page counts via the bucketed aggregate (the
+    AUTHORITY PROXY feeding the tier map; a production crawl would
+    feed host_rank / a reputation list here instead). Only the
+    per-host aggregate — #hosts, orders of magnitude below #urls —
+    ever reaches the driver."""
+    import pandas as pd
+    import ray.data
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url"])
+
+    def to_host(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": pd.Series([url_host(u) for u in b["url"]], dtype=str),
+                "c": pd.Series([1] * len(b), dtype="int64"),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        pages.map_batches(to_host, batch_format="pandas"), ["host"], {"c": ("c", "sum")}
+    ).to_pandas()
+    return dict(zip(agg["host"], agg["c"].astype(int)))
+
+
+TIER_BUDGETS = [16, 8, 1]  # tokens/round for tier 0 / 1 (torso) / 2
+
+
+def crawl_order_tiered_query(sf_dir: str) -> pa.Table:
+    """TIERED crawl: per-host fetch budgets by authority tier — the
+    north-star "host-budget" leg of the priority key. High-tier hosts
+    drain 16 urls/round, the torso 8, the tail 1, so the crawl spends
+    its politeness-bounded budget on high-authority hosts first. Same
+    deterministic-order contract as crawl_order, value-pinned by the
+    single-process oracle crawler run under the SAME tier config
+    (pipelines/truth_oracles.crawl_order_tiered_truth_sql)."""
+    from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan, tokens_per_round=8, max_rounds=40)
+    cfg.host_tiers = tiers_from_counts(host_page_counts_distributed(corpus_dir))
+    cfg.tier_budgets = list(TIER_BUDGETS)
+    out_dir = os.path.join(DATA_ROOT, f"tiered_sf{sf}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    RayCrawler(corpus_dir, out_dir, cfg).run()
+    return crawl_order(out_dir)
+
+
 def crawl_order_recrawl_query(sf_dir: str) -> pa.Table:
     """Crawl order under the recrawl/TTL policy (cuckoo seen set with
     eviction after 3 rounds): same deterministic-order contract, pages

@@ -147,6 +147,58 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
     return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", key, build)
 
 
+def _host_page_counts_local(corpus_dir: str) -> dict:
+    """Single-process per-host page counts straight off the corpus
+    parquet — the INDEPENDENT twin of the pipeline's distributed
+    bucketed aggregate (only the tier RULE is shared; the counts reach
+    it by disjoint code paths)."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    c: Counter = Counter()
+    for batch in pads.dataset(
+        os.path.join(corpus_dir, "pages"), format="parquet"
+    ).to_batches(columns=["url"]):
+        c.update(url_host(u) for u in batch.column("url").to_pylist())
+    return dict(c)
+
+
+def crawl_order_tiered_truth_sql(sf: float) -> str:
+    """(rank, round, depth, host, url) from the single-process oracle
+    crawler under the SAME tier-budget config as
+    ``crawl_order_tiered_query`` — host tiers recomputed here from a
+    local corpus scan, budgets from the shared TIER_BUDGETS policy."""
+    from mlscraper_ray.frontier import oracle as oracle_mod
+    from mlscraper_ray.pipelines import crawl_pipeline as cp
+
+    corpus_dir, spec = cp.corpus_for_sf(sf)
+    cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    cfg.host_tiers = cp.tiers_from_counts(_host_page_counts_local(corpus_dir))
+    cfg.tier_budgets = list(cp.TIER_BUDGETS)
+    key = hashlib.md5(
+        (
+            json.dumps(cfg.to_dict(), sort_keys=True)
+            + _source_digest(oracle_mod, cp)
+        ).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        fetches, _, _, _ = oracle_mod.oracle_crawl(corpus_dir, cfg)
+        rows = [
+            (rank, rnd, depth, host, url)
+            for rank, (rnd, depth, host, url) in enumerate(fetches)
+        ]
+        return (
+            values_sql(rows, ["rank", "round", "depth", "host", "url"])
+            + ' ORDER BY "rank"'
+        )
+
+    return _cached(corpus_dir, "tiered_order", key, build)
+
+
 def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> str:
     """(url, rank) from the single-process integer PageRank loop run
     over the corpus GENERATOR's own link records (corpusgen.page_links

@@ -264,6 +264,70 @@ class TestHotHostSalting:
         assert stats["counters"].get("salted_rows", 0) > 0  # salting did engage
 
 
+class TestTieredCrawl:
+    def test_budget_for_rule(self):
+        from mlscraper_ray.frontier.config import CrawlConfig
+
+        cfg = CrawlConfig(tokens_per_round=8)
+        assert cfg.budget_for("any.host") == 8  # no tiers -> uniform
+        assert cfg.max_budget() == 8
+        cfg.host_tiers = {"big.host": 0, "tiny.host": 2}
+        cfg.tier_budgets = [16, 8, 1]
+        assert cfg.budget_for("big.host") == 16
+        assert cfg.budget_for("torso.host") == 8  # default_tier = 1
+        assert cfg.budget_for("tiny.host") == 1
+        assert cfg.max_budget() == 16
+        # out-of-range tiers clamp instead of crashing
+        cfg.host_tiers["weird.host"] = 9
+        assert cfg.budget_for("weird.host") == 1
+        # json checkpoint round trip keeps the tier policy
+        import json
+
+        back = CrawlConfig.from_dict(json.loads(json.dumps(cfg.to_dict())))
+        assert back.host_tiers == cfg.host_tiers
+        assert back.tier_budgets == cfg.tier_budgets
+
+    def test_tiered_crawl_matches_oracle_and_budgets(
+        self, ray_session, small_corpus, learned_plan, tmp_path_factory
+    ):
+        """Distributed tiered crawl == single-process oracle under the
+        same tier config, and per-(round, host) fetch counts respect
+        each host's TIER budget (not the uniform token cap)."""
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+        from mlscraper_ray.frontier.oracle import oracle_crawl
+        from mlscraper_ray.pipelines.crawl_pipeline import tiers_from_counts
+        from mlscraper_ray.pipelines.truth_oracles import _host_page_counts_local
+
+        corpus, spec = small_corpus
+        counts = _host_page_counts_local(corpus)
+        cfg = CrawlConfig(
+            n_shards=4,
+            n_buckets=spec.n_buckets,
+            tokens_per_round=2,
+            max_rounds=20,
+            max_depth=24,
+            plan=learned_plan,
+            host_tiers=tiers_from_counts(counts),
+            tier_budgets=[4, 2, 1],
+        )
+        out = str(tmp_path_factory.mktemp("tiered_out"))
+        RayCrawler(corpus, out, cfg).run()
+        got = crawl_order(out).to_pandas()
+
+        fetches, _, _, _ = oracle_crawl(corpus, cfg)
+        want = [(r, d, h, u) for (r, d, h, u) in fetches]
+        assert list(zip(got["round"], got["depth"], got["host"], got["url"])) == want
+
+        per = got.groupby(["round", "host"]).size()
+        for (_, host), n in per.items():
+            assert n <= cfg.budget_for(host), (host, n)
+        # non-vacuous: some host actually used a budget above the
+        # uniform tokens_per_round, and some tail host was clamped to 1
+        assert (got.groupby(["round", "host"]).size() > cfg.tokens_per_round).any()
+        assert any(cfg.budget_for(h) == 1 for h in got["host"].unique())
+
+
 class TestRecrawlTTL:
     """The delete-capable (cuckoo) seen-set path: urls expire after
     recrawl_after_rounds rounds and are re-fetched on rediscovery."""
