@@ -304,6 +304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tier-budgeted crawl: per-host fetch budgets by authority
         # tier (the north-star host-budget priority leg)
         "crawl_order_tiered": crawl_pipeline.crawl_order_tiered_query,
+        # lineage/metrics leg: per-round metrics off the crawl's own
+        # output partitions + final shard-counter totals from the
+        # checkpoint manifest, both pinned by the oracle crawler
+        "crawl_metrics": crawl_pipeline.crawl_metrics_query,
+        "crawl_counter_totals": crawl_pipeline.crawl_counter_totals_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "extract_from_warc": crawl_pipeline.extract_from_warc_query,
         "learn_plan": crawl_pipeline.learn_plan_query,
@@ -488,6 +493,8 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01),
+        "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.01),
+        "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),

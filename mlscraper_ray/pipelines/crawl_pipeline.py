@@ -171,6 +171,74 @@ def crawl_order_tiered_query(sf_dir: str) -> pa.Table:
     return crawl_order(out_dir)
 
 
+# the counters both the shard actors and the single-process oracle
+# maintain with identical semantics (same check order: depth -> seen
+# -> robots); the metrics queries compare exactly this set
+CRAWL_COUNTER_NAMES = (
+    "admitted",
+    "dropped_depth",
+    "dropped_robots",
+    "dropped_seen",
+    "enqueued",
+)
+
+
+def crawl_metrics_query(sf_dir: str) -> pa.Table:
+    """Per-round crawl metrics off the crawl's own output partitions:
+    (round, n_fetched, n_hosts, max_depth) — the lineage/metrics leg
+    of the north rule as a queryable table, value-pinned by the oracle
+    crawler's per-round fetch log
+    (truth_oracles.crawl_metrics_truth_sql)."""
+    import pandas as pd
+
+    from mlscraper_ray.frontier.crawler import crawl_order_dataset
+
+    out_dir, _, _ = run_crawl(sf_dir)
+
+    def per_round(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "round": pd.Series([int(g["round"].iloc[0])], dtype="int64"),
+                "n_fetched": pd.Series([len(g)], dtype="int64"),
+                "n_hosts": pd.Series([g["host"].nunique()], dtype="int64"),
+                "max_depth": pd.Series([int(g["depth"].max())], dtype="int64"),
+            }
+        )
+
+    out = (
+        crawl_order_dataset(out_dir)
+        .groupby("round")
+        .map_groups(per_round, batch_format="pandas")
+        .to_pandas()
+        .sort_values("round", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def crawl_counter_totals_query(sf_dir: str) -> pa.Table:
+    """Final frontier-counter totals summed across shard actors (the
+    run's metrics.json artifact — the per-round checkpoint MANIFESTs
+    carry the same per-shard counters but stop one flush EARLY: the
+    terminating 0-admit round's flush drops are counted in shard state
+    after the last checkpoint is written) — must equal the
+    single-process oracle's counters exactly, a distributed-state
+    invariant far stricter than order equality: every dedup/robots/
+    depth drop decision matches one-for-one."""
+    import json as _json
+
+    out_dir, stats, _ = run_crawl(sf_dir)
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        recorded = _json.load(f)["counters"]
+    totals = {name: int(recorded.get(name, 0)) for name in CRAWL_COUNTER_NAMES}
+    names = sorted(totals)
+    return pa.table(
+        {
+            "counter": pa.array(names, pa.string()),
+            "value": pa.array([totals[n] for n in names], pa.int64()),
+        }
+    )
+
+
 def crawl_order_recrawl_query(sf_dir: str) -> pa.Table:
     """Crawl order under the recrawl/TTL policy (cuckoo seen set with
     eviction after 3 rounds): same deterministic-order contract, pages

@@ -147,6 +147,64 @@ def crawl_order_truth_sql(sf: float, recrawl: bool = False) -> str:
     return _cached(corpus_dir, "recrawl_order" if recrawl else "crawl_order", key, build)
 
 
+def crawl_metrics_truth_sql(sf: float) -> str:
+    """(round, n_fetched, n_hosts, max_depth) per round from the
+    oracle crawler's fetch log, same config as crawl_order_query."""
+    from collections import defaultdict
+
+    from mlscraper_ray.frontier import oracle as oracle_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, crawl_config_for
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    key = hashlib.md5(
+        ("metrics" + json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        fetches, _, _, _ = oracle_mod.oracle_crawl(corpus_dir, cfg)
+        per: dict = defaultdict(lambda: {"n": 0, "hosts": set(), "d": 0})
+        for rnd, depth, host, _url in fetches:
+            p = per[rnd]
+            p["n"] += 1
+            p["hosts"].add(host)
+            p["d"] = max(p["d"], depth)
+        rows = [
+            (rnd, per[rnd]["n"], len(per[rnd]["hosts"]), per[rnd]["d"])
+            for rnd in sorted(per)
+        ]
+        return (
+            values_sql(rows, ["round", "n_fetched", "n_hosts", "max_depth"])
+            + ' ORDER BY "round"'
+        )
+
+    return _cached(corpus_dir, "crawl_metrics", key, build)
+
+
+def crawl_counter_totals_truth_sql(sf: float) -> str:
+    """Final (counter, value) totals from the oracle crawler — the
+    one-for-one pin of every distributed dedup/robots/depth decision."""
+    from mlscraper_ray.frontier import oracle as oracle_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import (
+        CRAWL_COUNTER_NAMES,
+        corpus_for_sf,
+        crawl_config_for,
+    )
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    key = hashlib.md5(
+        ("counters" + json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        _, _, _, counters = oracle_mod.oracle_crawl(corpus_dir, cfg)
+        rows = [(n, int(counters.get(n, 0))) for n in sorted(CRAWL_COUNTER_NAMES)]
+        return values_sql(rows, ["counter", "value"]) + ' ORDER BY "counter"'
+
+    return _cached(corpus_dir, "crawl_counters", key, build)
+
+
 def _host_page_counts_local(corpus_dir: str) -> dict:
     """Single-process per-host page counts straight off the corpus
     parquet — the INDEPENDENT twin of the pipeline's distributed
