@@ -259,6 +259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup (Abbas et al. 2023): k-means clusters bound the
         # quadratic, cosine compare within clusters, keep lowest id
         "embed_semdedup": similarity.embed_semdedup,
+        # product quantization: per-subspace integer codebooks, m
+        # codes + exact reconstruction error per vector — the
+        # compressed-ANN storage path, training + encoding SQL-oracled
+        "embed_pq_codes": similarity.embed_pq_codes,
         # stream-shaped
         "sessionize": streams.sessionize,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -440,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
+        "embed_pq_codes": similarity.embed_pq_codes_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

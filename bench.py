@@ -116,12 +116,13 @@ def run_bench() -> dict:
     extras["extract_secs_runs"] = extract_secs
     extras["extract_pages_per_sec"] = round(extracted.num_rows / queries["extract_all"], 1)
 
-    # tier-budgeted crawl (head 16 / torso 8 / tail 1 tokens per
-    # round): one timed pass, includes the host-tier derivation
+    # tier-budgeted crawl at the production round shape (torso budget
+    # 128 like the plain bench crawl; head 256 / tail 16): one timed
+    # pass, includes the host-tier derivation
     from mlscraper_ray.pipelines.crawl_pipeline import crawl_order_tiered_query
 
     t0 = time.time()
-    tiered = crawl_order_tiered_query(sf_dir)
+    tiered = crawl_order_tiered_query(sf_dir, tokens_per_round=128, max_rounds=60)
     queries["crawl_tiered"] = round(time.time() - t0, 3)
     extras["crawl_tiered_urls"] = tiered.num_rows
     extras["host_probe_ms_after"] = _probe_ms()
@@ -178,6 +179,7 @@ def run_bench() -> dict:
         "embed_kmeans",
         "embed_kmeans_int",
         "embed_semdedup",
+        "embed_pq_codes",
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",

@@ -516,7 +516,12 @@ def _int_dist2(x: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
     return xx - 2 * (x @ cents.T) + cc
 
 
-def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.ndarray:
+def kmeans_int_fit(
+    sf_dir: str,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    dims: tuple[int, int] | None = None,
+) -> np.ndarray:
     """Integer-quantized distributed Lloyd's k-means.
 
     Embeddings are quantized to shifted fixed-point ints; every
@@ -527,9 +532,18 @@ def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.nda
     (EMBED_KMEANS_INT_SQL): init = md5-ordered sample, assignment =
     integer argmin (ties -> lowest cluster id), update = elementwise
     floor-div mean, empty clusters keep their previous centroid.
+
+    ``dims=(lo, hi)`` trains on the half-open dimension slice
+    ``[lo, hi)`` only (the product-quantization subspace case);
+    quantization is elementwise, so slice-then-quantize equals
+    quantize-then-slice and the SQL mirror can slice the shared
+    quantized ``q`` CTE.
     """
     init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
-    centroids = _quantize(_read_vectors_by_id(sf_dir, init_ids))
+    init_vecs = _read_vectors_by_id(sf_dir, init_ids)
+    if dims is not None:
+        init_vecs = init_vecs[:, dims[0] : dims[1]]
+    centroids = _quantize(init_vecs)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).materialize()
@@ -540,6 +554,8 @@ def kmeans_int_fit(sf_dir: str, n_clusters: int = 8, n_iters: int = 3) -> np.nda
         def partial(batch: pa.Table) -> pa.Table:
             cents = ray.get(cents_ref)
             ids, mat = _batch_matrix(batch)
+            if dims is not None:
+                mat = mat[:, dims[0] : dims[1]]
             x = _quantize(mat)
             d2 = _int_dist2(x, cents)
             assign = np.argmin(d2, axis=1)
@@ -610,15 +626,10 @@ def _int_dist2_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_int_prefix_parts(n_clusters: int, n_iters: int, dim: int) -> list[str]:
-    """Shared chained-CTE prefix reproducing :func:`kmeans_int_fit`
-    term for term — quantized vectors ``q``, md5-ordered init, one
-    assignment + centroid-update layer per Lloyd iteration, final
-    centroids in ``c{n_iters}f``. Used by both the k-means assignment
-    oracle and the trained-IVF search oracle."""
-    dist = _int_dist2_sql("q.v", "{c}.v")
-    parts = [
-        f"""WITH q AS (
+def _kmeans_header_sql(n_clusters: int) -> str:
+    """``WITH q`` (quantized vectors) + md5-ordered ``init_ids`` —
+    the opening every integer-k-means oracle shares."""
+    return f"""WITH q AS (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(FLOOR(x * {_KQ_SCALE} + 0.5) AS BIGINT) + {_KQ_OFFSET}) AS v
@@ -630,37 +641,55 @@ init_ids AS (
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
         FROM embeddings
     ) WHERE rk <= {n_clusters}
-),
-c0f AS (
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
-    FROM q WHERE vec_id IN (SELECT vec_id FROM init_ids)
 )"""
-    ]
-    for it in range(n_iters):
-        d_expr = dist.format(c=f"c{it}f")
-        parts.append(
-            f""",
-a{it} AS (
+
+
+def _init_cents_sql(qname: str = "q", sfx: str = "") -> str:
+    return f"""c0f{sfx} AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+    FROM {qname} WHERE vec_id IN (SELECT vec_id FROM init_ids)
+)"""
+
+
+def _lloyd_layer_sql(it: int, dim: int, qname: str = "q", sfx: str = "") -> str:
+    """One Lloyd iteration as chained CTEs: assignment argmin
+    (ROW_NUMBER over (dist2, cluster id)), integer floor-div centroid
+    update, empty clusters keep their previous centroid. Shared by the
+    full-vector oracles (sfx='') and the per-subspace PQ oracle."""
+    dist = _int_dist2_sql(f"{qname}.v", "{c}.v")
+    d_expr = dist.format(c=f"c{it}f{sfx}")
+    return f""",
+a{it}{sfx} AS (
     SELECT vec_id, v, c AS cl FROM (
-        SELECT q.vec_id, q.v, c{it}f.c,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {d_expr}, c{it}f.c) AS rn
-        FROM q CROSS JOIN c{it}f
+        SELECT {qname}.vec_id, {qname}.v, c{it}f{sfx}.c,
+               ROW_NUMBER() OVER (PARTITION BY {qname}.vec_id
+                                  ORDER BY {d_expr}, c{it}f{sfx}.c) AS rn
+        FROM {qname} CROSS JOIN c{it}f{sfx}
     ) WHERE rn = 1
 ),
-c{it + 1} AS (
+c{it + 1}{sfx} AS (
     SELECT cl AS c, list(CAST(s AS BIGINT) ORDER BY dim) AS v
     FROM (
-        SELECT cl, t.i AS dim, SUM(a{it}.v[t.i]) // COUNT(*) AS s
-        FROM a{it}, UNNEST(generate_series(1, {dim})) AS t(i)
+        SELECT cl, t.i AS dim, SUM(a{it}{sfx}.v[t.i]) // COUNT(*) AS s
+        FROM a{it}{sfx}, UNNEST(generate_series(1, {dim})) AS t(i)
         GROUP BY cl, t.i
     ) GROUP BY cl
 ),
-c{it + 1}f AS (
-    SELECT c{it}f.c, COALESCE(c{it + 1}.v, c{it}f.v) AS v
-    FROM c{it}f LEFT JOIN c{it + 1} ON c{it}f.c = c{it + 1}.c
+c{it + 1}f{sfx} AS (
+    SELECT c{it}f{sfx}.c, COALESCE(c{it + 1}{sfx}.v, c{it}f{sfx}.v) AS v
+    FROM c{it}f{sfx} LEFT JOIN c{it + 1}{sfx} ON c{it}f{sfx}.c = c{it + 1}{sfx}.c
 )"""
-        )
+
+
+def _kmeans_int_prefix_parts(n_clusters: int, n_iters: int, dim: int) -> list[str]:
+    """Shared chained-CTE prefix reproducing :func:`kmeans_int_fit`
+    term for term — quantized vectors ``q``, md5-ordered init, one
+    assignment + centroid-update layer per Lloyd iteration, final
+    centroids in ``c{n_iters}f``. Used by the k-means assignment
+    oracle, the trained-IVF search oracle and SemDeDup."""
+    parts = [_kmeans_header_sql(n_clusters) + ",\n" + _init_cents_sql()]
+    for it in range(n_iters):
+        parts.append(_lloyd_layer_sql(it, dim))
     return parts
 
 
@@ -973,5 +1002,107 @@ SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster,
        COALESCE(dup.dup_of, CAST(-1 AS BIGINT)) AS dup_of
 FROM asg LEFT JOIN dup ON asg.vec_id = dup.vid
 ORDER BY asg.vec_id"""
+    )
+    return "".join(parts)
+
+
+# -- product quantization ------------------------------------------------
+
+
+def embed_pq_codes(
+    sf_dir: str, m: int = 4, n_clusters: int = 8, n_iters: int = 2, dim: int = 64
+) -> pa.Table:
+    """Product quantization (Jégou et al., PAMI 2011): split the
+    embedding into ``m`` dimension subspaces, train an independent
+    integer k-means codebook per subspace, encode every vector as m
+    codebook indices — the compressed-vector representation that makes
+    100-TB-scale ANN storage tractable (64 float dims -> m small
+    ints). Returns (vec_id, c0..c{m-1}, dist2) with ``dist2`` the
+    exact integer squared reconstruction error summed over subspaces.
+
+    Composition of existing verified parts: per-subspace
+    :func:`kmeans_int_fit` (``dims`` slice) for training, then ONE
+    streaming assignment pass encoding all m subspaces per batch
+    against the broadcast codebook stack. All arithmetic is the
+    shifted-fixed-point integer discipline, so training AND encoding
+    hash-match the chained-CTE oracle (embed_pq_codes_sql) end to end.
+    """
+    sub = dim // m
+    codebooks = np.stack(
+        [
+            kmeans_int_fit(sf_dir, n_clusters=n_clusters, n_iters=n_iters, dims=(s * sub, (s + 1) * sub))
+            for s in range(m)
+        ]
+    )  # (m, k, sub)
+    cb_ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cbs = ray.get(cb_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        total = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = _int_dist2(xs, cbs[s])
+            code = np.argmin(d2, axis=1)
+            total += d2[np.arange(len(ids)), code]
+            cols[f"c{s}"] = pa.array(code.astype(np.int32))
+        cols["dist2"] = pa.array(total)
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(encode, batch_format="pyarrow").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_pq_codes_sql(
+    m: int = 4, n_clusters: int = 8, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Chained-CTE oracle for the WHOLE PQ pipeline: the shared
+    quantized ``q`` + ``init_ids`` header, then per subspace a sliced
+    ``qs{s}`` view (1-based inclusive list slice of the quantized
+    vector — elementwise quantization commutes with slicing), the full
+    per-subspace Lloyd chain, and a final per-subspace assignment
+    joined into one row per vector."""
+    sub = dim // m
+    parts = [_kmeans_header_sql(n_clusters)]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""",
+qs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM q),
+{_init_cents_sql(f"qs{s}", f"s{s}")}"""
+        )
+        for it in range(n_iters):
+            parts.append(_lloyd_layer_sql(it, sub, f"qs{s}", f"s{s}"))
+    for s in range(m):
+        cf = f"c{n_iters}fs{s}"
+        d = _int_dist2_sql(f"qs{s}.v", f"{cf}.v")
+        parts.append(
+            f""",
+asg{s} AS (
+    SELECT vec_id, c, d2 FROM (
+        SELECT qs{s}.vec_id, {cf}.c, {d} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY qs{s}.vec_id
+                                  ORDER BY {d}, {cf}.c) AS rn
+        FROM qs{s} CROSS JOIN {cf}
+    ) WHERE rn = 1
+)"""
+        )
+    code_cols = ",\n       ".join(f"CAST(asg{s}.c AS INTEGER) AS c{s}" for s in range(m))
+    d_sum = " + ".join(f"asg{s}.d2" for s in range(m))
+    joins = "".join(f" JOIN asg{s} USING (vec_id)" for s in range(1, m))
+    parts.append(
+        f"""
+SELECT vec_id,
+       {code_cols},
+       CAST({d_sum} AS BIGINT) AS dist2
+FROM asg0{joins}
+ORDER BY vec_id"""
     )
     return "".join(parts)

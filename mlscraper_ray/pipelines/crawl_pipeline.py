@@ -145,25 +145,34 @@ def host_page_counts_distributed(corpus_dir: str) -> dict[str, int]:
     return dict(zip(agg["host"], agg["c"].astype(int)))
 
 
-TIER_BUDGETS = [16, 8, 1]  # tokens/round for tier 0 / 1 (torso) / 2
+def tier_budgets_for(tokens_per_round: int) -> list[int]:
+    """Tier budget policy: head hosts get 2x the torso budget, tail
+    hosts 1/8 (floored at 1). One definition shared by the pipeline,
+    the truth oracle and the bench (which scales tokens_per_round up
+    for production-shaped rounds)."""
+    t = tokens_per_round
+    return [2 * t, t, max(1, t // 8)]
 
 
-def crawl_order_tiered_query(sf_dir: str) -> pa.Table:
+def crawl_order_tiered_query(
+    sf_dir: str, tokens_per_round: int = 8, max_rounds: int = 40
+) -> pa.Table:
     """TIERED crawl: per-host fetch budgets by authority tier — the
     north-star "host-budget" leg of the priority key. High-tier hosts
-    drain 16 urls/round, the torso 8, the tail 1, so the crawl spends
-    its politeness-bounded budget on high-authority hosts first. Same
-    deterministic-order contract as crawl_order, value-pinned by the
-    single-process oracle crawler run under the SAME tier config
+    drain 2x the torso budget per round, the tail 1/8, so the crawl
+    spends its politeness-bounded budget on high-authority hosts
+    first. Same deterministic-order contract as crawl_order,
+    value-pinned by the single-process oracle crawler run under the
+    SAME tier config
     (pipelines/truth_oracles.crawl_order_tiered_truth_sql)."""
     from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
 
     sf = sf_of_dir(sf_dir)
     corpus_dir, spec = corpus_for_sf(sf)
     plan = learn_plan(corpus_dir, spec)
-    cfg = crawl_config_for(spec, plan, tokens_per_round=8, max_rounds=40)
+    cfg = crawl_config_for(spec, plan, tokens_per_round=tokens_per_round, max_rounds=max_rounds)
     cfg.host_tiers = tiers_from_counts(host_page_counts_distributed(corpus_dir))
-    cfg.tier_budgets = list(TIER_BUDGETS)
+    cfg.tier_budgets = tier_budgets_for(tokens_per_round)
     out_dir = os.path.join(DATA_ROOT, f"tiered_sf{sf}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)

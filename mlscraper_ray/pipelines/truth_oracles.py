@@ -235,7 +235,7 @@ def crawl_order_tiered_truth_sql(sf: float) -> str:
     corpus_dir, spec = cp.corpus_for_sf(sf)
     cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
     cfg.host_tiers = cp.tiers_from_counts(_host_page_counts_local(corpus_dir))
-    cfg.tier_budgets = list(cp.TIER_BUDGETS)
+    cfg.tier_budgets = cp.tier_budgets_for(8)
     key = hashlib.md5(
         (
             json.dumps(cfg.to_dict(), sort_keys=True)

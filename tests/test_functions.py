@@ -77,6 +77,7 @@ def _oracle_names():
         "ann_ivf_trained_topk",
         "embed_kmeans_int",
         "embed_semdedup",
+        "embed_pq_codes",
         "embed_neardup_pairs",
         "multimodal_features",
         "sessionize",
@@ -217,6 +218,20 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_pq_codes_quantize_nonvacuously(self, ray_session):
+        """PQ output actually spreads vectors across codebook entries
+        in every subspace (a degenerate all-one-code table would still
+        hash-match a broken-in-the-same-way oracle) and reconstruction
+        error is positive for at least most vectors."""
+        from mlscraper_ray.functions.similarity import embed_pq_codes
+
+        out = embed_pq_codes(SF_DIR).to_pandas()
+        assert len(out) == 500
+        for s in range(4):
+            assert out[f"c{s}"].nunique() > 1, s
+        assert (out["dist2"] > 0).mean() > 0.9
+        assert (out["dist2"] >= 0).all()
 
     def test_canonicalize_url_rules(self):
         """One assertion per documented canonicalization rule."""
