@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-inference stage shape: hashed-linear quality scorer,
         # weights built once per actor, integer-exact vs SQL
         "doc_quality_classifier": classifier.quality_classifier,
+        # Gopher-style boolean rule verdicts (the filter gate next to
+        # the continuous quality signals)
+        "doc_gopher_rules": textstats.gopher_rules,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -430,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_quality_classifier": _quality_classifier_sql(),
+        "doc_gopher_rules": textstats.GOPHER_RULES_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),

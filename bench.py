@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "doc_bigram_surprisal",
         "doc_quality",
         "doc_quality_classifier",
+        "doc_gopher_rules",
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",

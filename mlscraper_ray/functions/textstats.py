@@ -1241,3 +1241,103 @@ FROM assigned
 GROUP BY source, split
 ORDER BY source, split
 """
+
+
+# -- Gopher-style rule verdicts ------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    sf_dir: str, min_words: int = 30, max_words: int = 80, min_stops: int = 1
+) -> pa.Table:
+    """Gopher/MassiveText-style rule VERDICTS per doc (Rae et al.
+    2021): the repo's quality_scores gives continuous signals; this is
+    the boolean gate a curation pipeline actually filters on. Rules
+    kept are the ones NON-VACUOUS on whitespace-token corpora without
+    punctuation/lines (the symbol-ratio and bullet/ellipsis-line rules
+    of the paper are degenerate here — line-shaped content lives in
+    the wet/content operators): word-count band, mean-word-length band
+    (3..10 chars, integer cross-multiplied — no float division), and
+    >= min_stops distinct classic stopwords (default 1: the synthetic
+    vocabulary carries exactly one word from the classic list, and a
+    constant-false verdict would be vacuous; the paper's >= 2 is one
+    parameter away on natural text). One streaming pass, all
+    arithmetic integer, verdicts hash-checked against
+    GOPHER_RULES_SQL. Empty docs carry no tokens and are absent
+    (matching the SQL words CTE)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, ch, ns = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split()
+            if not words:
+                continue
+            ids.append(doc_id)
+            nw.append(len(words))
+            ch.append(sum(len(w) for w in words))
+            ns.append(len(_GOPHER_STOPS_SET & set(words)))
+        n = pd.Series(nw, dtype="int64")
+        c = pd.Series(ch, dtype="int64")
+        s = pd.Series(ns, dtype="int64")
+        r_len = (n >= min_words) & (n <= max_words)
+        r_mean = (3 * n <= c) & (c <= 10 * n)
+        r_stop = s >= min_stops
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_words": n,
+                "mean_milli": (1000 * c) // n,
+                "n_stop": s,
+                "r_len": r_len,
+                "r_mean": r_mean,
+                "r_stop": r_stop,
+                "keep": r_len & r_mean & r_stop,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_GOPHER_STOPS_SET = set(_GOPHER_STOPS)
+
+
+def gopher_rules_sql(
+    min_words: int = 30, max_words: int = 80, min_stops: int = 1
+) -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(word)) AS BIGINT) AS chars
+    FROM words GROUP BY doc_id
+),
+stops AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT word) AS BIGINT) AS ns
+    FROM words WHERE word IN ({stops}) GROUP BY doc_id
+)
+SELECT a.doc_id, n AS n_words,
+       (1000 * chars) // n AS mean_milli,
+       COALESCE(ns, 0) AS n_stop,
+       n BETWEEN {min_words} AND {max_words} AS r_len,
+       (3 * n <= chars AND chars <= 10 * n) AS r_mean,
+       COALESCE(ns, 0) >= {min_stops} AS r_stop,
+       (n BETWEEN {min_words} AND {max_words}
+        AND 3 * n <= chars AND chars <= 10 * n
+        AND COALESCE(ns, 0) >= {min_stops}) AS keep
+FROM agg a LEFT JOIN stops USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+GOPHER_RULES_SQL = gopher_rules_sql()

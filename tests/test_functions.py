@@ -58,6 +58,7 @@ def _oracle_names():
         "source_distinct_hll",
         "doc_quality",
         "doc_quality_classifier",
+        "doc_gopher_rules",
         "doc_langid",
         "doc_clean",
         "doc_pii_scrub",
