@@ -220,6 +220,19 @@ class TestNearDupCrafted:
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
 
+    def test_pq_fused_fit_equals_separate_fits(self, ray_session):
+        """One-pass-per-iteration multi-subspace training must equal m
+        independent sliced kmeans_int_fit runs bit for bit."""
+        import numpy as np
+
+        from mlscraper_ray.functions.similarity import kmeans_int_fit, pq_fit
+
+        fused = pq_fit(SF_DIR, m=4, n_clusters=8, n_iters=2)
+        sep = np.stack(
+            [kmeans_int_fit(SF_DIR, 8, 2, dims=(s * 16, (s + 1) * 16)) for s in range(4)]
+        )
+        assert np.array_equal(fused, sep)
+
     def test_pq_codes_quantize_nonvacuously(self, ray_session):
         """PQ output actually spreads vectors across codebook entries
         in every subspace (a degenerate all-one-code table would still
