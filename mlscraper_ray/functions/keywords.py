@@ -76,9 +76,14 @@ def _topk_cut(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df.groupby("doc_id", sort=False).head(k)
 
 
-def doc_tfidf_top_terms(
+def tfidf_topk_ds(
     sf_dir: str, k: int = 5, broadcast_limit: int = 2_000_000
-) -> pa.Table:
+) -> ray.data.Dataset:
+    """Dataset form of the per-doc tf-idf top-k (columns
+    ``doc_id, term, tf, score``, each doc's k rows) — the streaming
+    shape production consumers sink (:func:`tfidf_to_parquet`);
+    :func:`doc_tfidf_top_terms` is the sorted driver-table wrapper for
+    the compare contract."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -107,17 +112,6 @@ def doc_tfidf_top_terms(
         or 0
     )
     vocab = df_tbl.count()
-
-    def fold(out: pd.DataFrame) -> pa.Table:
-        if len(out) == 0:
-            return _empty_out()
-        out = out.sort_values(
-            ["doc_id", "score", "term"],
-            ascending=[True, False, True],
-            ignore_index=True,
-            kind="mergesort",
-        )
-        return pa.Table.from_pandas(out[list(_OUT_COLS)], preserve_index=False)
 
     if vocab <= broadcast_limit:
         # driver pull bounded by the vocabulary COUNT; one streaming
@@ -151,7 +145,7 @@ def doc_tfidf_top_terms(
                 }
             )
 
-        return fold(docs.map_batches(score, batch_format="pandas").to_pandas())
+        return docs.map_batches(score, batch_format="pandas")
 
     # scale path: tf rows meet the df table in crc32(word) buckets,
     # then the top-k cut runs in doc-hash groups
@@ -221,12 +215,68 @@ def doc_tfidf_top_terms(
         .groupby("bucket")
         .map_groups(join_score, batch_format="pandas")
     )
-    cut = (
+    return (
         coalesce_blocks(scored, total_rows)
         .groupby("doc_bucket")
         .map_groups(lambda g: _topk_cut(g, k)[list(_OUT_COLS)], batch_format="pandas")
     )
-    return fold(cut.to_pandas())
+
+
+def doc_tfidf_top_terms(
+    sf_dir: str, k: int = 5, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    out = tfidf_topk_ds(sf_dir, k=k, broadcast_limit=broadcast_limit).to_pandas()
+    if len(out) == 0:
+        return _empty_out()
+    out = out.sort_values(
+        ["doc_id", "score", "term"],
+        ascending=[True, False, True],
+        ignore_index=True,
+        kind="mergesort",
+    )
+    return pa.Table.from_pandas(out[list(_OUT_COLS)], preserve_index=False)
+
+
+def tfidf_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window: int = 4,
+    k: int = 5,
+    broadcast_limit: int = 2_000_000,
+) -> dict:
+    """Production sink twin of :func:`doc_tfidf_top_terms`, RESUMABLE
+    (marker-last shard protocol, functions/sinks.py): the scored
+    top-k rows materialize ONCE sharded by doc hash (a doc's k rows
+    share a shard), each shard commits independently. Shard union ==
+    the oracle-checked contract table (tested)."""
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = [zlib.crc32(str(d).encode()) % n_shards for d in df["doc_id"]]
+        return df
+
+    rows = (
+        tfidf_topk_ds(sf_dir, k=k, broadcast_limit=broadcast_limit)
+        .map_batches(add_shard, batch_format="pandas")
+        .materialize()
+    )
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        rows.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        ).write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
 def doc_tfidf_top_terms_sql(k: int = 5) -> str:

@@ -1347,6 +1347,31 @@ class TestCurateAndDecontaminateSinks:
         r3 = curate_corpus_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
 
+    def test_tfidf_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+
+        from mlscraper_ray.functions.keywords import doc_tfidf_top_terms, tfidf_to_parquet
+
+        out_dir = str(tmp_path / "tfidf_out")
+        r1 = tfidf_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        got = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["doc_id", "score", "term"], ascending=[True, False, True], ignore_index=True, kind="mergesort")
+        )
+        want = doc_tfidf_top_terms(SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+        r2 = tfidf_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
+        r3 = tfidf_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
+
     def test_decontaminate_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
         import glob
 
