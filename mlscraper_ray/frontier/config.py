@@ -31,12 +31,14 @@ class CrawlConfig:
     bloom_capacity: int = 1 << 17  # per shard; test-scale default
     bloom_fpr: float = 1e-9
     # hot-host salting: a host whose admitted rows this round exceed
-    # max(min(salt_min_rows, tokens_per_round - 1),
+    # max(min(salt_min_rows, budget_for(host) - 1),
     # ceil(admitted/n_parts)) is spread round-robin across ALL fetch
     # parts instead of its bucket-aligned part, so one mega-host cannot
-    # serialize the fetch pool. The floor is clamped below the token
-    # cap because per-host admitted rows never exceed tokens_per_round
-    # — a fixed floor above the cap would make salting unreachable.
+    # serialize the fetch pool. The floor is clamped below the host's
+    # OWN tier budget because per-host admitted rows never exceed
+    # budget_for(host) — a fixed floor above that cap would make
+    # salting unreachable (per-host, so every tier keeps the
+    # saturates-budget-and-exceeds-fair-share trigger).
     # Politeness is already enforced at admission (owner shard), so
     # salting never changes WHAT is fetched — only where.
     salt_min_rows: int = 256

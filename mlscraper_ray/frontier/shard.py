@@ -46,6 +46,16 @@ def url_path(url: str) -> str:
     return "/" + (parts[3] if len(parts) > 3 else "")
 
 
+def salt_threshold(cfg, host: str, fair_share: int) -> int:
+    """Hot-host salting trigger for one host: exceed
+    max(min(salt_min_rows, budget_for(host) - 1), fair_share) and the
+    host's rows are dealt across all fetch parts. The floor clamps
+    below the host's OWN tier budget (admitted rows can never exceed
+    it), so salting stays reachable for every tier — a single floor
+    at the maximum budget would silently disable it for lower tiers."""
+    return max(min(cfg.salt_min_rows, cfg.budget_for(host) - 1), fair_share)
+
+
 class FrontierShard:
     def __init__(self, shard_id: int, config: dict | CrawlConfig, corpus_dir: str):
         cfg = config if isinstance(config, CrawlConfig) else CrawlConfig.from_dict(config)
@@ -184,16 +194,17 @@ class FrontierShard:
         full-pool parallelism without a Dataset shuffle.
 
         HOT-HOST SALTING: a host whose admitted rows exceed
-        max(min(cfg.salt_min_rows, cfg.tokens_per_round - 1),
+        max(min(cfg.salt_min_rows, cfg.budget_for(host) - 1),
         ceil(total/n_parts)) would dominate its bucket-aligned part
         and serialize the fetch pool; its rows are instead dealt
         round-robin across ALL parts (deterministic: the admit order
         is deterministic, so the deal is too). The floor is clamped
-        BELOW the per-host token cap — admitted rows per host can
-        never exceed tokens_per_round, so a fixed floor above the cap
-        (the old bug) made salting unreachable; with the clamp, a host
-        that saturates its token budget AND exceeds its fair part
-        share gets dealt. Politeness was already enforced by the
+        BELOW the host's OWN per-round budget — admitted rows per
+        host can never exceed budget_for(host), so a fixed floor
+        above that cap (the old bug) made salting unreachable; the
+        clamp is PER HOST so under a tiered config every tier keeps
+        the trigger: a host that saturates its own budget AND exceeds
+        its fair part share gets dealt. Politeness was already enforced by the
         per-host token pop above, so salting changes only WHERE rows
         are fetched, never what or how many. Cost: salted parts touch
         the hot host's corpus bucket file too — bounded, because
@@ -208,12 +219,16 @@ class FrontierShard:
             return t
         hosts = t["host"].to_pylist()
         counts = Counter(hosts)
-        floor = min(self.cfg.salt_min_rows, self.cfg.max_budget() - 1)
-        threshold = max(floor, -(-len(hosts) // n_parts))
+        # the salting floor clamps below each host's OWN tier budget
+        # (admitted rows per host never exceed budget_for(host)) — a
+        # single floor at max_budget()-1 would make salting
+        # unreachable for every lower-budget tier, re-introducing the
+        # fixed-floor bug the clamp exists to prevent
+        fair = -(-len(hosts) // n_parts)
         part_ids: list[int] = []
         dealt: Counter = Counter()
         for h in hosts:
-            if counts[h] > threshold:
+            if counts[h] > salt_threshold(self.cfg, h, fair):
                 # deal starts at the host's own bucket, not part 0:
                 # several hosts salted in one round would otherwise
                 # all drop their remainder rows on the low parts

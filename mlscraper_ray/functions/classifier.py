@@ -36,21 +36,23 @@ import ray.data
 
 N_BUCKETS = 4096
 
-# worker-process-global word -> bucket cache (corpus words are
+# worker-process-global word -> 64-bit hash cache (corpus words are
 # Zipfian; hash each distinct word once per worker, the dedup
-# _word_hashes idiom)
-_BUCKET_CACHE: dict[str, int] = {}
-_BUCKET_CACHE_MAX = 2_000_000
+# _word_hashes idiom). The cache stores the RAW hash, not the bucket,
+# so stages with different n_buckets share it safely.
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 2_000_000
 
 
-def _word_bucket(word: str) -> int:
-    b = _BUCKET_CACHE.get(word)
-    if b is None:
-        if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
-            _BUCKET_CACHE.clear()
-        h = int.from_bytes(hashlib.md5(word.encode()).digest()[8:], "little")
-        b = _BUCKET_CACHE[word] = h % N_BUCKETS
-    return b
+def _word_bucket(word: str, n_buckets: int) -> int:
+    h = _HASH_CACHE.get(word)
+    if h is None:
+        if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+            _HASH_CACHE.clear()
+        h = _HASH_CACHE[word] = int.from_bytes(
+            hashlib.md5(word.encode()).digest()[8:], "little"
+        )
+    return h % n_buckets
 
 
 def hashed_weights(n_buckets: int = N_BUCKETS) -> np.ndarray:
@@ -72,18 +74,19 @@ class QualityClassifierStage:
     with one exploded groupby-sum."""
 
     def __init__(self, n_buckets: int = N_BUCKETS):
+        self.n_buckets = n_buckets
         self.weights = hashed_weights(n_buckets)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, nt, sc = [], [], []
-        w = self.weights
+        w, m = self.weights, self.n_buckets
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             words = text.split()
             if not words:
                 continue  # match the SQL words CTE: empty docs absent
             ids.append(doc_id)
             nt.append(len(words))
-            sc.append(int(w[[_word_bucket(x) for x in words]].sum()))
+            sc.append(int(w[[_word_bucket(x, m) for x in words]].sum()))
         n = pd.Series(nt, dtype="int64")
         s = pd.Series(sc, dtype="int64")
         return pd.DataFrame(

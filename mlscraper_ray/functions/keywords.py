@@ -18,16 +18,15 @@ Distributed plan (the doc_unigram_surprisal shape):
      distinct words pull once into a word->df dict broadcast with
      ``ray.put`` — scoring AND the per-doc top-k are then one
      streaming pass (each doc's words are local, zero further
-     shuffles); above the cap, tf rows meet the df table in
-     crc32(word) buckets and the top-k cut happens in a second
-     doc-bucket group round (nothing driver-sized). Paths
-     bit-identical (tested).
+     shuffles); above the cap, tf rows meet the df table through the
+     shared partitioned hash join (joins.cogroup_join) and the top-k
+     cut happens in a second doc-bucket group round (nothing
+     driver-sized). Paths bit-identical (tested).
 """
 from __future__ import annotations
 
 import heapq
 import os
-import zlib
 from collections import Counter
 
 import pandas as pd
@@ -147,74 +146,29 @@ def tfidf_topk_ds(
 
         return docs.map_batches(score, batch_format="pandas")
 
-    # scale path: tf rows meet the df table in crc32(word) buckets,
-    # then the top-k cut runs in doc-hash groups
-    from mlscraper_ray.functions.joins import adaptive_n_buckets
-
-    B = adaptive_n_buckets(vocab)
-
-    def tag_tf(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(
-            bucket=pd.Series(
-                [zlib.crc32(w.encode()) % B for w in b["word"]],
-                index=b.index,
-                dtype="int32",
-            ),
-            side="t",
-        )
-        return b[["word", "doc_id", "tf", "bucket", "side"]]
-
-    def tag_df(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "word": b["word"].astype(str),
-                "doc_id": pd.Series([0] * len(b), index=b.index, dtype="int64"),
-                "tf": b["df"].astype("int64"),
-                "bucket": pd.Series(
-                    [zlib.crc32(w.encode()) % B for w in b["word"]],
-                    index=b.index,
-                    dtype="int32",
-                ),
-                "side": "c",
-            }
-        )
-
-    def join_score(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.loc[g["side"] == "c", ["word", "tf"]].rename(columns={"tf": "df"})
-        t = g[g["side"] == "t"]
-        if t.empty:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype="int64"),
-                    "term": pd.Series(dtype=str),
-                    "tf": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="int64"),
-                    "doc_bucket": pd.Series(dtype="int32"),
-                }
-            )
-        m = t.merge(c, on="word")
-        idf = (n_docs * 1000) // m["df"].astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": m["doc_id"].astype("int64"),
-                "term": m["word"].astype(str),
-                "tf": m["tf"].astype("int64"),
-                "score": (m["tf"] * idf).astype("int64"),
-                "doc_bucket": (m["doc_id"] % 1024).astype("int32"),
-            }
-        )
+    # scale path: tf rows meet the df table through the shared
+    # partitioned hash join (one shuffle, vectorized per-bucket
+    # merge — see joins.cogroup_join), then the top-k cut runs in
+    # doc-hash groups
+    from mlscraper_ray.functions.joins import cogroup_join
 
     total_rows = tf_rows.count()
-    scored = (
-        coalesce_blocks(
-            tf_rows.map_batches(tag_tf, batch_format="pandas").union(
-                df_tbl.map_batches(tag_df, batch_format="pandas")
-            ),
-            total_rows,
+    joined = cogroup_join(tf_rows, df_tbl, "word", approx_rows=total_rows)
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].astype("int64")
+        idf = (n_docs * 1000) // df["df"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "term": df["word"].astype(str),
+                "tf": tf,
+                "score": (tf * idf).astype("int64"),
+                "doc_bucket": (df["doc_id"].astype("int64") % 1024).astype("int32"),
+            }
         )
-        .groupby("bucket")
-        .map_groups(join_score, batch_format="pandas")
-    )
+
+    scored = joined.map_batches(score_rows, batch_format="pandas")
     return (
         coalesce_blocks(scored, total_rows)
         .groupby("doc_bucket")

@@ -1017,6 +1017,8 @@ def pq_fit(
     integer partials for every subspace at once. Subspace problems are
     independent, so this equals m separate ``kmeans_int_fit(dims=...)``
     runs bit for bit while scanning the dataset m times less."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
     init = _quantize(_read_vectors_by_id(sf_dir, init_ids))
@@ -1081,7 +1083,12 @@ def embed_pq_codes(
     pass against the broadcast codebook stack. All arithmetic is the
     shifted-fixed-point integer discipline, so training AND encoding
     hash-match the chained-CTE oracle (embed_pq_codes_sql) end to end.
+    ``dim`` must divide evenly into ``m`` subspaces — a silent
+    remainder would drop trailing dimensions from both training and
+    the error sum.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     codebooks = pq_fit(sf_dir, m=m, n_clusters=n_clusters, n_iters=n_iters, dim=dim)
     cb_ref = ray.put(codebooks)
@@ -1119,6 +1126,8 @@ def embed_pq_codes_sql(
     vector — elementwise quantization commutes with slicing), the full
     per-subspace Lloyd chain, and a final per-subspace assignment
     joined into one row per vector."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     parts = [_kmeans_header_sql(n_clusters)]
     for s in range(m):

@@ -15,8 +15,13 @@ Canonical form (documented contract, each rule unit-tested):
   - query params with a ``utm_``-prefixed key dropped (tracking);
   - remaining query params sorted by (key, value), duplicates kept;
   - trailing slashes stripped from the path.
-Percent-encoding is preserved as-is (no decode/re-encode round trip —
-equivalence under encoding is a policy choice left to callers).
+Percent-encoding in the PATH is preserved as-is; query pairs go
+through a parse_qsl/urlencode round trip, so equivalent query escape
+spellings NORMALIZE (e.g. ``%20`` and ``+`` both canonicalize to
+``+``) — the right behavior for a dedup key, documented because it
+differs from byte-preservation. An authority whose port fails to
+parse falls back to the lowercased raw netloc instead of raising
+(a malformed frontier URL must not kill the batch).
 
 The testdata tables carry no URL column, so the oracled query
 synthesizes a DETERMINISTIC dirty-URL table from ``documents`` (five
@@ -44,13 +49,19 @@ def canonicalize_url(url: str) -> str:
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
-    netloc = host
-    if parts.username is not None:
-        cred = parts.username + (f":{parts.password}" if parts.password is not None else "")
-        netloc = f"{cred}@{netloc}"
-    if port is not None and _DEFAULT_PORTS.get(scheme) != str(port):
-        netloc = f"{netloc}:{port}"
+    if ":" in host:  # IPv6 literal: urlsplit strips the brackets
+        host = f"[{host}]"
+    try:
+        port = parts.port
+    except ValueError:  # malformed port: keep the authority verbatim
+        netloc = parts.netloc.lower()
+    else:
+        netloc = host
+        if parts.username is not None:
+            cred = parts.username + (f":{parts.password}" if parts.password is not None else "")
+            netloc = f"{cred}@{netloc}"
+        if port is not None and _DEFAULT_PORTS.get(scheme) != str(port):
+            netloc = f"{netloc}:{port}"
     path = parts.path.rstrip("/")
     q = [
         (k, v)

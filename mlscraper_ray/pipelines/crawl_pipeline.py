@@ -192,6 +192,36 @@ CRAWL_COUNTER_NAMES = (
 )
 
 
+def _plain_crawl_artifacts(sf_dir: str) -> str:
+    """``out_dir`` of a COMPLETED plain crawl under the standard
+    config, REUSING crawl_order_query's output when the recorded
+    manifest config matches — the metrics queries only read the run's
+    artifacts, and re-crawling for each of them cost ~3x the crawl
+    per registry pass. Any config mismatch (e.g. the bench's
+    128-token runs share the directory) falls through to a fresh
+    run."""
+    import json as _json
+
+    from mlscraper_ray.frontier.crawler import RayCrawler, _ckpt_dir
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan)
+    out_dir = os.path.join(DATA_ROOT, f"crawl_sf{sf}")
+    if os.path.exists(os.path.join(out_dir, "metrics.json")):
+        k = RayCrawler.latest_complete_round(out_dir)
+        if k is not None:
+            try:
+                with open(os.path.join(_ckpt_dir(out_dir, k), "MANIFEST.json")) as f:
+                    if _json.load(f)["config"] == cfg.to_dict():
+                        return out_dir
+            except (OSError, KeyError, ValueError):
+                pass
+    out_dir, _, _ = run_crawl(sf_dir)
+    return out_dir
+
+
 def crawl_metrics_query(sf_dir: str) -> pa.Table:
     """Per-round crawl metrics off the crawl's own output partitions:
     (round, n_fetched, n_hosts, max_depth) — the lineage/metrics leg
@@ -202,7 +232,7 @@ def crawl_metrics_query(sf_dir: str) -> pa.Table:
 
     from mlscraper_ray.frontier.crawler import crawl_order_dataset
 
-    out_dir, _, _ = run_crawl(sf_dir)
+    out_dir = _plain_crawl_artifacts(sf_dir)
 
     def per_round(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -235,7 +265,7 @@ def crawl_counter_totals_query(sf_dir: str) -> pa.Table:
     depth drop decision matches one-for-one."""
     import json as _json
 
-    out_dir, stats, _ = run_crawl(sf_dir)
+    out_dir = _plain_crawl_artifacts(sf_dir)
     with open(os.path.join(out_dir, "metrics.json")) as f:
         recorded = _json.load(f)["counters"]
     totals = {name: int(recorded.get(name, 0)) for name in CRAWL_COUNTER_NAMES}

@@ -287,6 +287,31 @@ class TestTieredCrawl:
         assert back.host_tiers == cfg.host_tiers
         assert back.tier_budgets == cfg.tier_budgets
 
+    def test_salt_threshold_per_host_under_tiers(self):
+        """The salting floor clamps below each host's OWN tier budget
+        — a torso/tail host that saturates its smaller budget must
+        still trigger (regression: a single max_budget()-1 floor made
+        salting unreachable for every non-head tier)."""
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.shard import salt_threshold
+
+        cfg = CrawlConfig(
+            tokens_per_round=128,
+            salt_min_rows=256,
+            host_tiers={"head.host": 0, "tail.host": 2},
+            tier_budgets=[256, 128, 16],
+        )
+        fair = 1
+        # torso host saturating its 128 budget exceeds its 127 floor
+        assert salt_threshold(cfg, "torso.host", fair) == 127
+        assert salt_threshold(cfg, "head.host", fair) == 255
+        assert salt_threshold(cfg, "tail.host", fair) == 15
+        # uniform config unchanged
+        uni = CrawlConfig(tokens_per_round=128, salt_min_rows=256)
+        assert salt_threshold(uni, "any.host", fair) == 127
+        # fair share still dominates when larger
+        assert salt_threshold(cfg, "tail.host", 40) == 40
+
     def test_tiered_crawl_matches_oracle_and_budgets(
         self, ray_session, small_corpus, learned_plan, tmp_path_factory
     ):

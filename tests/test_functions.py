@@ -269,6 +269,31 @@ class TestNearDupCrafted:
         # idempotent on already-canonical forms
         for u in ["https://example.com/a?a=1&b=2", "http://h.io/x"]:
             assert c(c(u)) == c(u)
+        # IPv6 literals keep their brackets (and the default port rule)
+        assert c("https://[::1]:8080/a") == "https://[::1]:8080/a"
+        assert c("https://[2001:DB8::1]:443/a") == "https://[2001:db8::1]/a"
+        # malformed port: lowercased raw authority, never an exception
+        assert c("http://Host:abc/x") == "http://host:abc/x"
+        # query escapes NORMALIZE through the parse/encode round trip
+        assert c("https://example.com/a?q=hello%20world") == "https://example.com/a?q=hello+world"
+
+    def test_quality_classifier_custom_bucket_count(self, ray_session):
+        """n_buckets != the module default must hash into the sized
+        weight table (regression: buckets were computed mod the
+        constant, crashing for smaller tables)."""
+        from mlscraper_ray.functions.classifier import QualityClassifierStage
+
+        stage = QualityClassifierStage(n_buckets=64)
+        out = stage(
+            pd.DataFrame({"doc_id": [1], "text": ["many different words here now"]})
+        )
+        assert len(out) == 1 and int(out["n_tokens"].iloc[0]) == 5
+
+    def test_pq_rejects_indivisible_subspaces(self):
+        from mlscraper_ray.functions.similarity import embed_pq_codes_sql
+
+        with pytest.raises(ValueError, match="not divisible"):
+            embed_pq_codes_sql(m=3, dim=64)
 
     def test_tfidf_paths_bit_identical(self, ray_session):
         """broadcast_limit=0 forces the bucketed join-back + doc-group
