@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tier-budgeted crawl: per-host fetch budgets by authority
         # tier (the north-star host-budget priority leg)
         "crawl_order_tiered": crawl_pipeline.crawl_order_tiered_query,
+        # tiers composed with the recrawl/TTL policy (freshness crawl)
+        "crawl_order_tiered_recrawl": crawl_pipeline.crawl_order_tiered_recrawl_query,
         # lineage/metrics leg: per-round metrics off the crawl's own
         # output partitions + final shard-counter totals from the
         # checkpoint manifest, both pinned by the oracle crawler
@@ -502,6 +504,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01),
+        "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.01),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),

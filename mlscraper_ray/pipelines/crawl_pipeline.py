@@ -192,6 +192,30 @@ CRAWL_COUNTER_NAMES = (
 )
 
 
+def crawl_order_tiered_recrawl_query(sf_dir: str) -> pa.Table:
+    """Tier budgets COMPOSED with the recrawl/TTL policy (cuckoo seen
+    set, eviction after 3 rounds): high-authority hosts get both more
+    tokens per round AND proportionally more re-fetch slots when their
+    urls expire — the realistic freshness-crawl shape. Value-pinned by
+    the oracle crawler under the same composed config (the eviction
+    ring and the tier admission interact only at the per-host token
+    pop, which both engines share via budget_for)."""
+    from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan, tokens_per_round=8, max_rounds=10)
+    cfg.recrawl_after_rounds = 3
+    cfg.host_tiers = tiers_from_counts(host_page_counts_distributed(corpus_dir))
+    cfg.tier_budgets = tier_budgets_for(8)
+    out_dir = os.path.join(DATA_ROOT, f"tiered_recrawl_sf{sf}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    RayCrawler(corpus_dir, out_dir, cfg).run()
+    return crawl_order(out_dir)
+
+
 def _plain_crawl_artifacts(sf_dir: str) -> str:
     """``out_dir`` of a COMPLETED plain crawl under the standard
     config, REUSING crawl_order_query's output when the recorded

@@ -224,16 +224,22 @@ def _host_page_counts_local(corpus_dir: str) -> dict:
     return dict(c)
 
 
-def crawl_order_tiered_truth_sql(sf: float) -> str:
+def crawl_order_tiered_truth_sql(sf: float, recrawl: bool = False) -> str:
     """(rank, round, depth, host, url) from the single-process oracle
     crawler under the SAME tier-budget config as
-    ``crawl_order_tiered_query`` — host tiers recomputed here from a
-    local corpus scan, budgets from the shared TIER_BUDGETS policy."""
+    ``crawl_order_tiered_query`` (``recrawl=True`` composes the TTL
+    policy like ``crawl_order_tiered_recrawl_query``) — host tiers
+    recomputed here from a local corpus scan, budgets from the shared
+    tier_budgets_for policy."""
     from mlscraper_ray.frontier import oracle as oracle_mod
     from mlscraper_ray.pipelines import crawl_pipeline as cp
 
     corpus_dir, spec = cp.corpus_for_sf(sf)
-    cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    if recrawl:
+        cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=10)
+        cfg.recrawl_after_rounds = 3
+    else:
+        cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
     cfg.host_tiers = cp.tiers_from_counts(_host_page_counts_local(corpus_dir))
     cfg.tier_budgets = cp.tier_budgets_for(8)
     key = hashlib.md5(
@@ -254,7 +260,9 @@ def crawl_order_tiered_truth_sql(sf: float) -> str:
             + ' ORDER BY "rank"'
         )
 
-    return _cached(corpus_dir, "tiered_order", key, build)
+    return _cached(
+        corpus_dir, "tiered_recrawl_order" if recrawl else "tiered_order", key, build
+    )
 
 
 def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> str:

@@ -287,6 +287,47 @@ class TestTieredCrawl:
         assert back.host_tiers == cfg.host_tiers
         assert back.tier_budgets == cfg.tier_budgets
 
+    def test_tiered_resume_identical(
+        self, ray_session, small_corpus, learned_plan, tmp_path_factory
+    ):
+        """The tier policy rides the checkpoint manifest: a run
+        truncated after round 1 and resumed must reproduce the full
+        tiered crawl byte for byte."""
+        from mlscraper_ray.frontier.config import CrawlConfig
+        from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+        from mlscraper_ray.pipelines.crawl_pipeline import tiers_from_counts
+        from mlscraper_ray.pipelines.truth_oracles import _host_page_counts_local
+
+        corpus, spec = small_corpus
+        cfg = CrawlConfig(
+            n_shards=4,
+            n_buckets=spec.n_buckets,
+            tokens_per_round=2,
+            max_rounds=20,
+            max_depth=24,
+            plan=learned_plan,
+            host_tiers=tiers_from_counts(_host_page_counts_local(corpus)),
+            tier_budgets=[4, 2, 1],
+        )
+        full_out = str(tmp_path_factory.mktemp("tier_full"))
+        RayCrawler(corpus, full_out, cfg).run()
+        full_order = crawl_order(full_out).to_pylist()
+
+        part_out = str(tmp_path_factory.mktemp("tier_part"))
+        shutil.copytree(full_out, part_out, dirs_exist_ok=True)
+        for rd in glob.glob(f"{part_out}/rounds/round=*") + glob.glob(
+            f"{part_out}/checkpoint/round=*"
+        ):
+            if int(rd.rsplit("=", 1)[1]) > 1:
+                shutil.rmtree(rd)
+
+        crawler, next_round = RayCrawler.resume(corpus, part_out)
+        assert next_round == 2
+        assert crawler.cfg.host_tiers == cfg.host_tiers  # policy restored
+        assert crawler.cfg.tier_budgets == cfg.tier_budgets
+        crawler.run(start_round=next_round)
+        assert crawl_order(part_out).to_pylist() == full_order
+
     def test_salt_threshold_per_host_under_tiers(self):
         """The salting floor clamps below each host's OWN tier budget
         — a torso/tail host that saturates its smaller budget must

@@ -102,7 +102,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_profile", "wet_curate"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_profile", "wet_curate"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -119,6 +119,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.001),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.001, recrawl=True),
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.001),
+        "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.001, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.001),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.001),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.001),
