@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # main-content extraction (densest-block boilerplate removal;
         # generator-TEMPLATE truth pins parser text + density choice)
         "extract_main_content": content.extract_main_content,
+        # DOM-template clustering: preorder structure fingerprint per
+        # page, one cluster per template (the learn-one-scraper-per-
+        # cluster amortization unit)
+        "page_template_clusters": _template_clusters,
         # FUSED single-parse page profile: main-content facts + token/
         # lang stats + distinct link count in one per-record map
         "page_profile": content.page_profile,
@@ -323,6 +327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "learn_plan": crawl_pipeline.learn_plan_query,
         "learn_plan_parallel": crawl_pipeline.learn_plan_parallel_query,
     }
+
+
+def _template_clusters(sf_dir: str):
+    from mlscraper_ray.functions.templates import page_template_clusters
+
+    return page_template_clusters(sf_dir)
 
 
 def _warc_roundtrip(sf_dir: str):
@@ -510,6 +520,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
+        "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.01),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.01),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),

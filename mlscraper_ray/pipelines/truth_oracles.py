@@ -205,6 +205,54 @@ def crawl_counter_totals_truth_sql(sf: float) -> str:
     return _cached(corpus_dir, "crawl_counters", key, build)
 
 
+def template_truth_sql(sf: float) -> str:
+    """(tpl_hash, n_pages, sample_url) template clusters recomputed
+    from the generator's synthesis-time structure: each rendered page
+    has the FIXED preorder skeleton header/content/entries/links/
+    footer parameterized only by its entry and link counts, so the
+    expected token sequence (and its md5) derives from
+    page_entries/page_links WITHOUT touching the engine's DOM parser —
+    the constant table pins preorder traversal + class extraction."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import templates as templates_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (json.dumps(spec.__dict__, sort_keys=True, default=list)
+         + _source_digest(corpusgen, templates_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        clusters: dict = defaultdict(lambda: {"n": 0, "min_url": None})
+        for h in range(spec.n_hosts):
+            for i in range(spec.n_pages(h)):
+                n_e = len(corpusgen.page_entries(spec, h, i))
+                n_l = len(corpusgen.page_links(spec, h, i))
+                toks = ["html", "head", "title", "body", "div.header", "h1", "div.content"]
+                toks += ["div.entry", "span.votes", "div.who", "a", "span.when", "p.body"] * n_e
+                toks += ["ul.links"] + ["li", "a"] * n_l
+                toks += ["div.footer", "p"]
+                tpl = hashlib.md5(" ".join(toks).encode()).hexdigest()
+                c = clusters[tpl]
+                c["n"] += 1
+                url = spec.page_url(h, i)
+                if c["min_url"] is None or url < c["min_url"]:
+                    c["min_url"] = url
+        rows = [
+            (tpl, clusters[tpl]["n"], clusters[tpl]["min_url"])
+            for tpl in sorted(clusters)
+        ]
+        return (
+            values_sql(rows, ["tpl_hash", "n_pages", "sample_url"])
+            + ' ORDER BY "tpl_hash"'
+        )
+
+    return _cached(corpus_dir, "templates", key, build)
+
+
 def _host_page_counts_local(corpus_dir: str) -> dict:
     """Single-process per-host page counts straight off the corpus
     parquet — the INDEPENDENT twin of the pipeline's distributed

@@ -102,7 +102,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_profile", "wet_curate"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -128,6 +128,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
+        "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.001),
     }
     result = entry_mod.queries()[name](SF_DIR)
@@ -220,6 +221,26 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_structure_fingerprint_semantics(self):
+        """Same structure + different text -> same fingerprint;
+        class or nesting change -> different fingerprint."""
+        from mlscraper_ray.functions.templates import (
+            structure_fingerprint_tokens,
+            structure_tokens,
+        )
+        from mlscraper_ray.htmlcore.dom import parse_html
+
+        def fp(html):
+            return structure_fingerprint_tokens(structure_tokens(parse_html(html)))
+
+        a = fp('<html><body><div class="x"><p>hello</p></div></body></html>')
+        b = fp('<html><body><div class="x"><p>совсем other words</p></div></body></html>')
+        c = fp('<html><body><div class="y"><p>hello</p></div></body></html>')
+        d = fp('<html><body><div class="x"><p>hello</p><p>x</p></div></body></html>')
+        assert a == b           # text-invariant
+        assert a != c           # class-sensitive
+        assert a != d           # structure-sensitive
 
     def test_pq_fused_fit_equals_separate_fits(self, ray_session):
         """One-pass-per-iteration multi-subspace training must equal m
