@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-level authority roll-up (domain-reputation signal:
         # page counts, integer rank mass, distinct in/out host degree)
         "host_rank": pagerank.host_rank,
+        # link reciprocity per host (mutual-citation / link-farm
+        # signal over the distinct cross-host pair table)
+        "host_reciprocity": pagerank.host_reciprocity,
         # URL canonicalization + canonical-form dedup (real stdlib
         # parser; deterministic dirty-URL synthesis, expected-value
         # oracle per spelling)
@@ -525,6 +528,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.01),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
+        "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

@@ -139,6 +139,7 @@ def run_bench() -> dict:
         "link_hits",
         "link_stats",
         "host_rank",
+        "host_reciprocity",
         "extract_main_content",
         "page_template_clusters",
         "page_profile",

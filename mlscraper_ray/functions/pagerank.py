@@ -621,6 +621,80 @@ def page_rank_to_parquet(
     return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
+def _distinct_host_pairs(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """DISTINCT cross-host (sh, dh) directed pairs from a url-level
+    edge Dataset: local pre-dedup per batch, global dedup via the
+    coarse-bucket aggregate (host-pair cardinality ≤ hosts², far
+    below edge count). Shared by the host roll-up and the
+    reciprocity metric."""
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sh = [url_host(s) for s in df["src"]]
+        dh = [url_host(d) for d in df["dst"]]
+        p = pd.DataFrame({"sh": sh, "dh": dh})
+        p = p[p["sh"] != p["dh"]].drop_duplicates()  # local pre-dedup
+        return p
+
+    return bucketed_aggregate(
+        edges.map_batches(host_pairs, batch_format="pandas"),
+        ["sh", "dh"],
+        {"one": ("sh", "count")},
+    )
+
+
+def host_reciprocity_ds(edges: ray.data.Dataset, n_hosts_hint: int | None = None) -> ray.data.Dataset:
+    """Per-host link reciprocity — the link-farm / mutual-citation
+    signal: of the distinct OTHER hosts a host links to, what
+    fraction link back. Fold the distinct directed pair table onto
+    UNORDERED (lo, hi) keys (one bucketed aggregate summing each
+    direction's presence), then emit per-host (out, reciprocal)
+    contributions from each unordered row and sum by host — every
+    stage is slim host-string rows through the coarse-bucket
+    aggregate, nothing driver-sized."""
+
+    def unordered(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["sh", "dh"]].min(axis=1)
+        hi = df[["sh", "dh"]].max(axis=1)
+        fwd = (df["sh"] == lo).astype("int64")  # direction lo -> hi
+        return pd.DataFrame(
+            {"lo": lo, "hi": hi, "fwd": fwd, "rev": (1 - fwd).astype("int64")}
+        )
+
+    both = bucketed_aggregate(
+        _distinct_host_pairs(edges).map_batches(unordered, batch_format="pandas"),
+        ["lo", "hi"],
+        {"fwd": ("fwd", "sum"), "rev": ("rev", "sum")},
+    )
+
+    def per_host(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df["fwd"].astype("int64").clip(upper=1)
+        rev = df["rev"].astype("int64").clip(upper=1)
+        recip = (fwd & rev).astype("int64")
+        a = pd.DataFrame({"host": df["lo"], "out_hosts": fwd, "recip_hosts": recip})
+        b = pd.DataFrame({"host": df["hi"], "out_hosts": rev, "recip_hosts": recip})
+        out = pd.concat([a, b], ignore_index=True)
+        return out[out["out_hosts"] > 0]
+
+    return bucketed_aggregate(
+        both.map_batches(per_host, batch_format="pandas"),
+        ["host"],
+        {"out_hosts": ("out_hosts", "sum"), "recip_hosts": ("recip_hosts", "sum")},
+    )
+
+
+def host_reciprocity(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
+    """Driver-table wrapper: (host, out_hosts, recip_hosts,
+    recip_pct) sorted by host, integer percent."""
+    _, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    out = host_reciprocity_ds(edges).to_pandas()
+    out = out.astype({"out_hosts": "int64", "recip_hosts": "int64"})
+    out["recip_pct"] = (100 * out["recip_hosts"]) // out["out_hosts"]
+    out = out.sort_values("host", ignore_index=True)
+    cols = ["host", "out_hosts", "recip_hosts", "recip_pct"]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
 def host_rank_ds(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -671,20 +745,9 @@ def host_rank_ds(
             }
         )
 
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sh = [url_host(s) for s in df["src"]]
-        dh = [url_host(d) for d in df["dst"]]
-        p = pd.DataFrame({"sh": sh, "dh": dh})
-        p = p[p["sh"] != p["dh"]].drop_duplicates()  # local pre-dedup
-        return p
-
     # materialized: the pair table feeds BOTH degree sides below (an
     # unmaterialized Dataset would re-execute the whole dedup twice)
-    pairs = bucketed_aggregate(
-        edges.map_batches(host_pairs, batch_format="pandas"),
-        ["sh", "dh"],
-        {"one": ("sh", "count")},
-    ).materialize()
+    pairs = _distinct_host_pairs(edges).materialize()
 
     def in_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -205,6 +205,54 @@ def crawl_counter_totals_truth_sql(sf: float) -> str:
     return _cached(corpus_dir, "crawl_counters", key, build)
 
 
+def host_reciprocity_truth_sql(sf: float) -> str:
+    """(host, out_hosts, recip_hosts, recip_pct) recomputed from the
+    generator's link records: distinct cross-host directed pairs over
+    EXISTING-page edges, reciprocity by set lookup — independent of
+    the distributed pair-fold path. Hosts with zero distinct
+    cross-host out-neighbors are absent (mirroring the engine)."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("recip" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        pair_set = set()
+        for h in range(spec.n_hosts):
+            sh = spec.host(h)
+            for i in range(spec.n_pages(h)):
+                for t in corpusgen.page_links(spec, h, i):
+                    if t in urlset:
+                        dh = corpusgen.url_host(t)
+                        if dh != sh:
+                            pair_set.add((sh, dh))
+        outs: dict = defaultdict(set)
+        for sh, dh in pair_set:
+            outs[sh].add(dh)
+        rows = []
+        for host in sorted(outs):
+            out_n = len(outs[host])
+            recip = sum(1 for dh in outs[host] if (dh, host) in pair_set)
+            rows.append((host, out_n, recip, (100 * recip) // out_n))
+        return (
+            values_sql(rows, ["host", "out_hosts", "recip_hosts", "recip_pct"])
+            + ' ORDER BY "host"'
+        )
+
+    return _cached(corpus_dir, "host_recip", key, build)
+
+
 def template_truth_sql(sf: float) -> str:
     """(tpl_hash, n_pages, sample_url) template clusters recomputed
     from the generator's synthesis-time structure: each rendered page

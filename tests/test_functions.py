@@ -102,7 +102,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -126,6 +126,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.001),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.001),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.001),
+        "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),

@@ -347,6 +347,46 @@ def test_distributed_matches_reference_on_random_graphs(ray_session, seed):
     assert got == want
 
 
+class TestHostReciprocity:
+    def test_crafted_asymmetric_graph(self, ray_session):
+        """a<->b reciprocal, a->c one-way, c has no outlinks (absent);
+        duplicate url-level edges collapse to one host pair; intra-host
+        edges ignored. (The synthetic corpus graph is vertex-transitive
+        — every host reads the same pct — so this is the per-host
+        non-vacuity pin.)"""
+        import ray.data
+
+        from mlscraper_ray.functions.pagerank import host_reciprocity_ds
+
+        e = pd.DataFrame(
+            {
+                "src": [
+                    "http://a.x/1", "http://a.x/2",  # a->b twice (dedups)
+                    "http://b.x/1",                   # b->a
+                    "http://a.x/1",                   # a->c one-way
+                    "http://a.x/1",                   # intra-host, ignored
+                ],
+                "dst": [
+                    "http://b.x/1", "http://b.x/2",
+                    "http://a.x/9",
+                    "http://c.x/1",
+                    "http://a.x/2",
+                ],
+            }
+        )
+        out = (
+            host_reciprocity_ds(ray.data.from_pandas(e))
+            .to_pandas()
+            .set_index("host")
+            .astype("int64")
+        )
+        assert out.loc["a.x", "out_hosts"] == 2      # b and c
+        assert out.loc["a.x", "recip_hosts"] == 1    # only b
+        assert out.loc["b.x", "out_hosts"] == 1
+        assert out.loc["b.x", "recip_hosts"] == 1
+        assert "c.x" not in out.index                # no outlinks
+
+
 class TestHITS:
     def test_distributed_matches_reference_loop(self, ray_session):
         from mlscraper_ray.functions.hits import hits_ds, hits_reference
