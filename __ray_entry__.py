@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact HyperLogLog sketch (registers AND estimate
         # reproduced bit-for-bit by the SQL oracle)
         "source_distinct_hll": textstats.source_distinct_tokens_hll,
+        # count-min frequency sketch (the HLL's point-frequency
+        # sibling; integer counters, sketch + probe estimates
+        # bit-identical to SQL)
+        "source_token_cms": textstats.source_token_cms,
         "doc_quality": textstats.quality_scores,
         # model-inference stage shape: hashed-linear quality scorer,
         # weights built once per actor, integer-exact vs SQL
@@ -446,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
+        "source_token_cms": textstats.SOURCE_TOKEN_CMS_SQL,
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_quality_classifier": _quality_classifier_sql(),
         "doc_gopher_rules": textstats.GOPHER_RULES_SQL,

@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "source_token_totals",
         "source_token_quota",
         "source_distinct_hll",
+        "source_token_cms",
         "doc_bpe_token_stats",
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",

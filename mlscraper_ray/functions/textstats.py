@@ -1341,3 +1341,177 @@ ORDER BY a.doc_id
 
 
 GOPHER_RULES_SQL = gopher_rules_sql()
+
+
+# -- count-min sketch ----------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+
+
+def source_token_cms(sf_dir: str, n_probe: int = 5) -> pa.Table:
+    """Per-source token-FREQUENCY sketch — the count-min sketch
+    (Cormode & Muthukrishnan 2005), the mergeable point-frequency
+    primitive next to the HLL cardinality sketch: counters are
+    integer sums, so partial sketches from every batch merge
+    associatively and the WHOLE sketch is reproduced bit-for-bit by
+    the SQL oracle. hash_j(token) = md5_number_lower(str(j)+':'+token)
+    % 256 over 4 rows; estimate = min over rows (always >= truth).
+
+    The sketch path ships at most sources x 4 x 256 counter rows per
+    batch regardless of vocabulary size — that bounded shuffle is the
+    point at 100 TB. The output probes the sketch at the corpus's
+    ``n_probe`` most frequent tokens (exact top-k, ties lex) and
+    reports (source, word, est, true_cnt); the exact column exists
+    for VERIFICATION and demo — a production consumer keeps only the
+    sketch."""
+    import hashlib as _hl
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def sketch_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        counters: dict[tuple[str, int, int], int] = {}
+        hcache: dict[str, tuple[int, ...]] = {}
+        for src, text in zip(batch["source"].astype(str), batch["text"]):
+            for tok in text.split():
+                cols = hcache.get(tok)
+                if cols is None:
+                    cols = tuple(
+                        int.from_bytes(
+                            _hl.md5(f"{j}:{tok}".encode()).digest()[8:], "little"
+                        )
+                        % _CMS_W
+                        for j in range(_CMS_D)
+                    )
+                    hcache[tok] = cols
+                for j, col in enumerate(cols):
+                    k = (src, j, col)
+                    counters[k] = counters.get(k, 0) + 1
+        items = sorted(counters.items())
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k, _ in items],
+                "j": pd.Series([k[1] for k, _ in items], dtype="int64"),
+                "col": pd.Series([k[2] for k, _ in items], dtype="int64"),
+                "v": pd.Series([v for _, v in items], dtype="int64"),
+            }
+        )
+
+    sketch = bucketed_aggregate(
+        ds.map_batches(sketch_partials, batch_format="pandas"),
+        ["source", "j", "col"],
+        {"v": ("v", "sum")},
+    ).to_pandas()  # bounded: sources x 4 x 256 rows
+
+    # probe set: exact global top-k tokens (partial top-k per block of
+    # the word-count table -> tiny driver merge, the source_top_terms
+    # shape) + per-(source, probe) exact counts for the truth column
+    wc = bucketed_aggregate(
+        ds.map_batches(lambda b: _local_word_counts(b["text"]), batch_format="pandas"),
+        ["word"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"], ascending=[False, True]).head(n_probe)
+
+    cand = wc.map_batches(block_topk, batch_format="pandas").to_pandas()
+    probe = list(
+        cand.sort_values(["cnt", "word"], ascending=[False, True]).head(n_probe)["word"]
+    )
+    probe_set = set(probe)
+
+    def exact_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for src, text in zip(batch["source"].astype(str), batch["text"]):
+            for tok in text.split():
+                if tok in probe_set:
+                    rows[(src, tok)] = rows.get((src, tok), 0) + 1
+        items = sorted(rows.items())
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k, _ in items],
+                "word": [k[1] for k, _ in items],
+                "true_cnt": pd.Series([v for _, v in items], dtype="int64"),
+            }
+        )
+
+    exact = bucketed_aggregate(
+        ds.map_batches(exact_partial, batch_format="pandas"),
+        ["source", "word"],
+        {"true_cnt": ("true_cnt", "sum")},
+    ).to_pandas()
+    exact_map = {(s, w): int(c) for s, w, c in zip(exact["source"], exact["word"], exact["true_cnt"])}
+
+    sk_map = {(s, int(j), int(c)): int(v) for s, j, c, v in zip(sketch["source"], sketch["j"], sketch["col"], sketch["v"])}
+    sources = sorted(set(sketch["source"]))
+    out_s, out_w, out_e, out_t = [], [], [], []
+    for src in sources:
+        for w in sorted(probe):
+            cols = [
+                int.from_bytes(_hl.md5(f"{j}:{w}".encode()).digest()[8:], "little") % _CMS_W
+                for j in range(_CMS_D)
+            ]
+            est = min(sk_map.get((src, j, c), 0) for j, c in enumerate(cols))
+            out_s.append(src)
+            out_w.append(w)
+            out_e.append(est)
+            out_t.append(exact_map.get((src, w), 0))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "word": pa.array(out_w, pa.string()),
+            "est": pa.array(out_e, pa.int64()),
+            "true_cnt": pa.array(out_t, pa.int64()),
+        }
+    )
+
+
+def source_token_cms_sql(n_probe: int = 5) -> str:
+    return f"""
+WITH words AS (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM words GROUP BY token),
+probe AS (
+    SELECT token FROM cnt
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= {n_probe}
+),
+rows_ AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j),
+sk AS (
+    SELECT source, j,
+           CAST(md5_number_lower(CAST(j AS VARCHAR) || ':' || token) % {_CMS_W} AS BIGINT) AS col,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM words CROSS JOIN rows_
+    GROUP BY 1, 2, 3
+),
+srcs AS (SELECT DISTINCT source FROM documents WHERE trim(text) <> ''),
+grid AS (
+    SELECT s.source, p.token AS word, r.j,
+           CAST(md5_number_lower(CAST(r.j AS VARCHAR) || ':' || p.token) % {_CMS_W} AS BIGINT) AS col
+    FROM srcs s CROSS JOIN probe p CROSS JOIN rows_ r
+),
+mins AS (
+    SELECT grid.source, grid.word,
+           CAST(MIN(COALESCE(sk.v, 0)) AS BIGINT) AS est
+    FROM grid LEFT JOIN sk
+      ON sk.source = grid.source AND sk.j = grid.j AND sk.col = grid.col
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT source, token AS word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM words WHERE token IN (SELECT token FROM probe)
+    GROUP BY 1, 2
+)
+SELECT m.source, m.word, m.est, COALESCE(ex.true_cnt, 0) AS true_cnt
+FROM mins m LEFT JOIN ex ON ex.source = m.source AND ex.word = m.word
+ORDER BY m.source, m.word
+"""
+
+
+SOURCE_TOKEN_CMS_SQL = source_token_cms_sql()

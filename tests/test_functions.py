@@ -56,6 +56,7 @@ def _oracle_names():
         "source_token_totals",
         "source_token_quota",
         "source_distinct_hll",
+        "source_token_cms",
         "doc_quality",
         "doc_quality_classifier",
         "doc_gopher_rules",
@@ -222,6 +223,29 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_cms_overcounts_but_never_undercounts(self, ray_session, tmp_path):
+        """A 3000-word vocabulary over 4x256 counters forces
+        collisions: estimates must stay >= truth everywhere and
+        actually exceed it somewhere (the testdata corpus is too small
+        to collide, so this is the sketch-property pin)."""
+        from mlscraper_ray.functions.textstats import source_token_cms
+
+        words = " ".join(f"w{i:04d}" for i in range(3000))
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([words, "hot " * 50], pa.string()),
+                "source": pa.array(["s0", "s0"], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = source_token_cms(str(tmp_path)).to_pandas()
+        assert (out["est"] >= out["true_cnt"]).all()
+        hot = out[out["word"] == "hot"]
+        assert len(hot) == 1 and int(hot["true_cnt"].iloc[0]) == 50
+        # collisions must inflate at least one probe estimate
+        assert (out["est"] > out["true_cnt"]).any()
 
     def test_structure_fingerprint_semantics(self):
         """Same structure + different text -> same fingerprint;
