@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical top-k search: integer fixed-point BM25, one
         # tokenize pass + per-batch partial top-k, no shuffle
         "text_search_bm25": search.bm25_topk,
+        # serving path: persisted term-sharded inverted index (build
+        # resumable + cached), query reads ONLY the probed shards
+        "text_search_bm25_indexed": search.bm25_indexed_topk,
         "ann_cosine_topk": similarity.cosine_topk,
         # batched serving shape: one broadcast query MATRIX, one
         # matmul per batch for all queries
@@ -463,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _curate_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
         "text_search_bm25": search.bm25_topk_sql(),
+        "text_search_bm25_indexed": search.bm25_indexed_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "corpus_split",
         "url_canonical_dedup",
         "text_search_bm25",
+        "text_search_bm25_indexed",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",

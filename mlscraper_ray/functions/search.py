@@ -24,6 +24,7 @@ No shuffle anywhere — the only all-to-all a search needs is none.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -171,3 +172,230 @@ FROM normed
 ORDER BY score_m DESC, doc_id
 LIMIT {k}
 """
+
+
+# -- persisted inverted index --------------------------------------------
+
+
+def bm25_index_to_parquet(
+    sf_dir: str, out_dir: str, n_shards: int = 16, window: int = 4
+) -> dict:
+    """Build a PERSISTED term-sharded inverted index: postings rows
+    (term, doc_id, tf, n_tokens — doc length denormalized onto the
+    posting, the classic serving trick) partitioned by crc32(term)
+    into the repo's resumable marker-last shard layout, each shard's
+    parquet SORTED by (term, doc_id) so a term probe row-group-prunes.
+    Corpus stats land in ``_meta.json`` (written last, after every
+    shard committed). One tokenize pass feeds a materialized slim
+    postings dataset; shards then filter+write concurrently."""
+    import json
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if all_shards_done(out_dir, n_shards) and os.path.exists(meta_path):
+        return {"written": 0, "skipped": n_shards}
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_d, rows_tf, rows_n, rows_s = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = re.findall(_TOKEN_RE, (text or "").lower())
+            n = len(toks)
+            cnt: dict[str, int] = {}
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+            for t, tf in cnt.items():
+                rows_t.append(t)
+                rows_d.append(doc_id)
+                rows_tf.append(tf)
+                rows_n.append(n)
+                rows_s.append(zlib.crc32(t.encode()) % n_shards)
+        return pd.DataFrame(
+            {
+                "term": pd.Series(rows_t, dtype=str),
+                "doc_id": pd.Series(rows_d, dtype="int64"),
+                "tf": pd.Series(rows_tf, dtype="int64"),
+                "n_tokens": pd.Series(rows_n, dtype="int64"),
+                "shard": pd.Series(rows_s, dtype="int32"),
+            }
+        )
+
+    slim = ds.map_batches(postings, batch_format="pandas").materialize()
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        docs = batch.drop_duplicates("doc_id")
+        return pd.DataFrame(
+            {
+                "n_docs": pd.Series([len(docs)], dtype="int64"),
+                "total_tokens": pd.Series([int(docs["n_tokens"].sum())], dtype="int64"),
+            }
+        )
+
+    # per-batch doc rows are intact (a doc's postings come from one
+    # input row), so distinct-doc stats fold from batch partials; docs
+    # with ZERO tokens carry no postings — count them separately so
+    # n_docs/total match the full-scan scorer exactly
+    st = slim.map_batches(stats_partial, batch_format="pandas").to_pandas().sum()
+    n_empty = int(
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"e": pd.Series([int((b["text"].fillna("").str.strip() == "").sum())], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).sum("e")
+        or 0
+    )
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        import pyarrow.compute as pc
+
+        # arrow-side filter: zero-copy, and empty slices keep their
+        # schema (the pandas path also trips Ray's object-column size
+        # estimator on empty batches)
+        part = slim.map_batches(
+            lambda t, s=s: t.filter(pc.equal(t["shard"], s)).drop_columns(["shard"]),
+            batch_format="pyarrow",
+        )
+        sp = part.to_pandas()
+        schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("doc_id", pa.int64()),
+                ("tf", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        )
+        if len(sp) == 0:
+            # empty-Dataset to_pandas() drops columns (repo-known
+            # hazard) — write a TYPED empty shard instead
+            tbl = schema.empty_table()
+        else:
+            sp = sp.sort_values(["term", "doc_id"], ignore_index=True)
+            tbl = pa.Table.from_pandas(sp, preserve_index=False).cast(schema)
+        os.makedirs(dest, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(dest, "postings.parquet"), row_group_size=4096)
+
+    res = run_resumable_shards(out_dir, n_shards, window, write_shard)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "n_docs": int(st["n_docs"]) + n_empty,
+                "total_tokens": int(st["total_tokens"]),
+                "n_shards": n_shards,
+            },
+            f,
+        )
+    os.replace(meta_path + ".tmp", meta_path)
+    return res
+
+
+def bm25_query_index(
+    index_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 10
+) -> pa.Table:
+    """Serve a keyword query FROM THE PERSISTED INDEX: read only the
+    shards the probed terms hash to (<= m of n_shards directories),
+    with the term filter pushed into the parquet scan (shards are
+    term-sorted, so row groups prune). Scoring is the same integer
+    BM25; only documents MATCHING at least one term are ranked (the
+    standard serving semantics — the full-scan :func:`bm25_topk` also
+    ranks zero-score docs, which an inverted index by design never
+    materializes). df comes exact from the probed postings; N and
+    total token count from the index metadata."""
+    import json
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    n_docs, total = meta["n_docs"], max(1, meta["total_tokens"])
+    shard_ids = sorted({zlib.crc32(t.encode()) % meta["n_shards"] for t in terms})
+    paths = [
+        os.path.join(index_dir, f"shard={s:04d}", "postings.parquet") for s in shard_ids
+    ]
+    post = ray.data.read_parquet(
+        paths,
+        columns=["term", "doc_id", "tf", "n_tokens"],
+        filter=pc.field("term").isin(list(terms)),
+    ).materialize()
+
+    # df per probed term: tiny (<= m rows) distributed aggregate
+    dfp = (
+        post.map_batches(
+            lambda b: b.groupby("term", sort=False).size().rename("d").reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("term")["d"]
+        .sum()
+        .to_dict()
+    )
+    df_map = {t: int(dfp.get(t, 0)) for t in terms}
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        len_d = batch["n_tokens"].to_numpy(dtype=np.int64)
+        tf = batch["tf"].to_numpy(dtype=np.int64)
+        norm_m = 250 + (750 * len_d * n_docs) // total
+        idf = np.array([(n_docs * 1000) // df_map[t] for t in batch["term"]], dtype=np.int64)
+        sat = (tf * 2_200_000_000) // (tf * 1_000_000 + 1200 * norm_m)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "c": ((idf * sat) // 1000).astype("int64"),
+                "n_tokens": batch["n_tokens"].astype("int64"),
+            }
+        )
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    scored = bucketed_aggregate(
+        post.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"],
+        {"score_m": ("c", "sum"), "n_tokens": ("n_tokens", "max")},
+    )
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["doc_id"].to_numpy(), -df["score_m"].to_numpy()))[:k]
+        return df.iloc[order]
+
+    parts = scored.map_batches(topk_part, batch_format="pandas").to_pandas()
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["score_m"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True)[["doc_id", "score_m", "n_tokens"]].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bm25_indexed_topk(
+    sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 10
+) -> pa.Table:
+    """Registry entry: build (or reuse — the sink is resumable and
+    cached) the persisted index for this corpus tier, then serve the
+    default query from it."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data"),
+        f"bm25_index_{sf_tag}",
+    )
+    bm25_index_to_parquet(sf_dir, index_dir)
+    return bm25_query_index(index_dir, terms, k)
+
+
+def bm25_indexed_topk_sql(terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 10) -> str:
+    """Oracle = the full-scan BM25 SQL restricted to MATCHING docs
+    (score > 0 — an inverted index never materializes non-matches)."""
+    base = bm25_topk_sql(terms, k)
+    return base.replace(
+        "FROM normed\nORDER BY",
+        "FROM normed\nWHERE "
+        + " + ".join(f"tf_{i}" for i in range(len(terms)))
+        + " > 0\nORDER BY",
+    )

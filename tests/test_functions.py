@@ -73,6 +73,7 @@ def _oracle_names():
         "neardup_clusters",
         "corpus_dedup_canonical",
         "text_search_bm25",
+        "text_search_bm25_indexed",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
@@ -223,6 +224,28 @@ class TestNearDupCrafted:
         small = pd.DataFrame({"bucket": [1] * 5, "doc_id": range(5)})
         exact = _emit_pairs_by_key(small, "bucket", max_group_docs=1024)
         assert len(exact) == 10  # 5 choose 2, untouched
+
+    def test_bm25_index_agrees_with_full_scan_and_resumes(self, ray_session, tmp_path):
+        """The persisted-index query must equal the full-scan ranking
+        restricted to matching docs (an index never materializes
+        non-matches), and a rebuilt-over index skips all shards."""
+        from mlscraper_ray.functions.search import (
+            bm25_index_to_parquet,
+            bm25_query_index,
+            bm25_topk,
+        )
+
+        index_dir = str(tmp_path / "bm25_index")
+        r1 = bm25_index_to_parquet(SF_DIR, index_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        got = bm25_query_index(index_dir).to_pandas()
+
+        full = bm25_topk(SF_DIR, k=10).to_pandas()
+        want = full[full["score_m"] > 0].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.head(len(want)), want)
+
+        r2 = bm25_index_to_parquet(SF_DIR, index_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
 
     def test_cms_overcounts_but_never_undercounts(self, ray_session, tmp_path):
         """A 3000-word vocabulary over 4x256 counters forces
