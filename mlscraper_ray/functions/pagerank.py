@@ -330,8 +330,31 @@ def pagerank_ds(
     return ranks.map_batches(lambda df: df[["node", "rank"]], batch_format="pandas")
 
 
+def _graph_cache_dir(corpus_dir: str) -> str:
+    """Cache key digests the corpus SPEC plus every source module the
+    graph's content depends on (parse, link extraction, this builder)
+    — a regenerated corpus or a builder change invalidates it."""
+    import hashlib
+
+    from mlscraper_ray.htmlcore import dom as dom_mod
+    from mlscraper_ray.stages import crawl_stages as stages_mod
+
+    h = hashlib.md5()
+    spec_path = os.path.join(corpus_dir, "_SPEC.json")
+    if os.path.exists(spec_path):
+        with open(spec_path, "rb") as f:
+            h.update(f.read())
+    for mod in (dom_mod, stages_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return os.path.join(corpus_dir, f"_linkgraph_{h.hexdigest()[:10]}")
+
+
 def corpus_link_graph(
-    sf_dir: str, broadcast_limit: int = 2_000_000, with_anchors: bool = False
+    sf_dir: str,
+    broadcast_limit: int = 2_000_000,
+    with_anchors: bool = False,
+    use_cache: bool = True,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(nodes, edges) of the crawled-corpus page graph — the single
     graph builder behind :func:`page_rank`, :func:`corpus_link_stats`
@@ -345,12 +368,28 @@ def corpus_link_graph(
     is then a pure streaming map_batches, zero shuffle rounds; above
     the cap the edges meet the node list in crc32(dst) buckets
     (nothing driver-sized), with the union coalesced first (see
-    :func:`~mlscraper_ray.functions.bucketed.coalesce_blocks`)."""
+    :func:`~mlscraper_ray.functions.bucketed.coalesce_blocks`).
+
+    ``use_cache``: the built graph is written once as parquet under
+    the corpus scratch dir (marker-committed, keyed by corpus spec +
+    builder source digest) — five registry pipelines consume this
+    graph, and each re-parsing the whole corpus was the dominant
+    redundant cost of a registry pass. Downstream consumers are
+    order-independent aggregates, so serving the cached row set is
+    exact."""
     from mlscraper_ray.htmlcore.dom import parse_html
     from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
     from mlscraper_ray.stages.crawl_stages import extract_links, extract_links_anchors
 
     corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
+
+    cache = _graph_cache_dir(corpus_dir)
+    tag = "edges_anchors" if with_anchors else "edges"
+    npath, epath = os.path.join(cache, "nodes"), os.path.join(cache, tag)
+    marker = os.path.join(cache, f"_SUCCESS_{tag}")
+    if use_cache and os.path.exists(marker):
+        return ray.data.read_parquet(npath), ray.data.read_parquet(epath)
+
     pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
 
     def page_nodes(t: pa.Table) -> pa.Table:
@@ -393,7 +432,10 @@ def corpus_link_graph(
             mask = pa.array([d in known for d in t["dst"].to_pylist()])
             return t.filter(mask)
 
-        return nodes, raw.map_batches(filt, batch_format="pyarrow")
+        edges_out = raw.map_batches(filt, batch_format="pyarrow")
+        if not use_cache:
+            return nodes, edges_out
+        return _write_graph_cache(nodes, edges_out, cache, npath, epath, marker)
 
     # scale path: edges meet the node list in crc32(dst) buckets
     B = adaptive_n_buckets(n_nodes)
@@ -429,7 +471,51 @@ def corpus_link_graph(
         .groupby("bucket")
         .map_groups(keep_existing, batch_format="pandas")
     )
-    return nodes, edges
+    if not use_cache:
+        return nodes, edges
+    return _write_graph_cache(nodes, edges, cache, npath, epath, marker)
+
+
+def _write_graph_cache(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    cache: str,
+    npath: str,
+    epath: str,
+    marker: str,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Commit the built graph as parquet (tmp dir + rename + marker
+    LAST, the repo's sink protocol) and return read-back Datasets so
+    every later consumer in the process — and every later registry
+    query — skips the corpus parse. A lost rename race just means the
+    other writer's identical output is served."""
+    import shutil
+
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    _pin_fsspec_http_stub()
+    os.makedirs(cache, exist_ok=True)
+
+    def commit(ds: ray.data.Dataset, dest: str) -> bool:
+        if os.path.exists(dest):
+            return True
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        if not os.listdir(tmp):  # empty dataset: nothing cacheable
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        try:
+            os.replace(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        return True
+
+    if not (commit(nodes, npath) and commit(edges, epath)):
+        return nodes, edges
+    with open(marker, "w") as f:
+        f.write("")
+    return ray.data.read_parquet(npath), ray.data.read_parquet(epath)
 
 
 def page_rank(

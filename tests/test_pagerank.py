@@ -347,6 +347,24 @@ def test_distributed_matches_reference_on_random_graphs(ray_session, seed):
     assert got == want
 
 
+class TestGraphCache:
+    def test_cached_graph_equals_fresh_build(self, ray_session):
+        """The parquet-cached link graph must serve the same node and
+        edge SETS as a fresh parse (order-free compare — every
+        consumer is an order-independent aggregate)."""
+        from mlscraper_ray.functions.pagerank import corpus_link_graph
+
+        n1, e1 = corpus_link_graph(SF_DIR, use_cache=False)
+        n2, e2 = corpus_link_graph(SF_DIR)  # cached (built by earlier tests or now)
+        nodes1 = sorted(n1.to_pandas()["node"])
+        nodes2 = sorted(n2.to_pandas()["node"])
+        assert nodes1 == nodes2
+        ed1 = e1.to_pandas().sort_values(["src", "dst"], ignore_index=True)
+        ed2 = e2.to_pandas().sort_values(["src", "dst"], ignore_index=True)
+        pd.testing.assert_frame_equal(ed1, ed2[ed1.columns.tolist()])
+        assert len(ed1) > 0
+
+
 class TestHostReciprocity:
     def test_crafted_asymmetric_graph(self, ray_session):
         """a<->b reciprocal, a->c one-way, c has no outlinks (absent);
