@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # output partitions + final shard-counter totals from the
         # checkpoint manifest, both pinned by the oracle crawler
         "crawl_metrics": crawl_pipeline.crawl_metrics_query,
+        # per-host robots report (real parser applied to every page
+        # path, pinned against the generator's synthesis-time policy)
+        "robots_stats": crawl_pipeline.robots_stats_query,
         "crawl_counter_totals": crawl_pipeline.crawl_counter_totals_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "extract_from_warc": crawl_pipeline.extract_from_warc_query,
@@ -528,6 +531,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01),
         "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.01),
+        "robots_stats": lambda: truth_oracles.robots_stats_truth_sql(0.01),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),

@@ -140,6 +140,7 @@ def run_bench() -> dict:
         "link_stats",
         "host_rank",
         "host_reciprocity",
+        "robots_stats",
         "extract_main_content",
         "page_template_clusters",
         "page_profile",

@@ -192,6 +192,82 @@ CRAWL_COUNTER_NAMES = (
 )
 
 
+def robots_stats_query(sf_dir: str) -> pa.Table:
+    """Per-host robots report over the corpus: (host, n_rules,
+    n_pages, n_blocked) — rules parsed from each host's robots.txt
+    row with the REAL crawler parser (frontier/robots.py) and applied
+    to every corpus page path, so the parser's semantics are
+    value-pinned against the generator's synthesis-time policy
+    (truth_oracles.robots_stats_truth_sql) independent of crawl
+    behavior. Robots bodies are a bounded per-host policy table
+    (pulled once, parsed once, broadcast); the page scan is one
+    streaming pass folding per-host (pages, blocked) partials through
+    the coarse-bucket aggregate."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mlscraper_ray.frontier.robots import RobotsRules
+    from mlscraper_ray.frontier.shard import url_path
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.sources.corpusgen import url_host
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, _spec = corpus_for_sf(sf)
+    pages = ray.data.read_parquet(
+        os.path.join(corpus_dir, "pages"), columns=["url", "text"]
+    )
+
+    # robots rows: one per host — the bounded policy table (pull is
+    # O(#hosts), the same class as the tier map)
+    rb = pages.map_batches(
+        lambda t: t.filter(pc.ends_with(t["url"], pattern="/robots.txt")).select(
+            ["url", "text"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    rules = {
+        url_host(u): RobotsRules.parse(body)
+        for u, body in zip(rb["url"], rb["text"])
+    }
+    rules_ref = ray.put(rules)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        r = cached_object(rules_ref)
+        hosts, pages_c, blocked_c = {}, {}, {}
+        for u in batch["url"]:
+            if u.endswith("/robots.txt"):
+                continue
+            h = url_host(u)
+            pages_c[h] = pages_c.get(h, 0) + 1
+            rl = r.get(h)
+            if rl is not None and not rl.allowed(url_path(u)):
+                blocked_c[h] = blocked_c.get(h, 0) + 1
+        ks = sorted(pages_c)
+        return pd.DataFrame(
+            {
+                "host": pd.Series(ks, dtype=str),
+                "n_pages": pd.Series([pages_c[k] for k in ks], dtype="int64"),
+                "n_blocked": pd.Series([blocked_c.get(k, 0) for k in ks], dtype="int64"),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        pages.map_batches(partials, batch_format="pandas"),
+        ["host"],
+        {"n_pages": ("n_pages", "sum"), "n_blocked": ("n_blocked", "sum")},
+    ).to_pandas()
+    agg["n_rules"] = [
+        len(rules[h].disallow_prefixes) if h in rules else 0 for h in agg["host"]
+    ]
+    agg = agg.astype({"n_pages": "int64", "n_blocked": "int64", "n_rules": "int64"})
+    agg = agg[["host", "n_rules", "n_pages", "n_blocked"]].sort_values(
+        "host", ignore_index=True
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def crawl_order_tiered_recrawl_query(sf_dir: str) -> pa.Table:
     """Tier budgets COMPOSED with the recrawl/TTL policy (cuckoo seen
     set, eviction after 3 rounds): high-authority hosts get both more

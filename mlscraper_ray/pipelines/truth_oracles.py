@@ -205,6 +205,39 @@ def crawl_counter_totals_truth_sql(sf: float) -> str:
     return _cached(corpus_dir, "crawl_counters", key, build)
 
 
+def robots_stats_truth_sql(sf: float) -> str:
+    """(host, n_rules, n_pages, n_blocked) straight from the
+    generator's synthesis-time policy: every 5th host disallows
+    /private/, every 7th page (i > 0) is private — no robots parsing
+    anywhere on this side, so the engine's RobotsRules.parse +
+    allowed() semantics are what the hash pins."""
+    from mlscraper_ray.frontier import robots as robots_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("robots" + _source_digest(corpusgen, robots_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        rows = []
+        for h in range(spec.n_hosts):
+            n = spec.n_pages(h)
+            private = sum(
+                1 for i in range(n) if i % spec.private_every == 0 and i > 0
+            )
+            dis = spec.host_disallows_private(h)
+            rows.append((spec.host(h), 1 if dis else 0, n, private if dis else 0))
+        rows.sort()
+        return (
+            values_sql(rows, ["host", "n_rules", "n_pages", "n_blocked"])
+            + ' ORDER BY "host"'
+        )
+
+    return _cached(corpus_dir, "robots_stats", key, build)
+
+
 def host_reciprocity_truth_sql(sf: float) -> str:
     """(host, out_hosts, recip_hosts, recip_pct) recomputed from the
     generator's link records: distinct cross-host directed pairs over
