@@ -318,6 +318,48 @@ class TestNearDupCrafted:
         assert (out["dist2"] > 0).mean() > 0.9
         assert (out["dist2"] >= 0).all()
 
+    def test_canonicalize_url_properties(self):
+        """Property sweep over generated URLs: canonicalization is
+        IDEMPOTENT, and insensitive to scheme/host case, fragments,
+        utm params, query order and trailing slashes."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mlscraper_ray.functions.urls import canonicalize_url as c
+
+        label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=6)
+        qpair = st.tuples(label, label)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            host=st.lists(label, min_size=1, max_size=3).map(".".join),
+            path=st.lists(label, min_size=0, max_size=3).map(lambda ps: "/" + "/".join(ps) if ps else ""),
+            q=st.lists(qpair, min_size=0, max_size=4),
+            scheme=st.sampled_from(["http", "https"]),
+            trail=st.booleans(),
+            frag=st.booleans(),
+        )
+        def check(host, path, q, scheme, trail, frag):
+            qs = "&".join(f"{k}={v}" for k, v in q)
+            base = f"{scheme}://{host}{path}"
+            url = base + ("/" if trail else "") + (f"?{qs}" if qs else "") + ("#frag" if frag else "")
+            canon = c(url)
+            assert c(canon) == canon  # idempotent
+            # case-folded spelling canonicalizes identically
+            assert c(url.replace(f"{scheme}://{host}", f"{scheme.upper()}://{host.upper()}", 1)) == canon
+            # utm noise and query order are invisible
+            noisy = base + (f"?utm_x=1&{qs}" if qs else "?utm_x=1")
+            plain = base + (f"?{qs}" if qs else "")
+            assert c(noisy) == c(plain)
+            import random
+
+            shuffled = list(q)
+            random.Random(0).shuffle(shuffled)
+            qs2 = "&".join(f"{k}={v}" for k, v in shuffled)
+            assert c(base + (f"?{qs2}" if qs2 else "")) == c(plain)
+
+        check()
+
     def test_canonicalize_url_rules(self):
         """One assertion per documented canonicalization rule."""
         from mlscraper_ray.functions.urls import canonicalize_url as c
