@@ -424,9 +424,18 @@ def decontaminate_to_parquet(
                 }
             )
         df = df.copy()
+        # crc32 like every other resumable sink — hash_pandas_object
+        # is stable only within one pandas version, so a resume after
+        # an upgrade could re-shard survivors away from already-
+        # committed shards (duplicating or dropping rows)
+        import zlib
+
         df["shard"] = (
-            pd.util.hash_pandas_object(df["doc_id"].astype("int64"), index=False) % n_shards
-        ).astype("int64")
+            df["doc_id"]
+            .astype("int64")
+            .map(lambda d: zlib.crc32(str(d).encode()) % n_shards)
+            .astype("int64")
+        )
         return df
 
     slim = survivors.map_batches(add_shard, batch_format="pandas").materialize()

@@ -52,6 +52,19 @@ def bucket_of(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     return pa.array([zlib.crc32(str(v).encode()) % n_buckets for v in vals], pa.int64())
 
 
+def _salted_bucket(kb: np.ndarray, salt: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Shuffle bucket for the salted cogroup join: ADD the salt to the
+    (already mod-reduced) key bucket. The earlier `kb * n_salt + salt`
+    form collapsed every salt-0 row into n_buckets/gcd(n_salt,
+    n_buckets) buckets (gcd 16 with the 16/64 defaults -> 4 of 64
+    buckets), destroying join parallelism whenever salting was on even
+    with zero hot keys — invisible to result-equality tests because
+    the in-bucket merge is still on the exact key. (kb + salt) keeps
+    non-hot rows uniformly spread and fans each hot key's replicas
+    over n_salt consecutive buckets."""
+    return (kb + salt) % n_buckets
+
+
 def adaptive_n_buckets(
     approx_rows: int | None,
     rows_per_bucket: int = 100_000,
@@ -188,9 +201,9 @@ def cogroup_join(
                         batch = base
                 kb = bucket_of(batch[key], n_buckets)
                 salt_np = batch["__salt"].to_numpy(zero_copy_only=False)
-                bucket = (
-                    kb.to_numpy(zero_copy_only=False) * n_salt + salt_np
-                ) % n_buckets
+                bucket = _salted_bucket(
+                    kb.to_numpy(zero_copy_only=False), salt_np, n_buckets
+                )
                 batch = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
             else:
                 batch = batch.append_column(

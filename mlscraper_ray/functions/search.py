@@ -242,10 +242,19 @@ def bm25_index_to_parquet(
     # with ZERO tokens carry no postings — count them separately so
     # n_docs/total match the full-scan scorer exactly
     st = slim.map_batches(stats_partial, batch_format="pandas").to_pandas().sum()
+    # "empty" must mean ZERO TOKENS under the index's own tokenizer
+    # (_TOKEN_RE is the ASCII class; .str.strip() is unicode) — a doc
+    # of only \v or NBSP strips to "" yet still emits a posting, which
+    # would double-count it in n_docs and skew idf/norm vs bm25_topk
     n_empty = int(
         ds.map_batches(
             lambda b: pd.DataFrame(
-                {"e": pd.Series([int((b["text"].fillna("").str.strip() == "").sum())], dtype="int64")}
+                {
+                    "e": pd.Series(
+                        [int((~b["text"].fillna("").str.contains(_TOKEN_RE, regex=True)).sum())],
+                        dtype="int64",
+                    )
+                }
             ),
             batch_format="pandas",
         ).sum("e")
@@ -329,6 +338,18 @@ def bm25_query_index(
         filter=pc.field("term").isin(list(terms)),
     ).materialize()
 
+    if post.count() == 0:
+        # no probed term exists in the corpus: empty-Dataset
+        # to_pandas() drops columns (repo-documented hazard), so
+        # return a TYPED empty result instead of falling through
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score_m": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+
     # df per probed term: tiny (<= m rows) distributed aggregate
     dfp = (
         post.map_batches(
@@ -374,17 +395,33 @@ def bm25_query_index(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _index_cache_dir(sf_dir: str) -> str:
+    """Cache key digests THIS module's source (tokenizer, scoring,
+    shard layout) plus a fingerprint of the indexed data (documents
+    parquet size+mtime) — mirrors pagerank's ``_graph_cache_dir`` so a
+    code or data change can't silently serve a stale index."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    h.update(f"{docs_path}:{st.st_size}:{st.st_mtime_ns}".encode())
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data"),
+        f"bm25_index_{sf_tag}_{h.hexdigest()[:10]}",
+    )
+
+
 def bm25_indexed_topk(
     sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 10
 ) -> pa.Table:
     """Registry entry: build (or reuse — the sink is resumable and
     cached) the persisted index for this corpus tier, then serve the
     default query from it."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = os.path.join(
-        os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data"),
-        f"bm25_index_{sf_tag}",
-    )
+    index_dir = _index_cache_dir(sf_dir)
     bm25_index_to_parquet(sf_dir, index_dir)
     return bm25_query_index(index_dir, terms, k)
 

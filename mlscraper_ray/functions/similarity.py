@@ -1165,3 +1165,199 @@ FROM asg0{joins}
 ORDER BY vec_id"""
     )
     return "".join(parts)
+
+
+def ivf_pq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 32,
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_pq: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> pa.Table:
+    """IVF+PQ composed serving path (IVFADC shape, Jégou et al., PAMI
+    2011 §IV — non-residual variant so quantization stays elementwise
+    and the whole thing remains integer-exact): a k-means-int coarse
+    quantizer routes the query to ``n_probe`` inverted lists, PQ codes
+    give each probed vector an ASYMMETRIC integer distance via an
+    m × n_pq lookup table built once from the query (one add per
+    subspace instead of a ``dim``-wide multiply — the memory-bound
+    scan the compressed index buys), the global top-``rerank``
+    ADC candidates get an exact integer re-rank, and the final top-k
+    is ordered by (exact dist2, vec_id).
+
+    Scale path: coarse training + PQ training are the existing
+    streaming integer folds; the search itself is ONE streaming pass
+    where each task emits at most ``rerank + 1`` candidate rows (the
+    per-batch partial keeps exactly the global (adc, vec_id)-order
+    prefix, so the driver-side merge is tiny). Everything —
+    both trainings, routing, ADC scan, re-rank — is shifted
+    fixed-point integer arithmetic, reproduced term for term in
+    :func:`ivf_pq_topk_sql`.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    coarse = kmeans_int_fit(sf_dir, n_clusters=n_coarse, n_iters=coarse_iters)
+    codebooks = pq_fit(sf_dir, m=m, n_clusters=n_pq, n_iters=pq_iters, dim=dim)
+    q = _quantize(_load_query_vec(sf_dir, query_vec_id)[None, :])[0]
+    d2c = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(d2c)), d2c))[:n_probe]
+    # ADC lookup table: lut[s, c] = |q_s - codebook[s][c]|^2 — built
+    # ONCE per query on the driver, broadcast with the codebooks
+    lut = np.stack(
+        [_int_dist2(q[None, s * sub : (s + 1) * sub], codebooks[s])[0] for s in range(m)]
+    )
+    state_ref = ray.put((q, coarse, set(probe.tolist()), codebooks, lut))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv, cents, probe_set, cbs, lut_ = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        assign = np.argmin(_int_dist2(x, cents), axis=1)
+        mask = np.isin(assign, list(probe_set))
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc_dist2": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        kept_ids = ids[mask]
+        xk = x[mask]
+        adc = np.zeros(len(kept_ids), dtype=np.int64)
+        for s in range(m):
+            xs = xk[:, s * sub : (s + 1) * sub]
+            code = np.argmin(_int_dist2(xs, cbs[s]), axis=1)
+            adc += lut_[s][code]
+        # partial top-(rerank+1) in EXACT global (adc, vec_id) order
+        # (+1 absorbs the query's own row, filtered on the driver);
+        # lexsort not argpartition — see ivf_trained_topk's tie note
+        keep = min(rerank + 1, len(kept_ids))
+        idx = np.lexsort((kept_ids, adc))[:keep]
+        dq = ((xk[idx] - qv[None, :]) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(kept_ids[idx], pa.int64()),
+                "adc_dist2": pa.array(adc[idx]),
+                "dist2": pa.array(dq.astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    cand = partials.sort_values(["adc_dist2", "vec_id"], ignore_index=True).head(rerank)
+    out = cand.sort_values(["dist2", "vec_id"], ignore_index=True).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def ivf_pq_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 32,
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_pq: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """One-statement DuckDB oracle for the ENTIRE IVF+PQ serving path:
+    the coarse k-means chained-CTE prefix, the m per-subspace PQ Lloyd
+    chains (shared quantized header), probe selection, final coarse
+    assignment, per-subspace code assignment, the ADC lookup-table
+    distance, the global top-``rerank`` ADC cut and the exact integer
+    re-rank — training + routing + compressed scan + re-rank all
+    hash-checked end to end."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    # shared header + coarse Lloyd chain (unsuffixed c{i}f names)
+    parts = _kmeans_int_prefix_parts(n_coarse, coarse_iters, dim)
+    # PQ per-subspace chains (suffixed s{s}), sharing header's q/init_ids
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""",
+qs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM q),
+{_init_cents_sql(f"qs{s}", f"s{s}")}"""
+        )
+        for it in range(pq_iters):
+            parts.append(_lloyd_layer_sql(it, sub, f"qs{s}", f"s{s}"))
+    cf = f"c{coarse_iters}f"
+    d_qc = _int_dist2_sql("qsel.v", f"{cf}.v")
+    d_ac = _int_dist2_sql("q.v", f"{cf}.v")
+    parts.append(
+        f""",
+qsel AS (SELECT v FROM q WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c FROM (
+        SELECT {cf}.c,
+               ROW_NUMBER() OVER (ORDER BY {d_qc}, {cf}.c) AS rn
+        FROM {cf} CROSS JOIN qsel
+    ) WHERE rn <= {n_probe}
+),
+afin AS (
+    SELECT vec_id, c AS cl FROM (
+        SELECT q.vec_id, {cf}.c,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_ac}, {cf}.c) AS rn
+        FROM q CROSS JOIN {cf}
+    ) WHERE rn = 1
+)"""
+    )
+    # per-subspace code assignment + query-side ADC lookup tables
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        pcf = f"c{pq_iters}fs{s}"
+        d_code = _int_dist2_sql(f"qs{s}.v", f"{pcf}.v")
+        d_lut = _int_dist2_sql("qsel.v[{lo}:{hi}]".format(lo=lo, hi=hi), f"{pcf}.v")
+        parts.append(
+            f""",
+asg{s} AS (
+    SELECT vec_id, c FROM (
+        SELECT qs{s}.vec_id, {pcf}.c,
+               ROW_NUMBER() OVER (PARTITION BY qs{s}.vec_id
+                                  ORDER BY {d_code}, {pcf}.c) AS rn
+        FROM qs{s} CROSS JOIN {pcf}
+    ) WHERE rn = 1
+),
+lut{s} AS (
+    SELECT {pcf}.c, {d_lut} AS d2
+    FROM {pcf} CROSS JOIN qsel
+)"""
+        )
+    adc_sum = " + ".join(f"lut{s}.d2" for s in range(m))
+    code_joins = "".join(
+        f"\n    JOIN asg{s} ON q.vec_id = asg{s}.vec_id"
+        f" JOIN lut{s} ON asg{s}.c = lut{s}.c"
+        for s in range(m)
+    )
+    d_exact = _int_dist2_sql("q.v", "qsel.v")
+    parts.append(
+        f""",
+cand AS (
+    SELECT q.vec_id, CAST({adc_sum} AS BIGINT) AS adc_dist2,
+           {d_exact} AS dist2
+    FROM q CROSS JOIN qsel
+    JOIN afin ON q.vec_id = afin.vec_id{code_joins}
+    WHERE afin.cl IN (SELECT c FROM probe) AND q.vec_id != {query_vec_id}
+),
+topc AS (
+    SELECT * FROM cand ORDER BY adc_dist2, vec_id LIMIT {rerank}
+)
+SELECT vec_id, adc_dist2, dist2 FROM topc
+ORDER BY dist2, vec_id
+LIMIT {k}"""
+    )
+    return "".join(parts)

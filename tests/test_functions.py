@@ -78,6 +78,7 @@ def _oracle_names():
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
+        "ann_ivf_pq_topk",
         "embed_kmeans_int",
         "embed_semdedup",
         "embed_pq_codes",
@@ -247,6 +248,12 @@ class TestNearDupCrafted:
 
         r2 = bm25_index_to_parquet(SF_DIR, index_dir, n_shards=8, window=2)
         assert r2 == {"written": 0, "skipped": 8}
+
+        # probing only absent terms must return a TYPED empty result,
+        # not crash on empty-Dataset to_pandas() column loss
+        none = bm25_query_index(index_dir, terms=("zzzz_not_a_word",)).to_pandas()
+        assert len(none) == 0
+        assert sorted(none.columns) == ["doc_id", "n_tokens", "score_m"]
 
     def test_cms_overcounts_but_never_undercounts(self, ray_session, tmp_path):
         """A 3000-word vocabulary over 4x256 counters forces
@@ -1087,6 +1094,25 @@ class TestJoinScaleGuards:
         salted = run(salt_hot_keys=True, hot_key_threshold=200, n_salt=4)
         pd.testing.assert_frame_equal(plain, salted)
         assert (plain["k"] == hot).sum() > n // 3  # the skew is real
+
+    def test_salted_bucket_spread(self):
+        """Result equality can't see parallelism: assert the salted
+        bucket formula keeps non-hot (salt=0) rows spread over ~all
+        buckets even when gcd(n_salt, n_buckets) > 1 (the old
+        `kb * n_salt + salt` form collapsed them into
+        n_buckets/gcd = 4 of 64)."""
+        from mlscraper_ray.functions.joins import _salted_bucket
+
+        n_buckets = 64
+        kb = np.arange(10_000, dtype=np.int64) % n_buckets
+        salt0 = np.zeros_like(kb)
+        spread = len(np.unique(_salted_bucket(kb, salt0, n_buckets)))
+        assert spread == n_buckets
+        # hot-key replicas (same kb, salts 0..n_salt-1) fan out
+        n_salt = 16
+        kb_hot = np.full(n_salt, 7, dtype=np.int64)
+        salts = np.arange(n_salt, dtype=np.int64)
+        assert len(np.unique(_salted_bucket(kb_hot, salts, n_buckets))) == n_salt
 
 
 class TestDecontaminateGuard:
