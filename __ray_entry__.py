@@ -15,11 +15,12 @@ search (chained-CTE oracles), and the crawl/extract/WARC pipelines
 (constant-table oracles rendered from INDEPENDENT ground truth: the
 corpus generator's synthesis-time records and the single-process
 oracle crawler — see pipelines/truth_oracles.py; built for the
-driver's fixed sf=0.01 compare scale). Only learn_plan(/parallel)
-and float k-means remain rows-only by nature (the learned plan has
-no truth source independent of the learner; float folds aren't
-bit-stable cross-engine) — they're pinned by pytest golden literals
-instead.
+driver's fixed sf=0.01 compare scale). The learn_plan(/parallel)
+queries are value-pinned by the generator-truth expected plan
+(corpusgen.expected_plan derives it from the synthesis-time template,
+never from the learner). Only float k-means remains rows-only by
+nature (float folds aren't bit-stable cross-engine) — pinned by
+pytest golden literals instead.
 """
 from __future__ import annotations
 
@@ -542,6 +543,8 @@ def _truth_oracle_entries() -> dict[str, str]:
     builders = {
         "extract_all": lambda: truth_oracles.extract_truth_sql(0.01),
         "extract_from_warc": lambda: truth_oracles.extract_truth_sql(0.01),
+        "learn_plan": lambda: truth_oracles.learn_plan_truth_sql(0.01),
+        "learn_plan_parallel": lambda: truth_oracles.learn_plan_truth_sql(0.01),
         "warc_roundtrip": lambda: truth_oracles.warc_truth_sql(0.01),
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),

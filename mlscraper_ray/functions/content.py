@@ -22,12 +22,7 @@ once.
 """
 from __future__ import annotations
 
-import hashlib
-import os
-
-import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data
 
 
@@ -69,45 +64,33 @@ def page_blocks(doc) -> tuple[list[tuple[str, str, int, int]], list[str]] | None
 
 
 def main_content_ds(sf_dir: str) -> ray.data.Dataset:
-    """Streaming core: one parse pass over the corpus pages
-    (robots.txt rows skipped), each page reduced to its densest
-    top-level body block's summary row. No shuffle at all — the
-    operator is a pure per-record map, the cheapest shape there is."""
-    from mlscraper_ray.htmlcore.dom import parse_html
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    """Streaming core: the densest-block summary per page, served as a
+    pruned column selection from the SHARED per-page facet table
+    (functions/facets.py — one cached parse serves every page-level
+    query). Pages with no body element children carry has_blocks=False
+    sentinels in the facet table and are filtered here, matching the
+    old parse-path's skip rule. Still a pure per-record map + pruned
+    parquet read — no shuffle."""
+    from mlscraper_ray.functions.facets import page_facets_ds
 
-    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
-    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+    facets = page_facets_ds(
+        sf_dir,
+        columns=[
+            "url",
+            "has_blocks",
+            "block_index",
+            "block_tag",
+            "block_class",
+            "text_chars",
+            "text_sha256",
+        ],
+    )
 
-    def extract(t: pa.Table) -> pa.Table:
-        urls, idxs, tags, classes, chars, hashes = [], [], [], [], [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if url.endswith("/robots.txt"):
-                continue
-            doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            got = page_blocks(doc)
-            if got is None:
-                continue
-            blocks, texts = got
-            k = pick_densest_block(blocks)
-            urls.append(url)
-            idxs.append(k)
-            tags.append(blocks[k][0])
-            classes.append(blocks[k][1])
-            chars.append(blocks[k][2])
-            hashes.append(hashlib.sha256(texts[k].encode()).hexdigest())
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "block_index": pa.array(idxs, pa.int64()),
-                "block_tag": pa.array(tags, pa.string()),
-                "block_class": pa.array(classes, pa.string()),
-                "text_chars": pa.array(chars, pa.int64()),
-                "text_sha256": pa.array(hashes, pa.string()),
-            }
-        )
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_blocks"])
+        return t.drop_columns(["has_blocks"])
 
-    return pages.map_batches(extract, batch_format="pyarrow")
+    return facets.map_batches(keep, batch_format="pyarrow")
 
 
 def extract_main_content(sf_dir: str) -> pa.Table:
@@ -118,55 +101,35 @@ def extract_main_content(sf_dir: str) -> pa.Table:
 
 
 def page_profile_ds(sf_dir: str) -> ray.data.Dataset:
-    """FUSED page-feature pass — the production shape the independent
-    page-level queries (main content, WET stats, link counts) would
-    take in one run: a single parse per page yields the densest-block
-    summary, the main-text token count + language vote, and the
-    distinct out-link count together. One per-record map, no shuffle;
-    at sf0.1 this replaces ~3 full corpus parses with one. The truth
-    oracle (pipelines/truth_oracles.page_profile_truth_sql) replays
-    every facet from the generator template + link records."""
-    from mlscraper_ray.functions.textstats import lang_vote
-    from mlscraper_ray.htmlcore.dom import parse_html
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
-    from mlscraper_ray.stages.crawl_stages import extract_links
+    """FUSED page-feature row per page — densest-block summary,
+    main-text token count + language vote, distinct out-link count —
+    served as a pruned column selection from the SHARED per-page facet
+    table (functions/facets.py; the fused single-parse pass now lives
+    THERE and is cached for every page-level query, not just this
+    one). The truth oracle
+    (pipelines/truth_oracles.page_profile_truth_sql) replays every
+    facet from the generator template + link records."""
+    from mlscraper_ray.functions.facets import page_facets_ds
 
-    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
-    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+    facets = page_facets_ds(
+        sf_dir,
+        columns=[
+            "url",
+            "has_blocks",
+            "block_index",
+            "text_chars",
+            "text_sha256",
+            "n_tokens",
+            "lang",
+            "n_links",
+        ],
+    )
 
-    def profile(t: pa.Table) -> pa.Table:
-        urls, idxs, chars, shas, toks, langs, links = [], [], [], [], [], [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if url.endswith("/robots.txt"):
-                continue
-            doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            got = page_blocks(doc)
-            if got is None:
-                continue
-            blocks, texts = got
-            k = pick_densest_block(blocks)
-            text = texts[k]
-            lang, _score = lang_vote(text)
-            urls.append(url)
-            idxs.append(k)
-            chars.append(blocks[k][2])
-            shas.append(hashlib.sha256(text.encode()).hexdigest())
-            toks.append(len(text.split()))
-            langs.append(lang)
-            links.append(len(extract_links(doc, url)))
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "block_index": pa.array(idxs, pa.int64()),
-                "text_chars": pa.array(chars, pa.int64()),
-                "text_sha256": pa.array(shas, pa.string()),
-                "n_tokens": pa.array(toks, pa.int64()),
-                "lang": pa.array(langs, pa.string()),
-                "n_links": pa.array(links, pa.int64()),
-            }
-        )
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_blocks"])
+        return t.drop_columns(["has_blocks"])
 
-    return pages.map_batches(profile, batch_format="pyarrow")
+    return facets.map_batches(keep, batch_format="pyarrow")
 
 
 def page_profile(sf_dir: str) -> pa.Table:

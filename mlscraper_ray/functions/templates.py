@@ -20,9 +20,7 @@ class extraction end to end.
 from __future__ import annotations
 
 import hashlib
-import os
 
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -43,39 +41,21 @@ def structure_fingerprint_tokens(tokens: list[str]) -> str:
     return hashlib.md5(" ".join(tokens).encode()).hexdigest()
 
 
-def page_template_clusters_ds(corpus_dir: str) -> ray.data.Dataset:
-    from mlscraper_ray.htmlcore.dom import parse_html
+def page_template_clusters_ds(sf_dir: str) -> ray.data.Dataset:
+    """Slim (tpl_hash, url) rows come from the SHARED per-page facet
+    table (functions/facets.py — one cached parse serves every
+    page-level query) pruned to two columns; the cluster fold is the
+    same coarse-bucket aggregate."""
+    from mlscraper_ray.functions.facets import page_facets_ds
 
-    pages = ray.data.read_parquet(
-        os.path.join(corpus_dir, "pages"), columns=["url", "html"]
-    )
-
-    def fingerprint(batch: pa.Table) -> pd.DataFrame:
-        urls, hashes = [], []
-        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if url.endswith("/robots.txt"):
-                continue  # content pages only
-            toks = structure_tokens(parse_html(html))
-            urls.append(url)
-            hashes.append(structure_fingerprint_tokens(toks))
-        return pd.DataFrame(
-            {
-                "tpl_hash": pd.Series(hashes, dtype=str),
-                "url": pd.Series(urls, dtype=str),
-            }
-        )
-
-    slim = pages.map_batches(fingerprint, batch_format="pyarrow")
+    slim = page_facets_ds(sf_dir, columns=["tpl_hash", "url"])
     return bucketed_aggregate(
         slim, ["tpl_hash"], {"n_pages": ("url", "count"), "sample_url": ("url", "min")}
     )
 
 
 def page_template_clusters(sf_dir: str) -> pa.Table:
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
-
-    corpus_dir, _ = corpus_for_sf(sf_of_dir(sf_dir))
-    out = page_template_clusters_ds(corpus_dir).to_pandas()
+    out = page_template_clusters_ds(sf_dir).to_pandas()
     out["n_pages"] = out["n_pages"].astype("int64")
     out = out[["tpl_hash", "n_pages", "sample_url"]].sort_values(
         "tpl_hash", ignore_index=True

@@ -23,59 +23,42 @@ oracle pins parsing, extraction, gating and dedup end to end.
 """
 from __future__ import annotations
 
-import hashlib
-import os
-
-import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data
 
 from mlscraper_ray.functions.bucketed import bucketed_aggregate
-from mlscraper_ray.functions.content import page_blocks, pick_densest_block
-from mlscraper_ray.functions.textstats import lang_vote
 
 
 def wet_rows_ds(sf_dir: str, min_tokens: int = 20) -> ray.data.Dataset:
-    """Slim survivor rows (h, url, n_tokens, sha) — extraction, lang
-    gate and length gate fused in one streaming map."""
-    from mlscraper_ray.htmlcore.dom import parse_html
-    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, sf_of_dir
+    """Slim survivor rows (h, url, n_tokens, sha) — extraction and
+    lang tagging come precomputed from the SHARED per-page facet table
+    (functions/facets.py; one cached parse serves every page-level
+    query); the token-count gate stays HERE because ``min_tokens`` is
+    a per-call parameter, not a facet."""
+    import pyarrow.compute as pc
 
-    corpus_dir, _spec = corpus_for_sf(sf_of_dir(sf_dir))
-    pages = ray.data.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+    from mlscraper_ray.functions.facets import page_facets_ds
 
-    def extract_gate(t: pa.Table) -> pa.Table:
-        hs, urls, langs, toks, shas = [], [], [], [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if url.endswith("/robots.txt"):
-                continue
-            doc = parse_html(html if isinstance(html, bytes) else html.encode())
-            got = page_blocks(doc)
-            if got is None:
-                continue
-            blocks, texts = got
-            text = texts[pick_densest_block(blocks)]
-            lang, _score = lang_vote(text)
-            n_tokens = len(text.split())
-            if n_tokens < min_tokens:
-                continue
-            hs.append(hashlib.md5(text.encode()).hexdigest())
-            urls.append(url)
-            langs.append(lang)
-            toks.append(n_tokens)
-            shas.append(hashlib.sha256(text.encode()).hexdigest())
+    facets = page_facets_ds(
+        sf_dir,
+        columns=["has_blocks", "text_md5", "url", "lang", "n_tokens", "text_sha256"],
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(t["has_blocks"], pc.greater_equal(t["n_tokens"], min_tokens))
+        )
         return pa.table(
             {
-                "h": pa.array(hs, pa.string()),
-                "url": pa.array(urls, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-                "n_tokens": pa.array(toks, pa.int64()),
-                "text_sha256": pa.array(shas, pa.string()),
+                "h": t["text_md5"],
+                "url": t["url"],
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"],
+                "text_sha256": t["text_sha256"],
             }
         )
 
-    return pages.map_batches(extract_gate, batch_format="pyarrow")
+    return facets.map_batches(gate, batch_format="pyarrow")
 
 
 def wet_curate_ds(sf_dir: str, min_tokens: int = 20) -> ray.data.Dataset:

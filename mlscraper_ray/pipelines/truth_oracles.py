@@ -90,6 +90,21 @@ def extract_truth_sql(sf: float) -> str:
     return _cached(corpus_dir, "extract", _source_digest(corpusgen), build)
 
 
+def learn_plan_truth_sql(sf: float = 0.01) -> str:
+    """1-row (plan_json) constant table from the GENERATOR's template
+    knowledge (:func:`corpusgen.expected_plan` derives the plan the
+    reference-semantics learner must produce straight from the
+    synthesis-time page structure — it never runs the learner), so
+    both ``learn_plan`` and ``learn_plan_parallel`` get a full value
+    pin instead of the rows-only check. Scale-independent: every sf
+    renders the same template. ``sf`` is accepted for builder-signature
+    symmetry only."""
+    from mlscraper_ray.sources.corpusgen import expected_plan
+
+    plan_json = json.dumps(expected_plan(), sort_keys=True)
+    return f"SELECT {_lit(plan_json)} AS plan_json"
+
+
 def warc_truth_sql(sf: float) -> str:
     """(url, html_sha256, html_bytes) for every corpus page, digested
     from the generator's page bytes — any corruption in the WARC

@@ -204,6 +204,104 @@ def render_page(spec: CorpusSpec, h: int, i: int) -> tuple[str, str]:
     return "".join(html_parts), "".join(text_parts)
 
 
+# the per-entry element template render_page emits, as (tag, class)
+# pairs — the synthesis-time structure expected_plan derives from
+_ENTRY_TEMPLATE: tuple[tuple[str, str | None], ...] = (
+    ("span", "votes"),
+    ("div", "who"),
+    ("a", None),
+    ("span", "when"),
+    ("p", "body"),
+)
+# page-level element inventory (one row per template POSITION; the
+# entry block repeats but is structurally identical, so uniqueness
+# over kinds equals uniqueness over the rendered page)
+_PAGE_TEMPLATE: tuple[tuple[str, str | None], ...] = (
+    ("html", None),
+    ("head", None),
+    ("title", None),
+    ("body", None),
+    ("div", "header"),
+    ("h1", None),
+    ("div", "content"),
+    ("div", "entry"),
+    *_ENTRY_TEMPLATE,
+    ("ul", "links"),
+    ("li", None),
+    ("a", None),  # nav links — a second <a> kind at page level
+    ("div", "footer"),
+    ("p", None),
+)
+# which template element carries each sample key, and how the golden
+# value is embedded there (text content vs an attribute)
+_FIELD_TEMPLATE: dict[str, tuple[tuple[str, str | None], dict]] = {
+    "user": (("a", None), {"kind": "attr", "attr": "href"}),
+    "votes": (("span", "votes"), {"kind": "text"}),
+    "when": (("span", "when"), {"kind": "attr", "attr": "title"}),
+}
+
+
+def _template_selector(
+    target: tuple[str, str | None], inventory: tuple[tuple[str, str | None], ...]
+) -> str:
+    """Shortest-first unique selector for a template element kind —
+    the synthesis-time mirror of the learner's deterministic search:
+    candidates ordered by (len, lex) exactly like
+    learn/selectors.py's ordering upgrade, kept iff they match ONLY
+    the target kind in the inventory (the learner's ordered-equality
+    uniqueness check, reduced to the template's element kinds)."""
+    tag, cls = target
+    cands = sorted(
+        [tag] + ([f".{cls}"] if cls else []), key=lambda s: (len(s), s)
+    )
+    for cand in cands:
+        if cand.startswith("."):
+            hits = [e for e in inventory if e[1] == cand[1:]]
+        else:
+            hits = [e for e in inventory if e[0] == cand]
+        if hits and all(e == target for e in hits):
+            return cand
+    raise AssertionError(f"template has no unique selector for {target}")
+
+
+def expected_plan() -> dict:
+    """The plan the reference-semantics learner MUST produce on this
+    corpus's labeled samples, derived from the SYNTHESIS-TIME template
+    (render_page's structure) — never by running the learner. This is
+    the independent truth source that upgrades the ``learn_plan``
+    queries from rows-only to a full value pin: a behavior change in
+    the match search / selector generation / training orchestration
+    shows up as a plan-JSON mismatch against this constant.
+
+    Derivation: sample values are entry LISTS of {user, votes, when}
+    dicts, so the plan is list(dict(...)). The list selector is the
+    (len, lex)-first selector unique to the entry root among the
+    page-level element kinds; each field's selector is the
+    (len, lex)-first selector unique to its carrier among the ENTRY
+    subtree's kinds (value selectors are rooted at the matched item),
+    with the extractor read straight from how render_page embeds the
+    golden value (text node vs attribute). Spec-independent: every
+    scale renders the same template."""
+    keys = {}
+    for field, (target, extractor) in _FIELD_TEMPLATE.items():
+        keys[field] = {
+            "kind": "value",
+            "selector": {
+                "kind": "css",
+                "rule": _template_selector(target, _ENTRY_TEMPLATE),
+            },
+            "extractor": extractor,
+        }
+    return {
+        "kind": "list",
+        "selector": {
+            "kind": "css",
+            "rule": _template_selector(("div", "entry"), _PAGE_TEMPLATE),
+        },
+        "item": {"kind": "dict", "keys": keys},
+    }
+
+
 def render_robots(spec: CorpusSpec, h: int) -> str:
     if spec.host_disallows_private(h):
         return "User-agent: *\nDisallow: /private/\n"

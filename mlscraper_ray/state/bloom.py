@@ -1,9 +1,14 @@
 """Deterministic, serializable Bloom filter for the URL-seen set.
 
 Design point (north_star): each frontier shard owns one filter sized
-for ``10^10 / P`` keys. At P=1024 shards and 1e-9 FPR that is ~43 bits
-per key -> ~52 GB per shard worst case; real deployments size FPR to
-1e-6..1e-9 per budget. The implementation is a flat numpy bit array
+for ``10^10 / P`` keys. At 1e-9 FPR that is ~43.1 bits per key
+(k = 30 probes), i.e. ~54 GB across the WHOLE fleet — at P=1024
+shards ~53 MB per shard, trivially heap-resident; even P=64 is
+~840 MB/shard. Real deployments size FPR to 1e-6..1e-9 per budget
+(1e-6 is ~28.8 bits/key, ~36 GB fleet-wide). These numbers are
+pinned by ``tests/test_state.py::test_bloom_design_point`` (parameter
+math + measured fill/FPR at a scaled capacity).
+The implementation is a flat numpy bit array
 with k hash probes derived from one blake2b digest (double hashing),
 so membership decisions are identical in every process — which is what
 lets the single-process oracle crawler reproduce the distributed

@@ -105,7 +105,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -135,6 +135,8 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),
         "wet_curate": lambda: truth_oracles.wet_curate_truth_sql(0.001),
+        "learn_plan": lambda: truth_oracles.learn_plan_truth_sql(0.001),
+        "learn_plan_parallel": lambda: truth_oracles.learn_plan_truth_sql(0.001),
     }
     result = entry_mod.queries()[name](SF_DIR)
     c = compare(result, sqls[name](), SF_DIR)
@@ -1113,6 +1115,27 @@ class TestJoinScaleGuards:
         kb_hot = np.full(n_salt, 7, dtype=np.int64)
         salts = np.arange(n_salt, dtype=np.int64)
         assert len(np.unique(_salted_bucket(kb_hot, salts, n_buckets))) == n_salt
+
+
+class TestPageFacets:
+    def test_cached_equals_fresh(self, ray_session):
+        """The committed facet parquet must serve exactly what the
+        fused parse pass computes (same guarantee the link-graph cache
+        gives its five consumers)."""
+        from mlscraper_ray.functions.facets import page_facets_ds
+
+        fresh = (
+            page_facets_ds(SF_DIR, use_cache=False)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+        cached = (
+            page_facets_ds(SF_DIR)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)[fresh.columns]
+        )
+        pd.testing.assert_frame_equal(fresh, cached)
+        assert len(fresh) > 0
 
 
 class TestDecontaminateGuard:

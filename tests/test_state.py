@@ -42,6 +42,48 @@ class TestBloom:
             b.add(f"x{i}")
         assert a.to_bytes() == b.to_bytes()
 
+    def test_bloom_design_point(self):
+        """Pin the north-star seen-set budget MATH (it was previously
+        asserted only in prose): the per-shard filter at the 10^10-URL
+        design point (P=1024 shards, fpr=1e-9) must cost ~43.1
+        bits/key with k=30 probes and ~53 MB of bits per shard — i.e.
+        ~54 GB fleet-wide, heap-resident at any sane P. Then measure
+        the filter AT CAPACITY on a scaled keyset with the identical
+        bits/key + k geometry (parameters depend only on the
+        capacity:fpr ratio, so the scaled filter is the same design):
+        fill fraction must sit at the optimal-k ~50% and a disjoint
+        probe set must show zero false positives (expected count at
+        1e-9 over 2e5 probes is ~2e-4)."""
+        import math
+
+        import numpy as np
+
+        P = 1024
+        shard = BloomFilter(capacity=10**10 // P, fpr=1e-9)
+        bits_per_key = shard.m_bits / (10**10 // P)
+        assert 42.9 < bits_per_key < 43.4, bits_per_key
+        assert shard.k == 30, shard.k
+        shard_mb = shard.m_bits / 8 / 2**20
+        assert 50 < shard_mb < 56, shard_mb  # ~53 MB/shard
+        fleet_gb = shard_mb * P / 1024
+        assert 50 < fleet_gb < 56, fleet_gb  # ~54 GB fleet-wide
+        # serialized checkpoint size == header + exact bit array
+        small = BloomFilter(capacity=1000, fpr=1e-9)
+        assert len(small.to_bytes()) == 24 + small.m_bits // 8
+
+        # measured behavior at capacity, same geometry (43.1 b/key, k=30)
+        cap = 100_000
+        bf = BloomFilter(capacity=cap, fpr=1e-9)
+        assert bf.k == shard.k
+        assert abs(bf.m_bits / cap - bits_per_key) < 0.1
+        for i in range(cap):
+            bf.add(f"http://design.example/p/{i}")
+        fill = sum(int(w).bit_count() for w in bf.bits) / bf.m_bits
+        expect_fill = 1 - math.exp(-bf.k * cap / bf.m_bits)  # ~0.5
+        assert abs(fill - expect_fill) < 0.01, (fill, expect_fill)
+        fps = sum(1 for i in range(200_000) if f"http://other.example/q/{i}" in bf)
+        assert fps == 0, fps
+
 
 class TestCuckoo:
     def test_add_contains_delete(self):
