@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (corpusgen renders the expected plan at synthesis time)
         "learn_plan": crawl_pipeline.learn_plan_query,
         "learn_plan_parallel": crawl_pipeline.learn_plan_parallel_query,
+        # temperature-based source mixing (alpha = 1/2): integer-exact
+        # isqrt weights, seedless md5 keep — rare-source up-weighting
+        "source_temperature_mix": textstats.source_temperature_mix,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -280,12 +283,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
         "source_token_quota": textstats.source_token_quota,
-        # custom temporal operator (no Ray Data primitive): as-of
-        # attribution join (user-hash co-partitioned)
-        "events_asof_join": joins.asof_join_events,
         # relational canary for the window (full Q1 aggregate surface)
         "q1_pricing_summary": aggregates.q1_lineitem,
         # ---- past the 50-entry window: long-green block ----------
+        # custom temporal operator (no Ray Data primitive): as-of
+        # attribution join (user-hash co-partitioned)
+        "events_asof_join": joins.asof_join_events,
         "revenue_by_nation": aggregates.revenue_by_nation,
         "events_by_type": aggregates.events_by_type,
         "top_users_by_value": aggregates.top_users_by_value,
@@ -472,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
+        "source_temperature_mix": textstats.source_temperature_mix_sql(),
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
         "source_token_cms": textstats.SOURCE_TOKEN_CMS_SQL,

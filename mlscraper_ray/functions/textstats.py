@@ -422,6 +422,92 @@ ORDER BY doc_id
 """
 
 
+def _isqrt_exact_sql(t: str, a: str) -> str:
+    """Exact integer sqrt in SQL: ``a`` = FLOOR(SQRT(double(t))) can
+    be off by one near perfect squares (float rounding); subtract 1 if
+    it overshoots, then add 1 if the next integer still fits — exact
+    for any |error| <= 1, which double sqrt guarantees below 2^53."""
+    down = f"({a} - CASE WHEN {a} * {a} > {t} THEN 1 ELSE 0 END)"
+    return f"({down} + CASE WHEN ({down} + 1) * ({down} + 1) <= {t} THEN 1 ELSE 0 END)"
+
+
+def source_temperature_mix(sf_dir: str, target_milli: int = 500) -> pa.Table:
+    """Temperature-based source mixing at alpha = 1/2 (the
+    rare-source up-weighting of Gopher / LLaMA data recipes: expected
+    kept tokens from source s scale as T_s^alpha instead of T_s, so
+    small sources punch above their raw token share). Integer-exact
+    throughout: per-source weight w_s = isqrt(T_s) (``math.isqrt``,
+    mirrored in SQL by a float sqrt plus a +/-1 correction that makes
+    it exact), keep rate rate_milli(s) = min(1000, target_milli *
+    max_s(w) // max(1, w_s)) — the LARGEST source keeps
+    target_milli/1000 of its docs and every smaller source keeps
+    proportionally more — and the per-doc keep predicate is the
+    repo's seedless md5(doc_id) % 1000 draw (rerun- and
+    worker-count-stable).
+
+    Distributed plan: per-source token totals fold from per-batch
+    partials (sources are mixture components, bounded — the
+    source_token_totals shape); the driver computes the tiny rate
+    map and broadcasts it; the keep pass is a pure streaming
+    map_batches. Zero data-sized shuffles."""
+    import hashlib
+    import math
+
+    totals = source_token_totals(sf_dir).to_pandas()
+    w = {s: max(1, math.isqrt(int(t))) for s, t in zip(totals["source"], totals["n_tokens"])}
+    wmax = max(w.values())
+    rates = {s: min(1000, target_milli * wmax // ws) for s, ws in w.items()}
+    rates_ref = ray.put(rates)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        mask, rm = [], []
+        for d, s in zip(ids, srcs):
+            rate = r[s]
+            mask.append(
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little")
+                % 1000
+                < rate
+            )
+            rm.append(rate)
+        t = batch.append_column("rate_milli", pa.array(rm, pa.int64()))
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_temperature_mix_sql(target_milli: int = 500) -> str:
+    isq = _isqrt_exact_sql("t", "a")
+    return f"""
+WITH tot AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS t
+    FROM documents GROUP BY source
+),
+s0 AS (SELECT source, t, CAST(FLOOR(SQRT(CAST(t AS DOUBLE))) AS BIGINT) AS a FROM tot),
+w AS (SELECT source, GREATEST(1, {isq}) AS w FROM s0),
+rates AS (
+    SELECT source,
+           LEAST(1000, {target_milli} * (SELECT MAX(w) FROM w) // w) AS rate_milli
+    FROM w
+)
+SELECT d.doc_id, d.source, r.rate_milli
+FROM documents d JOIN rates r USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000 < r.rate_milli
+ORDER BY d.doc_id
+"""
+
+
 def source_token_quota(sf_dir: str, budget_tokens: int = 1000, n_rank_buckets: int = 64) -> pa.Table:
     """Per-source TOKEN-BUDGET selection — the data-mixing primitive a
     training run uses ("at most N tokens from each source"): keep each

@@ -54,6 +54,7 @@ def _oracle_names():
         "doc_bpe_token_stats",
         "doc_tfidf_top_terms",
         "source_token_totals",
+        "source_temperature_mix",
         "source_token_quota",
         "source_distinct_hll",
         "source_token_cms",
@@ -1115,6 +1116,28 @@ class TestJoinScaleGuards:
         kb_hot = np.full(n_salt, 7, dtype=np.int64)
         salts = np.arange(n_salt, dtype=np.int64)
         assert len(np.unique(_salted_bucket(kb_hot, salts, n_buckets))) == n_salt
+
+
+class TestRegistryWindow:
+    def test_priority_ops_inside_driver_window(self, entry_mod):
+        """The driver's correctness check compares only the FIRST 50
+        keys of queries(); the operators that have never received a
+        driver-side row (plus the round-5 additions) must stay inside
+        that window — an accidental reorder would silently drop them
+        from external verification again."""
+        first50 = list(entry_mod.queries())[:50]
+        must_be_inside = {
+            "embed_semdedup", "embed_pq_codes", "extract_main_content",
+            "page_template_clusters", "page_profile", "wet_curate",
+            "page_rank", "link_hits", "link_stats", "host_rank",
+            "host_reciprocity", "url_canonical_dedup",
+            "crawl_order_tiered", "crawl_order_tiered_recrawl",
+            "crawl_metrics", "robots_stats", "crawl_counter_totals",
+            "ann_ivf_pq_topk", "learn_plan", "learn_plan_parallel",
+            "source_temperature_mix",
+        }
+        missing = must_be_inside - set(first50)
+        assert not missing, missing
 
 
 class TestPageFacets:
