@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-based source mixing (alpha = 1/2): integer-exact
         # isqrt weights, seedless md5 keep — rare-source up-weighting
         "source_temperature_mix": textstats.source_temperature_mix,
+        # true IVFADC: PQ over coarse-cell RESIDUALS, one ADC lookup
+        # table per probed cell, exact re-rank
+        "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -283,9 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
         "source_token_quota": textstats.source_token_quota,
-        # relational canary for the window (full Q1 aggregate surface)
-        "q1_pricing_summary": aggregates.q1_lineitem,
         # ---- past the 50-entry window: long-green block ----------
+        "q1_pricing_summary": aggregates.q1_lineitem,
         # custom temporal operator (no Ray Data primitive): as-of
         # attribution join (user-hash co-partitioned)
         "events_asof_join": joins.asof_join_events,
@@ -469,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
+        "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,

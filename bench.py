@@ -183,6 +183,7 @@ def run_bench() -> dict:
         "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",
         "embed_neardup_pairs",
         "embed_kmeans",
         "embed_kmeans_int",

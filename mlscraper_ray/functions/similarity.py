@@ -1010,30 +1010,47 @@ ORDER BY asg.vec_id"""
 
 
 def pq_fit(
-    sf_dir: str, m: int = 4, n_clusters: int = 8, n_iters: int = 2, dim: int = 64
+    sf_dir: str,
+    m: int = 4,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    residual_of: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Train all m per-subspace codebooks with ONE streaming pass per
     Lloyd iteration: per-batch (subspace, cluster, count, vec_sum)
     integer partials for every subspace at once. Subspace problems are
     independent, so this equals m separate ``kmeans_int_fit(dims=...)``
-    runs bit for bit while scanning the dataset m times less."""
+    runs bit for bit while scanning the dataset m times less.
+
+    ``residual_of``: a coarse centroid matrix (quantized ints) — the
+    codebooks then train over each vector's COARSE-CELL RESIDUAL
+    ``x_q - c_assigned + _KQ_OFFSET`` (shifted positive so floor-div
+    centroid updates stay python/DuckDB-identical), the true IVFADC
+    encoding of Jégou et al. 2011 §IV.B. None keeps the plain
+    whole-vector PQ."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     init_ids = sorted(_md5_sample_ids(sf_dir, "embeddings", "vec_id", n_clusters))
     init = _quantize(_read_vectors_by_id(sf_dir, init_ids))
+    if residual_of is not None:
+        a0 = np.argmin(_int_dist2(init, residual_of), axis=1)
+        init = init - residual_of[a0] + _KQ_OFFSET
     cents = np.stack([init[:, s * sub : (s + 1) * sub] for s in range(m)])  # (m,k,sub)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).materialize()
 
     for _ in range(n_iters):
-        cents_ref = ray.put(cents)
+        cents_ref = ray.put((cents, residual_of))
 
         def partial(batch: pa.Table) -> pa.Table:
-            cb = ray.get(cents_ref)
+            cb, coarse = ray.get(cents_ref)
             ids, mat = _batch_matrix(batch)
             x = _quantize(mat)
+            if coarse is not None:
+                x = x - coarse[np.argmin(_int_dist2(x, coarse), axis=1)] + _KQ_OFFSET
             rows = {"sub": [], "cluster": [], "count": [], "vec_sum": []}
             for s in range(m):
                 xs = x[:, s * sub : (s + 1) * sub]
@@ -1341,6 +1358,216 @@ lut{s} AS (
     code_joins = "".join(
         f"\n    JOIN asg{s} ON q.vec_id = asg{s}.vec_id"
         f" JOIN lut{s} ON asg{s}.c = lut{s}.c"
+        for s in range(m)
+    )
+    d_exact = _int_dist2_sql("q.v", "qsel.v")
+    parts.append(
+        f""",
+cand AS (
+    SELECT q.vec_id, CAST({adc_sum} AS BIGINT) AS adc_dist2,
+           {d_exact} AS dist2
+    FROM q CROSS JOIN qsel
+    JOIN afin ON q.vec_id = afin.vec_id{code_joins}
+    WHERE afin.cl IN (SELECT c FROM probe) AND q.vec_id != {query_vec_id}
+),
+topc AS (
+    SELECT * FROM cand ORDER BY adc_dist2, vec_id LIMIT {rerank}
+)
+SELECT vec_id, adc_dist2, dist2 FROM topc
+ORDER BY dist2, vec_id
+LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+def ivf_pq_residual_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 32,
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_pq: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> pa.Table:
+    """True IVFADC (Jégou et al. 2011 §IV.B, RESIDUAL encoding): the
+    PQ codebooks train over coarse-cell residuals ``x - c(x)`` instead
+    of raw vectors, so codes spend their bits on the within-cell
+    detail the coarse quantizer already removed — the accuracy upgrade
+    over :func:`ivf_pq_topk` at identical storage. The query side
+    builds ONE ADC lookup table PER PROBED CELL (the query residual
+    differs per cell); a probed vector's ADC distance reads the table
+    of its own cell. Re-rank stays exact on the original quantized
+    vectors. Shifted-positive residual arithmetic keeps every
+    floor-division python/DuckDB-identical, so the WHOLE path —
+    coarse training, residual PQ training, routing, per-cell ADC scan,
+    re-rank — is reproduced in :func:`ivf_pq_residual_topk_sql`."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    coarse = kmeans_int_fit(sf_dir, n_clusters=n_coarse, n_iters=coarse_iters)
+    codebooks = pq_fit(
+        sf_dir, m=m, n_clusters=n_pq, n_iters=pq_iters, dim=dim, residual_of=coarse
+    )
+    q = _quantize(_load_query_vec(sf_dir, query_vec_id)[None, :])[0]
+    d2c = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(d2c)), d2c))[:n_probe]
+    # one lut per probed cell: lut[c][s, j] = |(q - coarse_c)_s - cb[s][j]|^2
+    luts = {}
+    for c in probe.tolist():
+        qres = q - coarse[c] + _KQ_OFFSET
+        luts[c] = np.stack(
+            [_int_dist2(qres[None, s * sub : (s + 1) * sub], codebooks[s])[0] for s in range(m)]
+        )
+    state_ref = ray.put((q, coarse, luts, codebooks))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv, cents, luts_, cbs = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        x = _quantize(mat)
+        assign = np.argmin(_int_dist2(x, cents), axis=1)
+        mask = np.isin(assign, list(luts_))
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc_dist2": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        kept_ids = ids[mask]
+        xk = x[mask]
+        cellk = assign[mask]
+        rk = xk - cents[cellk] + _KQ_OFFSET
+        adc = np.zeros(len(kept_ids), dtype=np.int64)
+        for s in range(m):
+            code = np.argmin(_int_dist2(rk[:, s * sub : (s + 1) * sub], cbs[s]), axis=1)
+            # per-cell lut read: vectorized within each probed cell
+            for c, lut in luts_.items():
+                sel = cellk == c
+                if sel.any():
+                    adc[sel] += lut[s][code[sel]]
+        keep = min(rerank + 1, len(kept_ids))
+        idx = np.lexsort((kept_ids, adc))[:keep]
+        dq = ((xk[idx] - qv[None, :]) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(kept_ids[idx], pa.int64()),
+                "adc_dist2": pa.array(adc[idx]),
+                "dist2": pa.array(dq.astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    cand = partials.sort_values(["adc_dist2", "vec_id"], ignore_index=True).head(rerank)
+    out = cand.sort_values(["dist2", "vec_id"], ignore_index=True).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def ivf_pq_residual_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 32,
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_pq: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """One-statement oracle for the residual IVFADC path: coarse
+    chained-CTE training, per-vector residual reconstruction (the
+    correlated-UNNEST elementwise difference — DuckDB lambdas can't
+    capture correlated columns), m residual-sliced PQ Lloyd chains,
+    probe selection, per-probed-cell query residuals + ADC lookup
+    tables, code assignment from each vector's own residual, the
+    global ADC cut and the exact re-rank."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    parts = _kmeans_int_prefix_parts(n_coarse, coarse_iters, dim)
+    cf = f"c{coarse_iters}f"
+    d_ac = _int_dist2_sql("q.v", f"{cf}.v")
+    # final coarse assignment + shifted residual per vector
+    parts.append(
+        f""",
+afin AS (
+    SELECT vec_id, c AS cl FROM (
+        SELECT q.vec_id, {cf}.c,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_ac}, {cf}.c) AS rn
+        FROM q CROSS JOIN {cf}
+    ) WHERE rn = 1
+),
+res AS (
+    SELECT q.vec_id, list(q.v[t.i] - {cf}.v[t.i] + {_KQ_OFFSET} ORDER BY t.i) AS v
+    FROM q JOIN afin ON q.vec_id = afin.vec_id
+         JOIN {cf} ON afin.cl = {cf}.c,
+         UNNEST(generate_series(1, {dim})) AS t(i)
+    GROUP BY q.vec_id
+)"""
+    )
+    # residual PQ chains per subspace
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""",
+rs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM res),
+{_init_cents_sql(f"rs{s}", f"s{s}")}"""
+        )
+        for it in range(pq_iters):
+            parts.append(_lloyd_layer_sql(it, sub, f"rs{s}", f"s{s}"))
+    d_qc = _int_dist2_sql("qsel.v", f"{cf}.v")
+    parts.append(
+        f""",
+qsel AS (SELECT v FROM q WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c FROM (
+        SELECT {cf}.c,
+               ROW_NUMBER() OVER (ORDER BY {d_qc}, {cf}.c) AS rn
+        FROM {cf} CROSS JOIN qsel
+    ) WHERE rn <= {n_probe}
+),
+qres AS (
+    SELECT probe.c AS pc,
+           list(qsel.v[t.i] - {cf}.v[t.i] + {_KQ_OFFSET} ORDER BY t.i) AS v
+    FROM qsel CROSS JOIN probe JOIN {cf} ON probe.c = {cf}.c,
+         UNNEST(generate_series(1, {dim})) AS t(i)
+    GROUP BY probe.c
+)"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        pcf = f"c{pq_iters}fs{s}"
+        d_code = _int_dist2_sql(f"rs{s}.v", f"{pcf}.v")
+        d_lut = _int_dist2_sql(f"qres.v[{lo}:{hi}]", f"{pcf}.v")
+        parts.append(
+            f""",
+asg{s} AS (
+    SELECT vec_id, c FROM (
+        SELECT rs{s}.vec_id, {pcf}.c,
+               ROW_NUMBER() OVER (PARTITION BY rs{s}.vec_id
+                                  ORDER BY {d_code}, {pcf}.c) AS rn
+        FROM rs{s} CROSS JOIN {pcf}
+    ) WHERE rn = 1
+),
+lut{s} AS (
+    SELECT qres.pc, {pcf}.c, {d_lut} AS d2
+    FROM {pcf} CROSS JOIN qres
+)"""
+        )
+    adc_sum = " + ".join(f"lut{s}.d2" for s in range(m))
+    code_joins = "".join(
+        f"\n    JOIN asg{s} ON q.vec_id = asg{s}.vec_id"
+        f" JOIN lut{s} ON asg{s}.c = lut{s}.c AND lut{s}.pc = afin.cl"
         for s in range(m)
     )
     d_exact = _int_dist2_sql("q.v", "qsel.v")

@@ -80,6 +80,7 @@ def _oracle_names():
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",
         "embed_kmeans_int",
         "embed_semdedup",
         "embed_pq_codes",
@@ -1133,7 +1134,8 @@ class TestRegistryWindow:
             "host_reciprocity", "url_canonical_dedup",
             "crawl_order_tiered", "crawl_order_tiered_recrawl",
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
-            "ann_ivf_pq_topk", "learn_plan", "learn_plan_parallel",
+            "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
+            "learn_plan", "learn_plan_parallel",
             "source_temperature_mix",
         }
         missing = must_be_inside - set(first50)
