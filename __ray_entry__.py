@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # true IVFADC: PQ over coarse-cell RESIDUALS, one ADC lookup
         # table per probed cell, exact re-rank
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk,
+        # exact duplicated-substring removal at gram resolution (Lee
+        # et al. 2021 shape): long cross-doc token runs cut from all
+        # docs, arbitrary offsets (the passage scrub next to segments)
+        "doc_scrub_dup_runs": scrub.scrub_dup_runs,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -282,11 +286,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-sequence packing: exact global token offsets via a
         # distributed prefix sum in md5(doc_id) rank order
         "pack_sequences": packing.pack_sequences,
+        # ---- past the 50-entry window: long-green block ----------
         # per-source token-budget selection (distributed prefix sum:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
         "source_token_quota": textstats.source_token_quota,
-        # ---- past the 50-entry window: long-green block ----------
         "q1_pricing_summary": aggregates.q1_lineitem,
         # custom temporal operator (no Ray Data primitive): as-of
         # attribution join (user-hash co-partitioned)
@@ -453,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _ngram_containment_sql(),
         "doc_dup_span_stats": _dup_span_sql(),
         "dedup_segments": scrub.DEDUP_SEGMENTS_SQL,
+        "doc_scrub_dup_runs": scrub.scrub_dup_runs_sql(),
         "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
         "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

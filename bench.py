@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "dedup_containment",
         "doc_dup_span_stats",
         "dedup_segments",
+        "doc_scrub_dup_runs",
         "doc_collapse_repeats",
         "pack_sequences",
         "source_top_terms",

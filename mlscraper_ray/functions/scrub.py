@@ -205,6 +205,321 @@ def dedup_segments_ds(
     return flagged.groupby("doc_bucket").map_groups(reassemble, batch_format="pandas")
 
 
+def _grams_overlapping(words: list[str], g: int) -> list[str]:
+    """OVERLAPPING g-word grams at every position (stride 1) — the
+    gram resolution of exact duplicated-substring removal. Docs with
+    fewer than g words have no grams (nothing can be flagged)."""
+    if len(words) < g:
+        return []
+    return [" ".join(words[i : i + g]) for i in range(len(words) - g + 1)]
+
+
+def _covered_runs(flags: "np.ndarray", n_tokens: int, g: int, min_run: int):
+    """(kept_mask, n_runs_removed, n_tokens_removed) from per-position
+    duplicate flags: token t is covered iff any flagged gram position
+    in [t-g+1, t] (0-indexed); maximal covered intervals of length >=
+    min_run are removed. Shared by both distributed paths so the run
+    rule has one definition."""
+    cov = np.zeros(n_tokens, dtype=bool)
+    for p in np.flatnonzero(flags):
+        cov[p : p + g] = True
+    keep = np.ones(n_tokens, dtype=bool)
+    n_runs = n_removed = 0
+    t = 0
+    while t < n_tokens:
+        if cov[t]:
+            j = t
+            while j < n_tokens and cov[j]:
+                j += 1
+            if j - t >= min_run:
+                keep[t:j] = False
+                n_runs += 1
+                n_removed += j - t
+            t = j
+        else:
+            t += 1
+    return keep, n_runs, n_removed
+
+
+def scrub_dup_runs_ds(
+    sf_dir: str,
+    g: int = 8,
+    min_run: int = 16,
+    broadcast_limit: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact duplicated-SUBSTRING removal at gram resolution (the
+    scalable form of Lee et al. 2021's suffix-array dedup): every
+    maximal token run covered by cross-document duplicated OVERLAPPING
+    ``g``-grams is removed when the run spans >= ``min_run`` tokens.
+    Unlike :func:`dedup_segments` (non-overlapping chunks, any dup
+    chunk removed) this catches duplicated passages at ARBITRARY
+    offsets and only cuts long runs — the quote/license/boilerplate
+    passage scrub, not the chunk scrub. Returns one row per doc:
+    (doc_id, n_runs_removed, n_tokens_removed, clean_md5) — the md5 of
+    the kept-token join byte-pins the rewrite without shipping text.
+
+    Plan: per-doc DISTINCT grams ship as slim rows, df folds in the
+    coarse-bucket aggregate, dup set = df > 1 (distinct-doc df, same
+    rule as dedup_segments); path by dup COUNT — broadcast set +
+    one streaming rewrite under the cap, else grams meet the dup set
+    in crc32(gram) buckets and the flagged (doc_id, pos) rows rejoin
+    each doc's TEXT in a doc-hash bucket groupby (text crosses the
+    wire once, co-partitioned, never driver-sized)."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def doc_distinct_grams(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for text in batch["text"].to_pylist():
+            grams.extend(set(_grams_overlapping(text.split(), g)))
+        return pa.table({"gram": pa.array(grams, pa.string())})
+
+    df_counts = bucketed_aggregate(
+        docs.map_batches(doc_distinct_grams, batch_format="pyarrow"),
+        ["gram"],
+        {"df": ("gram", "count")},
+    )
+    dup_rows = df_counts.map_batches(
+        lambda d: d.loc[d["df"] > 1, ["gram"]], batch_format="pandas"
+    ).materialize()
+    n_dup = dup_rows.count()
+
+    def finish_doc(doc_id: int, words: list[str], flags: "np.ndarray"):
+        keep, n_runs, n_removed = _covered_runs(flags, len(words), g, min_run)
+        clean = " ".join(w for w, k in zip(words, keep) if k)
+        return (
+            int(doc_id),
+            n_runs,
+            n_removed,
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    out_schema = {
+        "doc_id": pa.int64(),
+        "n_runs_removed": pa.int64(),
+        "n_tokens_removed": pa.int64(),
+        "clean_md5": pa.string(),
+    }
+
+    def rows_table(rows) -> pa.Table:
+        cols = list(zip(*rows)) if rows else [[], [], [], []]
+        return pa.table({n: pa.array(c, t) for (n, t), c in zip(out_schema.items(), cols)})
+
+    if n_dup <= broadcast_limit:
+        dup_ref = ray.put(set(dup_rows.to_pandas()["gram"]))
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            dup = cached_object(dup_ref)
+            rows = []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                words = text.split()
+                grams = _grams_overlapping(words, g)
+                flags = np.fromiter((gr in dup for gr in grams), dtype=bool, count=len(grams))
+                rows.append(finish_doc(doc_id, words, flags))
+            return rows_table(rows)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow")
+
+    # join-back path: overlapping gram rows (one per position) meet
+    # the dup set in crc32(gram) buckets; flagged positions rejoin the
+    # doc text in a doc-hash bucket groupby
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(docs.count())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, grams, buckets = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, gr in enumerate(_grams_overlapping(text.split(), g)):
+                ids.append(doc_id)
+                poss.append(i)
+                grams.append(gr)
+                buckets.append(zlib.crc32(gr.encode()) % n_buckets)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "side": pa.array(["t"] * len(ids), pa.string()),
+            }
+        )
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array([-1] * n, pa.int64()),
+                "pos": pa.array([-1] * n, pa.int64()),
+                "gram": batch["gram"],
+                "bucket": pa.array(
+                    [zlib.crc32(s.encode()) % n_buckets for s in batch["gram"].to_pylist()],
+                    pa.int32(),
+                ),
+                "side": pa.array(["d"] * n, pa.string()),
+            }
+        )
+
+    unioned = docs.map_batches(explode, batch_format="pyarrow").union(
+        dup_rows.map_batches(tag_dup, batch_format="pyarrow")
+    )
+
+    def flag_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        dup = set(grp.loc[grp["side"] == "d", "gram"])
+        t = grp[grp["side"] == "t"]
+        t = t[t["gram"].isin(dup)]
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].astype("int64"),
+                "pos": t["pos"].astype("int64"),
+                "payload": pd.Series([""] * len(t), index=t.index, dtype=str),
+                "doc_bucket": (t["doc_id"] % n_buckets).astype("int32"),
+            }
+        )
+
+    flagged = unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
+
+    def doc_carrier(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas block like flag_bucket's output: a mixed-block union
+        # trips Ray's groupby block-type assertion
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "pos": pd.Series([-1] * len(df), index=df.index, dtype="int64"),
+                "payload": df["text"].astype(str),
+                "doc_bucket": (df["doc_id"] % n_buckets).astype("int32"),
+            }
+        )
+
+    both = flagged.union(docs.map_batches(doc_carrier, batch_format="pandas"))
+
+    def reassemble(grp: pd.DataFrame) -> pd.DataFrame:
+        if grp.empty or "doc_id" not in grp.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_runs_removed": pd.Series(dtype="int64"),
+                    "n_tokens_removed": pd.Series(dtype="int64"),
+                    "clean_md5": pd.Series(dtype=str),
+                }
+            )
+        rows = []
+        for doc_id, d in grp.groupby("doc_id", sort=False):
+            text_rows = d.loc[d["pos"] < 0, "payload"]
+            if text_rows.empty:
+                continue  # flags for a doc whose carrier sits elsewhere never happens (same bucket fn)
+            words = text_rows.iloc[0].split()
+            n_pos = max(0, len(words) - g + 1)
+            flags = np.zeros(n_pos, dtype=bool)
+            hit = d.loc[d["pos"] >= 0, "pos"].to_numpy()
+            if len(hit):
+                flags[hit] = True
+            rows.append(finish_doc(doc_id, words, flags))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_runs_removed", "n_tokens_removed", "clean_md5"]
+        )
+
+    return both.groupby("doc_bucket").map_groups(reassemble, batch_format="pandas")
+
+
+def scrub_dup_runs(sf_dir: str, g: int = 8, min_run: int = 16, **kwargs) -> pa.Table:
+    """Driver-table wrapper (sorted by doc_id);
+    :func:`scrub_dup_runs_ds` is the streaming form."""
+    out = scrub_dup_runs_ds(sf_dir, g=g, min_run=min_run, **kwargs).to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_runs_removed": pa.array([], pa.int64()),
+                "n_tokens_removed": pa.array([], pa.int64()),
+                "clean_md5": pa.array([], pa.string()),
+            }
+        )
+    out = out.astype(
+        {"doc_id": "int64", "n_runs_removed": "int64", "n_tokens_removed": "int64"}
+    ).sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def scrub_dup_runs_sql(g: int = 8, min_run: int = 16) -> str:
+    """DuckDB mirror of the whole path: overlapping grams via
+    correlated UNNEST positions, distinct-doc df, per-token coverage
+    as an EXISTS over the flag window, gaps-and-islands maximal runs,
+    length gate, and the kept-token string_agg md5."""
+    gm1 = g - 1
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+    FROM documents
+),
+sized AS (SELECT doc_id, w, length(w) AS n FROM words),
+grams AS (
+    SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i + {gm1}], ' ') AS gram
+    FROM sized, UNNEST(generate_series(1, n - {gm1})) AS t(i)
+    WHERE n >= {g}
+),
+dup AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+    ) WHERE df > 1
+),
+flag AS (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+toks AS (
+    SELECT doc_id, t.i AS t, w[t.i] AS word
+    FROM sized, UNNEST(generate_series(1, n)) AS t(i)
+    WHERE n > 0
+),
+cov AS (
+    SELECT toks.doc_id, toks.t, toks.word,
+           EXISTS (
+               SELECT 1 FROM flag
+               WHERE flag.doc_id = toks.doc_id
+                 AND flag.pos BETWEEN greatest(1, toks.t - {gm1}) AND toks.t
+           ) AS covered
+    FROM toks
+),
+isl AS (
+    SELECT doc_id, t, word, covered,
+           t - ROW_NUMBER() OVER (PARTITION BY doc_id, covered ORDER BY t) AS grp
+    FROM cov
+),
+removed AS (
+    SELECT doc_id, grp, COUNT(*) AS run_len
+    FROM isl WHERE covered GROUP BY doc_id, grp
+    HAVING COUNT(*) >= {min_run}
+),
+rem_tok AS (
+    SELECT isl.doc_id, isl.t
+    FROM isl JOIN removed ON isl.doc_id = removed.doc_id AND isl.grp = removed.grp
+    WHERE isl.covered
+),
+kept AS (
+    SELECT cov.doc_id, string_agg(cov.word, ' ' ORDER BY cov.t) AS clean
+    FROM cov LEFT JOIN rem_tok ON cov.doc_id = rem_tok.doc_id AND cov.t = rem_tok.t
+    WHERE rem_tok.t IS NULL
+    GROUP BY cov.doc_id
+),
+stats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_removed
+    FROM removed GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(s.n_runs, 0) AS n_runs_removed,
+       COALESCE(s.n_removed, 0) AS n_tokens_removed,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM words w
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def dedup_segments(sf_dir: str, seg_words: int = 8, **kwargs) -> pa.Table:
     """Driver-table wrapper for the compare contract (sorted by
     doc_id); :func:`dedup_segments_ds` is the streaming form."""

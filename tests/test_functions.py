@@ -43,6 +43,7 @@ def _oracle_names():
         "dedup_simhash_pairs",
         "doc_simhash",
         "dedup_segments",
+        "doc_scrub_dup_runs",
         "doc_collapse_repeats",
         "doc_sample_stratified",
         "pack_sequences",
@@ -1136,7 +1137,7 @@ class TestRegistryWindow:
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
             "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
             "learn_plan", "learn_plan_parallel",
-            "source_temperature_mix",
+            "source_temperature_mix", "doc_scrub_dup_runs",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing

@@ -32,6 +32,63 @@ def _write_docs(tmp_path, texts, langs=None, sources=None):
     return str(tmp_path)
 
 
+class TestScrubDupRuns:
+    def test_arbitrary_offset_passage_removed_short_shared_kept(
+        self, ray_session, tmp_path
+    ):
+        """The case dedup_segments MISSES by construction: a 20-token
+        passage embedded at DIFFERENT offsets in two docs (so the
+        non-overlapping 8-word chunking never aligns) must be removed
+        from both; a shared run shorter than min_run must be kept."""
+        import hashlib
+
+        from mlscraper_ray.functions.scrub import scrub_dup_runs
+
+        passage = " ".join(f"p{i}" for i in range(20))
+        short = " ".join(f"s{i}" for i in range(10))  # >= g, < min_run
+        texts = [
+            "lead " + passage + " tail0 tail1",           # offset 1
+            "a b c " + passage,                            # offset 3
+            "x0 " + short + " y0 y1 y2",                  # short shared run
+            short,                                         # ditto, other doc
+            "unique only words in this one document here", # untouched
+            "",                                            # blank survives
+        ]
+        out = scrub_dup_runs(
+            _write_docs(tmp_path, texts), g=8, min_run=16
+        ).to_pandas().set_index("doc_id")
+
+        def md5(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        assert out.loc[0, "n_runs_removed"] == 1
+        assert out.loc[0, "n_tokens_removed"] == 20
+        assert out.loc[0, "clean_md5"] == md5("lead tail0 tail1")
+        assert out.loc[1, "n_runs_removed"] == 1
+        assert out.loc[1, "n_tokens_removed"] == 20
+        assert out.loc[1, "clean_md5"] == md5("a b c")
+        # the 10-token shared run is covered but under min_run: kept
+        assert out.loc[2, "n_runs_removed"] == 0
+        assert out.loc[2, "clean_md5"] == md5(texts[2])
+        assert out.loc[3, "n_runs_removed"] == 0
+        assert out.loc[4, "n_runs_removed"] == 0
+        assert out.loc[5, "clean_md5"] == md5("")
+
+    def test_bucketed_path_matches_broadcast(self, ray_session, tmp_path):
+        """broadcast_limit=0 forces the join-back path; output must be
+        bit-identical to the broadcast screen (the oracle-checked
+        default)."""
+        from mlscraper_ray.functions.scrub import scrub_dup_runs
+
+        a = scrub_dup_runs(SF_DIR).to_pandas()
+        b = scrub_dup_runs(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        # non-vacuous on the shipped corpus: exact-dup docs share all
+        # grams, so whole docs get scrubbed somewhere
+        assert (a["n_runs_removed"] > 0).any()
+
+
 class TestDedupSegments:
     def test_edge_docs_and_cross_doc_removal(self, ray_session, tmp_path):
         from mlscraper_ray.functions.scrub import dedup_segments
