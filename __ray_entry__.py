@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # et al. 2021 shape): long cross-doc token runs cut from all
         # docs, arbitrary offsets (the passage scrub next to segments)
         "doc_scrub_dup_runs": scrub.scrub_dup_runs,
+        # cross-snapshot NEAR-dup screen: cross-side-only LSH candidate
+        # emission (prior x prior work never redone), best prior match
+        # per new doc via a packed scalar max
+        "dedup_minhash_incremental": dedup.incremental_minhash_dedup,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -283,10 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving path: persisted term-sharded inverted index (build
         # resumable + cached), query reads ONLY the probed shards
         "text_search_bm25_indexed": search.bm25_indexed_topk,
+        # ---- past the 50-entry window: long-green block ----------
         # training-sequence packing: exact global token offsets via a
         # distributed prefix sum in md5(doc_id) rank order
         "pack_sequences": packing.pack_sequences,
-        # ---- past the 50-entry window: long-green block ----------
         # per-source token-budget selection (distributed prefix sum:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
@@ -453,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "dedup_minhash_incremental": _minhash_incremental_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_containment": _ngram_containment_sql(),
         "doc_dup_span_stats": _dup_span_sql(),
@@ -613,6 +618,12 @@ def _dedup_incremental_sql() -> str:
     from mlscraper_ray.functions.dedup import incremental_dedup_sql
 
     return incremental_dedup_sql()
+
+
+def _minhash_incremental_sql() -> str:
+    from mlscraper_ray.functions.dedup import incremental_minhash_dedup_sql
+
+    return incremental_minhash_dedup_sql()
 
 
 def dedup_exact_sql() -> str:

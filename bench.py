@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_incremental",
         "dedup_minhash",
+        "dedup_minhash_incremental",
         "neardup_clusters",
         "corpus_dedup_canonical",
         "dedup_simhash_pairs",

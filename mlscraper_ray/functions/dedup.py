@@ -450,6 +450,22 @@ def minhash_verified_pairs(
     # slim (doc_a, doc_b) rows; materialized once so the path-choice
     # count and the verify pass don't re-run the LSH
     candidates = minhash_candidate_pairs(docs, max_bucket_docs=max_bucket_docs).materialize()
+    return _verify_candidate_pairs(sf_dir, docs, candidates, threshold_pct, broadcast_limit)
+
+
+def _verify_candidate_pairs(
+    sf_dir: str,
+    docs: ray.data.Dataset,
+    candidates: ray.data.Dataset,
+    threshold_pct: int,
+    broadcast_limit: int,
+) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard verification of a candidate (doc_a,
+    doc_b) Dataset — the count-guarded verify stage shared by
+    :func:`minhash_verified_pairs` and the incremental cross-snapshot
+    variant. See minhash_verified_pairs' docstring for the two paths."""
+    from mlscraper_ray.functions.joins import cogroup_join
+
     n_pairs = candidates.count()
     if n_pairs == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
@@ -566,6 +582,172 @@ def minhash_dedup(
         return _EMPTY_PAIRS
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def incremental_minhash_dedup(
+    sf_dir: str,
+    snapshot_mod: int = 2,
+    threshold_pct: int = 70,
+    broadcast_limit: int = 100_000,
+    max_bucket_docs: int | None = 1024,
+) -> pa.Table:
+    """Cross-SNAPSHOT incremental NEAR-dup screen — the recurring-crawl
+    companion of :func:`incremental_dedup` (exact) at minhash
+    resolution: a NEW-snapshot doc is flagged when it near-duplicates
+    (word-3-gram Jaccard >= threshold) ANY prior-snapshot doc; output
+    is each flagged new doc's best prior match (max jaccard, ties to
+    the lowest prior id) as (doc_id, prior_id, jaccard_pct) sorted by
+    doc_id. Prior snapshot = the deterministic ``doc_id % snapshot_mod
+    == 0`` slice (same stand-in convention as incremental_dedup; a
+    real deployment reads the prior crawl's persisted band buckets).
+
+    The genuinely INCREMENTAL saving: candidate emission inside each
+    (band, bucket) is CROSS-SIDE ONLY — prior x new, never
+    prior x prior or new x new — so the work already paid when the
+    prior snapshot was deduped is never redone (p*q pairs per bucket,
+    not C(p+q, 2)). Degenerate buckets collapse to new x {min prior}
+    (each new doc keeps a prior witness; identical-doc floods stay
+    linear — same caveat discipline as ``max_bucket_docs`` on the
+    plain pipeline). Verification reuses the count-guarded
+    :func:`_verify_candidate_pairs` stage; the best-match reduce packs
+    (jaccard, prior_id) into one int64 so it's a scalar coarse-bucket
+    max — no driver-side pair table anywhere."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sig_rows = docs.count() * 32
+    n_groups = min(65536, max(256, -(-sig_rows // 200_000)))
+    sigs = docs.map_batches(
+        minhash_stage_task,
+        fn_kwargs={
+            "num_perm": 128,
+            "bands": 32,
+            "shingle_n": 3,
+            "seed": 42,
+            "n_groups": n_groups,
+        },
+        batch_format="pyarrow",
+    )
+
+    def emit_cross(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["band", "bucket", "doc_id"])
+        out_new, out_prior = [], []
+        for _, sub in d.groupby(["band", "bucket"], sort=False):
+            ids = sub["doc_id"].tolist()
+            prior = sorted(i for i in ids if i % snapshot_mod == 0)
+            new = sorted(i for i in ids if i % snapshot_mod != 0)
+            if not prior or not new:
+                continue
+            if max_bucket_docs is not None and len(prior) * len(new) > max_bucket_docs:
+                out_new.extend(new)
+                out_prior.extend([prior[0]] * len(new))
+                continue
+            for n_id in new:
+                for p_id in prior:
+                    out_new.append(n_id)
+                    out_prior.append(p_id)
+        p = pd.DataFrame({"doc_a": out_new, "doc_b": out_prior})
+        p["pair_key"] = _pack_pairs_pd(p["doc_a"], p["doc_b"])
+        return p[["pair_key"]]
+
+    pair_keys = sigs.groupby("grp").map_groups(emit_cross, batch_format="pandas")
+    deduped = bucketed_aggregate(pair_keys, ["pair_key"], {"n_bands": ("pair_key", "count")})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        doc_a, doc_b = _unpack_pairs_arrow(batch["pair_key"])
+        return pa.table({"doc_a": doc_a, "doc_b": doc_b})
+
+    candidates = deduped.map_batches(unpack, batch_format="pyarrow").materialize()
+    verified = _verify_candidate_pairs(
+        sf_dir, docs, candidates, threshold_pct, broadcast_limit
+    )
+
+    # best prior match per new doc: pack (jaccard, inverted prior id)
+    # into one int64 so the reduce is a scalar coarse-bucket MAX
+    def pack_best(batch: pa.Table) -> pa.Table:
+        jp = batch["jaccard_pct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        best = jp * np.int64(_PAIR_BASE) + (np.int64(_PAIR_BASE - 1) - pb)
+        return pa.table(
+            {
+                "doc_id": batch["doc_a"],
+                "best_key": pa.array(best),
+            }
+        )
+
+    best = bucketed_aggregate(
+        verified.map_batches(pack_best, batch_format="pyarrow"),
+        ["doc_id"],
+        {"best_key": ("best_key", "max")},
+    )
+
+    def unpack_best(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["best_key"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "prior_id": (_PAIR_BASE - 1 - (k % _PAIR_BASE)).astype("int64"),
+                "jaccard_pct": (k // _PAIR_BASE).astype("int64"),
+            }
+        )
+
+    out = best.map_batches(unpack_best, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "prior_id": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def incremental_minhash_dedup_sql(snapshot_mod: int = 2, threshold_pct: int = 70) -> str:
+    """Exhaustive cross-snapshot oracle: every (new, prior) pair's
+    exact word-3-gram Jaccard (the MINHASH_DEDUP_SQL gram model),
+    threshold, then best prior match per new doc via ROW_NUMBER over
+    (jaccard DESC, prior_id) — verifying the cross-side LSH recall
+    AND the packed best-match reduce end to end."""
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS prior_id, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id % {snapshot_mod} != 0 AND b.doc_id % {snapshot_mod} = 0
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT new_id, prior_id,
+           (100 * i) // (ca.n + cb.n - i) AS jaccard_pct
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = new_id
+    JOIN cnt cb ON cb.doc_id = prior_id
+    WHERE (100 * i) // (ca.n + cb.n - i) >= {threshold_pct}
+)
+SELECT new_id AS doc_id, prior_id, jaccard_pct FROM (
+    SELECT new_id, prior_id, jaccard_pct,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard_pct DESC, prior_id) AS rn
+    FROM scored
+) WHERE rn = 1
+ORDER BY doc_id
+"""
 
 
 # Exhaustive similarity-join oracle for the MinHash-LSH pipeline: any

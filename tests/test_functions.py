@@ -37,6 +37,7 @@ def _oracle_names():
         "events_range_join",
         "dedup_exact",
         "dedup_incremental",
+        "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
         "doc_dup_span_stats",
@@ -1120,6 +1121,44 @@ class TestJoinScaleGuards:
         assert len(np.unique(_salted_bucket(kb_hot, salts, n_buckets))) == n_salt
 
 
+class TestIncrementalMinhash:
+    def test_cross_snapshot_best_match_and_within_new_ignored(
+        self, ray_session, tmp_path
+    ):
+        """Planted cross-snapshot near-dups: a new doc sharing most
+        grams with two prior docs must flag with the BEST one (max
+        jaccard, tie lowest prior id); near-dups entirely WITHIN the
+        new snapshot must not flag (the incremental contract — they'll
+        be caught when their snapshot becomes the prior)."""
+        import pyarrow.parquet as pq_mod
+
+        from mlscraper_ray.functions.dedup import incremental_minhash_dedup
+
+        base = " ".join(f"tok{i}" for i in range(30))
+        near = base.replace("tok7", "CHANGED")  # high-but-<100 jaccard
+        uniq1 = " ".join(f"aa{i}" for i in range(25))
+        uniq2 = " ".join(f"bb{i}" for i in range(25))
+        texts = {
+            0: near,    # prior: near-dup of doc 1
+            1: base,    # new: flags; best prior = 2 (exact copy, j=100)
+            2: base,    # prior: exact copy of doc 1
+            3: uniq1,   # new: clean vs priors
+            4: uniq2,   # prior: unique
+            5: uniq1,   # new: dups doc 3 (NEW) only -> must NOT flag
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+        pq_mod.write_table(t, str(tmp_path / "documents.parquet"))
+        out = incremental_minhash_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert list(out.index) == [1]
+        assert out.loc[1, "prior_id"] == 2
+        assert out.loc[1, "jaccard_pct"] == 100
+
+
 class TestRegistryWindow:
     def test_priority_ops_inside_driver_window(self, entry_mod):
         """The driver's correctness check compares only the FIRST 50
@@ -1138,6 +1177,7 @@ class TestRegistryWindow:
             "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
+            "dedup_minhash_incremental",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
