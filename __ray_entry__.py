@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emission (prior x prior work never redone), best prior match
         # per new doc via a packed scalar max
         "dedup_minhash_incremental": dedup.incremental_minhash_dedup,
+        # RANK-driven tiered crawl: host tiers from the link graph's
+        # own integer PageRank mass (the full prioritization loop);
+        # oracle recomputes the tier map by an independent path
+        "crawl_order_ranked": crawl_pipeline.crawl_order_ranked_query,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -284,10 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: broadcast held-out gram set, one
         # streaming screen pass, no shuffle
         "corpus_decontaminate": curate.decontaminate,
+        # ---- past the 50-entry window: long-green block ----------
         # serving path: persisted term-sharded inverted index (build
         # resumable + cached), query reads ONLY the probed shards
         "text_search_bm25_indexed": search.bm25_indexed_topk,
-        # ---- past the 50-entry window: long-green block ----------
         # training-sequence packing: exact global token offsets via a
         # distributed prefix sum in md5(doc_id) rank order
         "pack_sequences": packing.pack_sequences,
@@ -566,6 +570,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.01),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.01, recrawl=True),
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01),
+        "crawl_order_ranked": lambda: truth_oracles.crawl_order_ranked_truth_sql(0.01),
         "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.01, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.01),
         "robots_stats": lambda: truth_oracles.robots_stats_truth_sql(0.01),

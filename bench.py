@@ -125,6 +125,15 @@ def run_bench() -> dict:
     tiered = crawl_order_tiered_query(sf_dir, tokens_per_round=128, max_rounds=60)
     queries["crawl_tiered"] = round(time.time() - t0, 3)
     extras["crawl_tiered_urls"] = tiered.num_rows
+
+    # rank-driven tier variant (includes the distributed PageRank +
+    # host roll-up that derives the tier map)
+    from mlscraper_ray.pipelines.crawl_pipeline import crawl_order_ranked_query
+
+    t0 = time.time()
+    ranked = crawl_order_ranked_query(sf_dir, tokens_per_round=128, max_rounds=60)
+    queries["crawl_ranked"] = round(time.time() - t0, 3)
+    extras["crawl_ranked_urls"] = ranked.num_rows
     extras["host_probe_ms_after"] = _probe_ms()
 
     table_ops = [

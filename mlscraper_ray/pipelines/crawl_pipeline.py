@@ -180,6 +180,46 @@ def crawl_order_tiered_query(
     return crawl_order(out_dir)
 
 
+def host_rank_totals_distributed(sf_dir: str) -> dict[str, int]:
+    """Per-host integer PageRank mass from the DISTRIBUTED pipeline
+    (parse -> link graph -> fixed-point PageRank -> host roll-up) —
+    the real authority signal feeding the rank-driven tier map. Only
+    the per-host table (#hosts rows) reaches the driver."""
+    from mlscraper_ray.functions.pagerank import host_rank
+
+    t = host_rank(sf_dir).to_pandas()
+    return dict(zip(t["host"], t["rank_total"].astype(int)))
+
+
+def crawl_order_ranked_query(
+    sf_dir: str, tokens_per_round: int = 8, max_rounds: int = 40
+) -> pa.Table:
+    """RANK-driven tiered crawl — the full north-star prioritization
+    loop closed: host authority comes from the link graph's own
+    integer PageRank mass (:func:`host_rank_totals_distributed`)
+    instead of the page-count proxy, feeding the same tier rule and
+    budget policy as ``crawl_order_tiered``. Because ranks are
+    fixed-point integers, the truth side
+    (truth_oracles.crawl_order_ranked_truth_sql) recomputes the SAME
+    tier map from generator link records + the single-process
+    reference loop — so one constant table value-pins parse, graph
+    assembly, the distributed PageRank iteration, the host roll-up,
+    the tier rule AND the resulting crawl order end to end."""
+    from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+    sf = sf_of_dir(sf_dir)
+    corpus_dir, spec = corpus_for_sf(sf)
+    plan = learn_plan(corpus_dir, spec)
+    cfg = crawl_config_for(spec, plan, tokens_per_round=tokens_per_round, max_rounds=max_rounds)
+    cfg.host_tiers = tiers_from_counts(host_rank_totals_distributed(sf_dir))
+    cfg.tier_budgets = tier_budgets_for(tokens_per_round)
+    out_dir = os.path.join(DATA_ROOT, f"ranked_sf{sf}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    RayCrawler(corpus_dir, out_dir, cfg).run()
+    return crawl_order(out_dir)
+
+
 # the counters both the shard actors and the single-process oracle
 # maintain with identical semantics (same check order: depth -> seen
 # -> robots); the metrics queries compare exactly this set

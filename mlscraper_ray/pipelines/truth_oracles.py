@@ -409,6 +409,73 @@ def crawl_order_tiered_truth_sql(sf: float, recrawl: bool = False) -> str:
     )
 
 
+def _reference_host_rank_totals(spec) -> dict[str, int]:
+    """Per-host integer rank mass from GENERATOR link records + the
+    single-process reference PageRank loop — the independent twin of
+    crawl_pipeline.host_rank_totals_distributed (fixed-point integers
+    make the two paths bit-equal)."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.sources import corpusgen
+
+    nodes, urlset = [], set()
+    for h in range(spec.n_hosts):
+        for i in range(spec.n_pages(h)):
+            u = spec.page_url(h, i)
+            nodes.append(u)
+            urlset.add(u)
+    edges = [
+        (spec.page_url(h, i), t)
+        for h in range(spec.n_hosts)
+        for i in range(spec.n_pages(h))
+        for t in corpusgen.page_links(spec, h, i)
+        if t in urlset
+    ]
+    rank = pagerank_mod.pagerank_reference(nodes, edges, 4, 85)
+    totals: dict[str, int] = defaultdict(int)
+    for u in nodes:
+        totals[corpusgen.url_host(u)] += rank[u]
+    return dict(totals)
+
+
+def crawl_order_ranked_truth_sql(sf: float) -> str:
+    """(rank, round, depth, host, url) from the single-process oracle
+    crawler under the RANK-driven tier map — host authority recomputed
+    by :func:`_reference_host_rank_totals` (generator links + the
+    reference integer PageRank loop, independent of the distributed
+    parse/graph/rank path under test), tiers and budgets from the
+    shared crawl_pipeline policies."""
+    from mlscraper_ray.frontier import oracle as oracle_mod
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines import crawl_pipeline as cp
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = cp.corpus_for_sf(sf)
+    cfg = cp.crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    cfg.host_tiers = cp.tiers_from_counts(_reference_host_rank_totals(spec))
+    cfg.tier_budgets = cp.tier_budgets_for(8)
+    key = hashlib.md5(
+        (
+            json.dumps(cfg.to_dict(), sort_keys=True)
+            + _source_digest(oracle_mod, cp, corpusgen, pagerank_mod)
+        ).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        fetches, _, _, _ = oracle_mod.oracle_crawl(corpus_dir, cfg)
+        rows = [
+            (rank, rnd, depth, host, url)
+            for rank, (rnd, depth, host, url) in enumerate(fetches)
+        ]
+        return (
+            values_sql(rows, ["rank", "round", "depth", "host", "url"])
+            + ' ORDER BY "rank"'
+        )
+
+    return _cached(corpus_dir, "ranked_order", key, build)
+
+
 def pagerank_truth_sql(sf: float, n_iters: int = 4, damping_pct: int = 85) -> str:
     """(url, rank) from the single-process integer PageRank loop run
     over the corpus GENERATOR's own link records (corpusgen.page_links

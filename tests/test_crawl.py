@@ -393,6 +393,22 @@ class TestTieredCrawl:
         assert (got.groupby(["round", "host"]).size() > cfg.tokens_per_round).any()
         assert any(cfg.budget_for(h) == 1 for h in got["host"].unique())
 
+    def test_rank_driven_tiers_differ_from_count_tiers(self, ray_session):
+        """The rank-driven tier map must actually CHANGE the crawl:
+        among the equal-page-count torso hosts the count proxy ties
+        (tier by host name) while PageRank mass does not — so the two
+        tier maps, and the resulting orders, differ (both separately
+        oracle-pinned)."""
+        from mlscraper_ray.pipelines.crawl_pipeline import (
+            crawl_order_ranked_query,
+            crawl_order_tiered_query,
+        )
+
+        ranked = crawl_order_ranked_query("/root/testdata/sf0.001").to_pandas()
+        tiered = crawl_order_tiered_query("/root/testdata/sf0.001").to_pandas()
+        assert not ranked.equals(tiered)
+        assert len(ranked) > 0 and len(tiered) > 0
+
 
 class TestRecrawlTTL:
     """The delete-capable (cuckoo) seen-set path: urls expire after

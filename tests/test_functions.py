@@ -109,7 +109,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -126,6 +126,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "crawl_order": lambda: truth_oracles.crawl_order_truth_sql(0.001),
         "crawl_order_recrawl": lambda: truth_oracles.crawl_order_truth_sql(0.001, recrawl=True),
         "crawl_order_tiered": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.001),
+        "crawl_order_ranked": lambda: truth_oracles.crawl_order_ranked_truth_sql(0.001),
         "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.001, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.001),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.001),
@@ -1173,6 +1174,7 @@ class TestRegistryWindow:
             "page_rank", "link_hits", "link_stats", "host_rank",
             "host_reciprocity", "url_canonical_dedup",
             "crawl_order_tiered", "crawl_order_tiered_recrawl",
+            "crawl_order_ranked",
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
             "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
             "learn_plan", "learn_plan_parallel",
