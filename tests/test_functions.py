@@ -1159,6 +1159,17 @@ class TestIncrementalMinhash:
         assert out.loc[1, "prior_id"] == 2
         assert out.loc[1, "jaccard_pct"] == 100
 
+    def test_bucketed_verify_path_matches_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the cogroup-join verify path of
+        the shared _verify_candidate_pairs stage; output must equal
+        the broadcast path (the oracle-checked default)."""
+        from mlscraper_ray.functions.dedup import incremental_minhash_dedup
+
+        a = incremental_minhash_dedup(SF_DIR).to_pandas()
+        b = incremental_minhash_dedup(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0  # the shipped corpus has cross-snapshot dups
+
 
 class TestRegistryWindow:
     def test_priority_ops_inside_driver_window(self, entry_mod):
