@@ -53,6 +53,14 @@ class CrawlConfig:
     # blocks carry >= this many urls (small rounds must not be
     # shredded into tiny tasks), capped by pool parallelism
     fetch_rows_per_block: int = 192
+    # checkpoint retention: 0 = keep every round's checkpoint (resume
+    # from ANY round — the test/debug contract). K > 0 prunes to the
+    # newest K COMPLETE checkpoints after each commit — the production
+    # setting: a full shard snapshot at the 10^10 design point is
+    # ~53 MB x P shards per round (bloom bits dominate), so unbounded
+    # retention is a storage leak; resume only ever needs the latest
+    # complete manifest.
+    keep_checkpoints: int = 0
     seed: int = 42
     plan: dict = field(default_factory=dict)  # learned scraper plan (JSON)
     # TIERED CRAWL: per-host fetch budget by host tier (the north-star

@@ -209,6 +209,28 @@ class RayCrawler:
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         os.replace(tmp, os.path.join(ckpt, "MANIFEST.json"))
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self) -> None:
+        """Retention policy (config.keep_checkpoints): after a commit,
+        drop all but the newest K COMPLETE checkpoints. Pruning only
+        ever runs AFTER the new manifest is in place, so a crash
+        mid-prune still leaves a complete latest checkpoint to resume
+        from; manifest-less (crashed) round dirs are left for resume's
+        partial-output cleanup."""
+        keep = self.cfg.keep_checkpoints
+        if keep <= 0:
+            return
+        import shutil
+
+        complete = sorted(
+            int(os.path.basename(os.path.dirname(m)).split("=")[1])
+            for m in glob.glob(
+                os.path.join(self.out_dir, "checkpoint", "round=*", "MANIFEST.json")
+            )
+        )
+        for old in complete[:-keep]:
+            shutil.rmtree(_ckpt_dir(self.out_dir, old), ignore_errors=True)
 
     # -- main loop ------------------------------------------------------
     def run(self, seeds_path: str | None = None, start_round: int = 0) -> dict:

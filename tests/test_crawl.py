@@ -151,6 +151,46 @@ class TestResume:
         crawler.run(start_round=next_round)
         assert crawl_order(part_out).to_pylist() == full_order
 
+    def test_keep_checkpoints_prunes_and_resumes(
+        self, ray_session, small_corpus, learned_plan, tmp_path_factory
+    ):
+        """Production retention (keep_checkpoints=2): only the newest
+        two COMPLETE checkpoints survive, the crawl order is unchanged
+        vs keep-all, and a resume from the latest retained checkpoint
+        still reproduces the full run's tail."""
+        import dataclasses
+
+        from mlscraper_ray.frontier.crawler import RayCrawler, crawl_order
+
+        corpus, spec = small_corpus
+        cfg_all = _config(learned_plan)
+        all_out = str(tmp_path_factory.mktemp("keep_all"))
+        RayCrawler(corpus, all_out, cfg_all).run()
+        want = crawl_order(all_out).to_pylist()
+        n_rounds = len(glob.glob(f"{all_out}/checkpoint/round=*"))
+        assert n_rounds > 2  # retention must actually have pruned
+
+        cfg = dataclasses.replace(cfg_all, keep_checkpoints=2)
+        out = str(tmp_path_factory.mktemp("keep_two"))
+        RayCrawler(corpus, out, cfg).run()
+        kept = sorted(glob.glob(f"{out}/checkpoint/round=*"))
+        assert len(kept) == 2
+        assert crawl_order(out).to_pylist() == want
+
+        # resume: kill the NEWEST retained checkpoint + its results
+        # (simulating a crash mid-round); resume must pick the older
+        # retained one and reproduce the full run's tail exactly
+        rounds_kept = sorted(int(d.rsplit("=", 1)[1]) for d in kept)
+        prev, last = rounds_kept
+        shutil.rmtree(f"{out}/checkpoint/round={last}")
+        for rd in glob.glob(f"{out}/rounds/round=*"):
+            if int(rd.rsplit("=", 1)[1]) > prev:
+                shutil.rmtree(rd)
+        crawler, next_round = RayCrawler.resume(corpus, out)
+        assert next_round == prev + 1
+        crawler.run(start_round=next_round)
+        assert crawl_order(out).to_pylist() == want
+
 
 def test_manifest_records_per_partition_lineage(crawl_run):
     """Every checkpoint manifest lists each results file with rows +
