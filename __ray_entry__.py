@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # own integer PageRank mass (the full prioritization loop);
         # oracle recomputes the tier map by an independent path
         "crawl_order_ranked": crawl_pipeline.crawl_order_ranked_query,
+        # multiprobe hyperplane LSH (Lv et al. 2007): Hamming-radius
+        # bucket match over integer-exact signatures, exact cosine on
+        # the ~10% candidate set — the LSH-bucketed ANN scale path
+        "ann_lsh_topk": similarity.lsh_topk,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -486,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),
+        "ann_lsh_topk": similarity.lsh_topk_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,

@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_residual_topk",
+        "ann_lsh_topk",
         "embed_neardup_pairs",
         "embed_kmeans",
         "embed_kmeans_int",

@@ -83,6 +83,7 @@ def _oracle_names():
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_residual_topk",
+        "ann_lsh_topk",
         "embed_kmeans_int",
         "embed_semdedup",
         "embed_pq_codes",
@@ -613,6 +614,63 @@ class TestMultimodalPlumbing:
         t = pa.table({"payload": pa.array([b"x"], pa.binary())})
         with pytest.raises(NotImplementedError):
             DecodeStub(real_codecs=True)(t)
+
+
+class TestLshTopkCrafted:
+    def test_planted_neardup_is_top1(self, ray_session, tmp_path):
+        """The actual LSH use case: a near-identical vector hams to
+        ~0 from the query in every table, so it must always be
+        candidate AND rank first (the shipped embeddings are
+        near-random, so driver-scale results only pin the
+        bucket-math/oracle equality, not retrieval)."""
+        from mlscraper_ray.functions.similarity import lsh_topk
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        vecs = list(base)
+        vecs.append(base[0] + rng.standard_normal(16).astype(np.float32) * 0.01)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(41), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 41, pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = lsh_topk(str(tmp_path), query_vec_id=0, k=5).to_pandas()
+        assert out["vec_id"].iloc[0] == 40
+        assert out["score_x10k"].iloc[0] >= 9900
+
+    def test_crafted_matches_sql_oracle(self, ray_session, tmp_path):
+        """Oracle equality on a corpus with REAL near neighbors (the
+        generic sf0.001 check covers the near-random shipped table)."""
+        import duckdb
+
+        from mlscraper_ray.functions.similarity import lsh_topk, lsh_topk_sql
+
+        rng = np.random.RandomState(12)
+        base = rng.standard_normal((60, 16)).astype(np.float32)
+        vecs = list(base)
+        for j in range(4):
+            vecs.append(base[j] + rng.standard_normal(16).astype(np.float32) * 0.02)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = lsh_topk(str(tmp_path), query_vec_id=0, k=8).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+        )
+        oracle = con.execute(lsh_topk_sql(query_vec_id=0, k=8, dim=16)).fetchdf()
+        assert len(out) > 0
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), oracle.astype(out.dtypes.to_dict()).reset_index(drop=True)
+        )
 
 
 class TestEmbeddingNearDupCrafted:
@@ -1187,7 +1245,7 @@ class TestRegistryWindow:
             "crawl_order_tiered", "crawl_order_tiered_recrawl",
             "crawl_order_ranked",
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
-            "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
+            "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk", "ann_lsh_topk",
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental",
