@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket match over integer-exact signatures, exact cosine on
         # the ~10% candidate set — the LSH-bucketed ANN scale path
         "ann_lsh_topk": similarity.lsh_topk,
+        # pairwise source-collection distinct-3-gram Jaccard (the
+        # pre-mixing double-count diagnostic; per-doc join lifted to
+        # source keys)
+        "source_overlap": textstats.source_overlap,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -491,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
+        "source_overlap": textstats.source_overlap_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,

@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "corpus_decontaminate",
         "source_token_totals",
         "source_temperature_mix",
+        "source_overlap",
         "source_token_quota",
         "source_distinct_hll",
         "source_token_cms",

@@ -1601,3 +1601,142 @@ ORDER BY m.source, m.word
 
 
 SOURCE_TOKEN_CMS_SQL = source_token_cms_sql()
+
+
+def source_overlap(sf_dir: str, n: int = 3) -> pa.Table:
+    """Pairwise SOURCE-collection similarity: exact Jaccard over each
+    source's DISTINCT word ``n``-grams — the corpus-level diagnostic a
+    curation pipeline runs before mixing collections (near-identical
+    sources mean double-counting; near-zero overlap flags a divergent
+    crawl snapshot). Cf. the per-doc join ``dedup.ngram_jaccard_pairs``
+    (dedup.py:894); this is the same inverted-index plan lifted from
+    ~10^10 doc keys to the handful of source keys.
+
+    Distributed shape (no driver-side pair loop, no high-cardinality
+    native groupby — functions/bucketed.py rationale):
+      1. ``map_batches``: explode each doc into DISTINCT (gram, source)
+         rows with a crc32 coarse bucket; short docs (< n words)
+         contribute their whole text as one gram, empty docs nothing
+         (exactly the per-doc explode's rule);
+      2. ``groupby(bucket).map_groups``: distinct (gram, source) within
+         the bucket — COMPLETE distinctness, a gram lives in exactly
+         one bucket — then per-gram source pairs and per-source
+         distinct-gram partial counts, both pre-aggregated;
+      3. driver fold over the tiny partial table (≤ S + S²/2 rows per
+         bucket): Jaccard as the integer ``(10000*i) // (na+nb-i)``.
+
+    Only pairs with ``inter >= 1`` appear (the oracle's inner join
+    drops disjoint pairs too). Output sorted by (src_a, src_b)."""
+    import zlib
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, srcs, buckets = [], [], []
+        per_src: dict[str, set] = {}
+        for src, text in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").split()
+            if len(words) < n:
+                gset = {" ".join(words)} if words else set()
+            else:
+                gset = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            per_src.setdefault(src, set()).update(gset)
+        for src, gset in per_src.items():
+            grams.extend(gset)
+            srcs.extend([src] * len(gset))
+            buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gram", "source"])
+        ncnt = g.groupby("source", sort=False).size().reset_index(name="cnt")
+        ncnt.columns = ["src_a", "cnt"]
+        ncnt["src_b"] = ""  # sentinel: per-source distinct-count partial
+        p = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        p = p[p["source_a"] < p["source_b"]]
+        pairs = (
+            p.groupby(["source_a", "source_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .rename(columns={"source_a": "src_a", "source_b": "src_b"})
+        )
+        return pd.concat([ncnt[["src_a", "src_b", "cnt"]], pairs], ignore_index=True)
+
+    parts = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "jaccard_x10k": pa.array([], pa.int64()),
+            }
+        )
+    totals = parts[parts["src_b"] == ""].groupby("src_a")["cnt"].sum()
+    inter = (
+        parts[parts["src_b"] != ""]
+        .groupby(["src_a", "src_b"], sort=True)["cnt"]
+        .sum()
+        .reset_index(name="inter")
+    )
+    inter["n_a"] = inter["src_a"].map(totals).astype("int64")
+    inter["n_b"] = inter["src_b"].map(totals).astype("int64")
+    inter["inter"] = inter["inter"].astype("int64")
+    inter["jaccard_x10k"] = (10000 * inter["inter"]) // (
+        inter["n_a"] + inter["n_b"] - inter["inter"]
+    )
+    out = inter[["src_a", "src_b", "n_a", "n_b", "inter", "jaccard_x10k"]].sort_values(
+        ["src_a", "src_b"], ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_overlap_sql(n: int = 3) -> str:
+    """Exhaustive mirror of :func:`source_overlap` (same gram rule as
+    NGRAM_JACCARD_SQL, keyed by source)."""
+    assert n == 3, "SQL mirror is written for the n=3 default"
+    return """
+WITH words AS (
+    SELECT source,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT source, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT source, COUNT(*) AS nn FROM grams GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(ca.nn AS BIGINT) AS n_a, CAST(cb.nn AS BIGINT) AS n_b, inter,
+       (10000 * inter) // (ca.nn + cb.nn - inter) AS jaccard_x10k
+FROM inter
+JOIN cnt ca ON ca.source = src_a
+JOIN cnt cb ON cb.source = src_b
+ORDER BY src_a, src_b
+"""

@@ -60,6 +60,7 @@ def _oracle_names():
         "source_token_quota",
         "source_distinct_hll",
         "source_token_cms",
+        "source_overlap",
         "doc_quality",
         "doc_quality_classifier",
         "doc_gopher_rules",
@@ -1246,6 +1247,7 @@ class TestRegistryWindow:
             "crawl_order_ranked",
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
             "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk", "ann_lsh_topk",
+            "source_overlap",
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental",
