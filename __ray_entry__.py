@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pre-mixing double-count diagnostic; per-doc join lifted to
         # source keys)
         "source_overlap": textstats.source_overlap,
+        # DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+        # importance weights vs a target collection, top-decile keep —
+        # integer floor-log2 weights so the whole chain SQL-oracles
+        "corpus_dsir_select": curate.dsir_select,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -447,6 +451,7 @@ def _simhash_pairs(sf_dir: str):
 def oracle_sql() -> dict[str, str]:
     from mlscraper_ray.functions import (
         aggregates,
+        curate,
         joins,
         packing,
         scrub,
@@ -496,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
         "source_overlap": textstats.source_overlap_sql(),
+        "corpus_dsir_select": curate.dsir_select_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,

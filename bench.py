@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "corpus_to_training",
         "corpus_curate",
         "corpus_decontaminate",
+        "corpus_dsir_select",
         "source_token_totals",
         "source_temperature_mix",
         "source_overlap",

@@ -478,3 +478,168 @@ WHERE d.doc_id % 97 != 0
   AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 ORDER BY d.doc_id
 """
+
+
+def _dsir_feats(text: str, cache: dict, n_buckets: int):
+    """Hashed unigram+bigram feature ids of one doc (one id per
+    OCCURRENCE). Bucket = md5_number_lower(gram) % n_buckets — the
+    same lower-64 md5 integer DuckDB exposes, so the SQL oracle
+    recomputes identical buckets (the HLL op's trick,
+    textstats.py:663)."""
+    words = (text or "").split()
+    grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    out = []
+    for g in grams:
+        f = cache.get(g)
+        if f is None:
+            f = int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little") % n_buckets
+            cache[g] = f
+        out.append(f)
+    return out
+
+
+def dsir_select(
+    sf_dir: str,
+    target_source: str = "src0",
+    top_denom: int = 10,
+    n_buckets: int = 256,
+) -> pa.Table:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much more likely its hashed
+    n-gram features are under a TARGET distribution (here: the
+    ``target_source`` collection) than under the raw corpus, then keep
+    the top 1/``top_denom`` of the corpus by that weight — the
+    standard recipe for skewing a web-scale crawl toward a
+    high-quality domain.
+
+    Integer-exact formulation (so the whole pipeline SQL-oracles):
+    per feature bucket f, lambda(f) = surp_raw(f) - surp_target(f)
+    with surp(T, c) = bit_length(T // (c+1)) - 1 (the repo's floor
+    log2 with add-one smoothing); per doc, weight = sum of lambda over
+    the doc's feature OCCURRENCES. Docs with no tokens have no
+    features and never enter the ranking (both sides).
+
+    Distributed shape:
+    1. one counting pass: per-batch ``np.bincount`` partials over the
+       ``n_buckets`` feature space (raw + target), merged by the
+       coarse-bucket aggregate — only 256-row partials ever move;
+    2. lambda (256 ints) computed driver-side, broadcast once;
+    3. one scoring pass emitting slim (doc_id, weight) rows;
+    4. distributed sort by (weight DESC, doc_id) + limit — at 10^10
+       docs the top-N boundary would come from a weight histogram
+       (weights are small bounded ints — the event_value_percentiles
+       idiom) instead of a full sort; at corpus scales the sort of
+       two-int rows is the simpler exact path."""
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+    n_docs = docs.count()  # parquet metadata
+    n_keep = n_docs // top_denom
+
+    def count_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        cr = np.zeros(n_buckets, dtype=np.int64)
+        ct = np.zeros(n_buckets, dtype=np.int64)
+        for src, text in zip(batch["source"], batch["text"]):
+            f = _dsir_feats(text, cache, n_buckets)
+            if not f:
+                continue
+            c = np.bincount(f, minlength=n_buckets)
+            cr += c
+            if src == target_source:
+                ct += c
+        return pd.DataFrame(
+            {"f": np.arange(n_buckets, dtype=np.int64), "cr": cr, "ct": ct}
+        )
+
+    counts = (
+        bucketed_aggregate(
+            docs.map_batches(count_partials, batch_format="pandas"),
+            ["f"],
+            {"cr": ("cr", "sum"), "ct": ("ct", "sum")},
+        )
+        .to_pandas()  # bounded: n_buckets rows
+        .set_index("f")
+        .reindex(range(n_buckets), fill_value=0)
+    )
+    t_raw = int(counts["cr"].sum())
+    t_tgt = int(counts["ct"].sum())
+
+    def surp(T: int, c: "pd.Series") -> "pd.Series":
+        return (T // (c + 1)).apply(lambda x: int(x).bit_length() - 1)
+
+    lam = (surp(t_raw, counts["cr"]) - surp(t_tgt, counts["ct"])).to_numpy(dtype=np.int64)
+    lam_ref = ray.put(lam)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lv = ray.get(lam_ref)
+        cache: dict = {}
+        ids, ws = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            f = _dsir_feats(text, cache, n_buckets)
+            if not f:
+                continue
+            ids.append(doc_id)
+            ws.append(int(lv[f].sum()))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "weight": pd.Series(ws, dtype="int64")}
+        )
+
+    from mlscraper_ray.functions.bucketed import coalesce_blocks
+
+    scored = coalesce_blocks(docs.map_batches(score, batch_format="pandas"), n_docs)
+    top = (
+        scored.sort(["weight", "doc_id"], descending=[True, False])
+        .limit(n_keep)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        top[["doc_id", "weight"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def dsir_select_sql(
+    target_source: str = "src0", top_denom: int = 10, n_buckets: int = 256
+) -> str:
+    """Exhaustive SQL mirror of :func:`dsir_select`: same md5 feature
+    buckets, same integer floor-log2 lambda, same top-1/denom cut."""
+    blen = "length(ltrim(bin(CAST({x} AS BIGINT)), '0')) - 1"
+    s_raw = blen.format(x="(SELECT tr FROM tot) // (COALESCE(cr.c, 0) + 1)")
+    s_tgt = blen.format(x="(SELECT tt FROM tot) // (COALESCE(ct.c, 0) + 1)")
+    return f"""
+WITH words AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, source,
+           CAST(md5_number_lower(w[CAST(i AS INTEGER)]) % {n_buckets} AS BIGINT) AS f
+    FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+    UNION ALL
+    SELECT doc_id, source,
+           CAST(md5_number_lower(w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]) % {n_buckets} AS BIGINT) AS f
+    FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 2
+),
+cnt_r AS (SELECT f, COUNT(*) AS c FROM feats GROUP BY f),
+cnt_t AS (SELECT f, COUNT(*) AS c FROM feats WHERE source = '{target_source}' GROUP BY f),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM feats) AS tr,
+           (SELECT COUNT(*) FROM feats WHERE source = '{target_source}') AS tt
+),
+lam AS (
+    SELECT g.f, ({s_raw}) - ({s_tgt}) AS l
+    FROM range({n_buckets}) g(f)
+    LEFT JOIN cnt_r cr ON cr.f = g.f
+    LEFT JOIN cnt_t ct ON ct.f = g.f
+)
+SELECT fe.doc_id, CAST(SUM(lam.l) AS BIGINT) AS weight
+FROM feats fe JOIN lam ON lam.f = fe.f
+GROUP BY fe.doc_id
+QUALIFY ROW_NUMBER() OVER (ORDER BY weight DESC, fe.doc_id)
+        <= (SELECT COUNT(*) FROM documents) // {top_denom}
+ORDER BY weight DESC, doc_id
+"""

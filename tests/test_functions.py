@@ -61,6 +61,7 @@ def _oracle_names():
         "source_distinct_hll",
         "source_token_cms",
         "source_overlap",
+        "corpus_dsir_select",
         "doc_quality",
         "doc_quality_classifier",
         "doc_gopher_rules",
@@ -1247,7 +1248,7 @@ class TestRegistryWindow:
             "crawl_order_ranked",
             "crawl_metrics", "robots_stats", "crawl_counter_totals",
             "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk", "ann_lsh_topk",
-            "source_overlap",
+            "source_overlap", "corpus_dsir_select",
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental",
@@ -1275,6 +1276,39 @@ class TestPageFacets:
         )
         pd.testing.assert_frame_equal(fresh, cached)
         assert len(fresh) > 0
+
+
+class TestDsirSelect:
+    def test_target_source_enriched(self, ray_session):
+        """The point of DSIR: the selected decile must over-represent
+        the target collection. At sf0.001 src0 is 5% of the corpus;
+        anything >= 3 of 50 selected is > 1.2x enrichment (observed:
+        ~5x at both test scales)."""
+        import duckdb
+
+        from mlscraper_ray.functions.curate import dsir_select
+
+        sel = dsir_select(SF_DIR).to_pandas()
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, source FROM '{SF_DIR}/documents.parquet'"
+        ).fetchdf()
+        merged = sel.merge(docs, on="doc_id")
+        n_target = int((merged["source"] == "src0").sum())
+        share = len(docs[docs["source"] == "src0"]) / len(docs)
+        assert len(sel) == len(docs) // 10
+        assert n_target / len(sel) > 2 * share, (n_target, len(sel), share)
+
+    def test_weights_cover_negative_range(self, ray_session):
+        """Weights must exercise both signs (a constant-sign weight
+        column would mean the lambda subtraction is vacuous):
+        top_denom=1 ranks the WHOLE corpus, which at sf0.001 spans
+        -18..+26 with ~180 negative docs."""
+        from mlscraper_ray.functions.curate import dsir_select
+
+        sel = dsir_select(SF_DIR, top_denom=1).to_pandas()
+        assert (sel["weight"] > 0).any()
+        assert (sel["weight"] < 0).any()
 
 
 class TestDecontaminateGuard:
