@@ -537,6 +537,9 @@ def dsir_select(
     )
     n_docs = docs.count()  # parquet metadata
     n_keep = n_docs // top_denom
+    if n_keep == 0:
+        # empty-Dataset to_pandas() drops columns (repo-known hazard)
+        return pa.table({"doc_id": pa.array([], pa.int64()), "weight": pa.array([], pa.int64())})
 
     def count_partials(batch: pd.DataFrame) -> pd.DataFrame:
         cache: dict = {}
