@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # importance weights vs a target collection, top-decile keep —
         # integer floor-log2 weights so the whole chain SQL-oracles
         "corpus_dsir_select": curate.dsir_select,
+        # positional phrase search: consecutive-token match count per
+        # doc (the capability bag-of-words BM25 can't express), same
+        # zero-shuffle partial-top-k plan
+        "text_search_phrase": search.phrase_topk,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -525,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_sql(),
         "text_search_bm25": search.bm25_topk_sql(),
         "text_search_bm25_indexed": search.bm25_indexed_topk_sql(),
+        "text_search_phrase": search.phrase_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),

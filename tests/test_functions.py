@@ -79,6 +79,7 @@ def _oracle_names():
         "corpus_dedup_canonical",
         "text_search_bm25",
         "text_search_bm25_indexed",
+        "text_search_phrase",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
@@ -1251,7 +1252,7 @@ class TestRegistryWindow:
             "source_overlap", "corpus_dsir_select",
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
-            "dedup_minhash_incremental",
+            "dedup_minhash_incremental", "text_search_phrase",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1486,6 +1487,56 @@ class TestBM25Search:
         a = bm25_topk(str(d1), terms=("alpha", "gamma")).to_pandas()
         b = bm25_topk(str(d2), terms=("alpha", "gamma")).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPhraseSearch:
+    def test_consecutive_semantics_on_crafted_corpus(self, ray_session, tmp_path):
+        """Positional contract: only CONSECUTIVE occurrences count
+        (reversed order / interleaved words don't), overlapping hits
+        all count, case-folds, and a 3-token phrase needs all three
+        in a row."""
+        from mlscraper_ray.functions.search import phrase_topk
+
+        texts = [
+            "part filter part filter done",   # 0: two hits
+            "filter part nothing",            # 1: reversed -> no hit
+            "part x filter",                  # 2: interleaved -> no hit
+            "PART Filter",                    # 3: case-folded hit
+            "part",                           # 4: shorter than phrase
+            "",                               # 5: empty
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10).to_pandas()
+        got = dict(zip(out["doc_id"], out["n_hits"]))
+        assert got == {0: 2, 3: 1}
+        assert out["doc_id"].tolist() == [0, 3]  # hits DESC, doc_id ASC
+
+        tri = phrase_topk(
+            str(tmp_path), phrase=("part", "filter", "part"), k=10
+        ).to_pandas()
+        assert dict(zip(tri["doc_id"], tri["n_hits"])) == {0: 1}
+
+    def test_no_cross_document_matches(self, ray_session, tmp_path):
+        """A phrase ending one doc and starting the next must NOT
+        match — the flattened-batch scan masks doc boundaries."""
+        from mlscraper_ray.functions.search import phrase_topk
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["ends with part", "filter starts"], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
 
 
 class TestSemDeDup:
