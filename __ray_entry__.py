@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc (the capability bag-of-words BM25 can't express), same
         # zero-shuffle partial-top-k plan
         "text_search_phrase": search.phrase_topk,
+        # CCNet-style head/middle/tail corpus terciles by per-token
+        # surprisal rank — value-histogram rank, only boundary
+        # tie-groups ever pulled
+        "doc_perplexity_buckets": textstats.doc_perplexity_buckets,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -508,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_select": curate.dsir_select_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
+        "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "doc_tfidf_top_terms": _tfidf_sql(),

@@ -776,6 +776,34 @@ def doc_unigram_surprisal(
     score high, boilerplate scores low. Empty docs carry no tokens and
     are absent (matching the SQL words CTE).
 
+    Distributed plan: see :func:`_unigram_scored_ds` (shared with the
+    perplexity-bucket partitioner)."""
+    return _fold_surprisal(_unigram_scored_ds(sf_dir, broadcast_limit))
+
+
+def _fold_surprisal(scored: "ray.data.Dataset") -> pa.Table:
+    out = scored.to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_tokens", "surprisal_sum", "mean_milli")
+            }
+        )
+    out = out.astype("int64")
+    out["mean_milli"] = (1000 * out["surprisal_sum"]) // out["n_tokens"]
+    out = out[["doc_id", "n_tokens", "surprisal_sum", "mean_milli"]].sort_values(
+        "doc_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _unigram_scored_ds(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Scored Dataset (doc_id, n_tokens, surprisal_sum) behind both
+    surprisal-family operators.
+
     Distributed plan: per-batch LOCAL (word, cnt) partials fold
     through the coarse-bucket aggregate into the corpus count table
     (the source_top_terms shape); T is one distributed sum. The
@@ -804,21 +832,17 @@ def doc_unigram_surprisal(
     total = int(counts.sum("cnt") or 0)
     vocab = counts.count()
 
-    def fold(scored: ray.data.Dataset) -> pa.Table:
-        out = scored.to_pandas()
-        if len(out) == 0:
-            return pa.table(
+    if total == 0:
+        # all-empty corpus: empty Dataset to_pandas() drops columns
+        # (repo-documented hazard), so hand back a TYPED empty table
+        return ray.data.from_arrow(
+            pa.table(
                 {
                     c: pa.array([], pa.int64())
-                    for c in ("doc_id", "n_tokens", "surprisal_sum", "mean_milli")
+                    for c in ("doc_id", "n_tokens", "surprisal_sum")
                 }
             )
-        out = out.astype("int64")
-        out["mean_milli"] = (1000 * out["surprisal_sum"]) // out["n_tokens"]
-        out = out[["doc_id", "n_tokens", "surprisal_sum", "mean_milli"]].sort_values(
-            "doc_id", ignore_index=True
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     if vocab <= broadcast_limit:
         # driver pull bounded by the vocabulary COUNT; one streaming
@@ -848,7 +872,7 @@ def doc_unigram_surprisal(
                 }
             )
 
-        return fold(docs.map_batches(score, batch_format="pandas"))
+        return docs.map_batches(score, batch_format="pandas")
 
     # scale path: per-doc (word, occ) partials meet the count table in
     # crc32(word) buckets; doc scores fold through the coarse bucket
@@ -924,10 +948,9 @@ def doc_unigram_surprisal(
         .groupby("bucket")
         .map_groups(join_score, batch_format="pandas")
     )
-    scored = bucketed_aggregate(
+    return bucketed_aggregate(
         flags, ["doc_id"], {"surprisal_sum": ("s", "sum"), "n_tokens": ("n", "sum")}
     )
-    return fold(scored)
 
 
 def _local_word_counts(texts: pd.Series) -> pd.DataFrame:
@@ -1739,4 +1762,144 @@ FROM inter
 JOIN cnt ca ON ca.source = src_a
 JOIN cnt cb ON cb.source = src_b
 ORDER BY src_a, src_b
+"""
+
+
+def doc_perplexity_buckets(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.
+    2020): rank every document by its per-token unigram surprisal
+    (integer ``mean_milli`` from the shared scorer, doc_id tiebreak)
+    and cut the ranking into exact terciles — ``head`` = most fluent
+    third, ``tail`` = most atypical. Returns (doc_id, mean_milli,
+    bucket) ordered by doc_id.
+
+    Distributed plan (100 TB-ready): the global rank is NEVER computed
+    doc-by-doc on the driver. ``mean_milli`` has a bounded value range
+    (per-token surprisal < 64 bits -> values in [0, 64000]), so a
+    coarse-bucket VALUE histogram (tiny) is pulled instead; cumulative
+    counts give every value group's rank interval, which lands
+    entirely inside one tercile for all but the <= 2 straddling
+    values. Only those boundary tie-groups' doc_ids are pulled and
+    ordered (bounded by the tie-group size); classification is then
+    one streaming pass over broadcast dicts — the same
+    histogram+boundary shape as ``event_value_percentiles`` and
+    ``source_token_quota``."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "mean_milli": (
+                    1000 * df["surprisal_sum"].astype("int64")
+                )
+                // df["n_tokens"].astype("int64"),
+            }
+        )
+
+    mds = (
+        _unigram_scored_ds(sf_dir, broadcast_limit)
+        .map_batches(mm, batch_format="pandas")
+        .materialize()
+    )
+
+    hist = bucketed_aggregate(
+        mds.map_batches(
+            lambda df: df.groupby("mean_milli", sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["mean_milli"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    if len(hist) == 0:
+        # empty to_pandas drops columns — check BEFORE touching them
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "mean_milli": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.string()),
+            }
+        )
+    hist = hist.sort_values("mean_milli", ignore_index=True)
+    n = int(hist["cnt"].sum())
+
+    def bucket_of(rk: int) -> str:
+        # identical to the SQL CASE: 0-indexed rank, exact thirds
+        return "head" if 3 * rk < n else ("middle" if 3 * rk < 2 * n else "tail")
+
+    starts = hist["cnt"].cumsum().shift(fill_value=0).astype("int64")
+    val2bucket: dict[int, str] = {}
+    boundary: list[tuple[int, int]] = []  # (value, first rank)
+    for v, s, c in zip(hist["mean_milli"], starts, hist["cnt"]):
+        v, s, c = int(v), int(s), int(c)
+        if bucket_of(s) == bucket_of(s + c - 1):
+            val2bucket[v] = bucket_of(s)
+        else:
+            boundary.append((v, s))
+
+    boundary_docs: dict[int, str] = {}
+    if boundary:
+        bvals = {v for v, _ in boundary}
+        bdf = mds.map_batches(
+            lambda df, bv=bvals: df[df["mean_milli"].isin(bv)],
+            batch_format="pandas",
+        ).to_pandas()
+        for v, s in boundary:
+            for j, did in enumerate(sorted(bdf.loc[bdf["mean_milli"] == v, "doc_id"])):
+                boundary_docs[int(did)] = bucket_of(s + j)
+
+    v_ref = ray.put(val2bucket)
+    b_ref = ray.put(boundary_docs)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        v = cached_object(v_ref)
+        b = cached_object(b_ref)
+        out = df.copy()
+        out["bucket"] = [
+            b.get(int(d)) or v[int(m)]
+            for d, m in zip(df["doc_id"], df["mean_milli"])
+        ]
+        return out
+
+    out = (
+        mds.map_batches(classify, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["mean_milli"] = out["mean_milli"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "mean_milli", "bucket"]], preserve_index=False
+    )
+
+
+DOC_PERPLEXITY_BUCKETS_SQL = """
+WITH words AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+tot AS (SELECT COUNT(*) AS t FROM words),
+scored AS (
+    SELECT w.doc_id,
+           length(ltrim(bin(CAST((SELECT t FROM tot) // c.c AS BIGINT)), '0')) - 1 AS s
+    FROM words w JOIN counts c USING (word)
+),
+docs AS (SELECT doc_id, (1000 * SUM(s)) // COUNT(*) AS m FROM scored GROUP BY doc_id),
+ranked AS (
+    SELECT doc_id, m,
+           ROW_NUMBER() OVER (ORDER BY m, doc_id) - 1 AS rk,
+           COUNT(*) OVER () AS n
+    FROM docs
+)
+SELECT doc_id, CAST(m AS BIGINT) AS mean_milli,
+       CASE WHEN 3 * rk < n THEN 'head'
+            WHEN 3 * rk < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
 """

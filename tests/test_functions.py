@@ -52,6 +52,7 @@ def _oracle_names():
         "corpus_to_training",
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
+        "doc_perplexity_buckets",
         "doc_token_stats",
         "doc_bpe_token_stats",
         "doc_tfidf_top_terms",
@@ -1253,6 +1254,7 @@ class TestRegistryWindow:
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental", "text_search_phrase",
+            "doc_perplexity_buckets",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1537,6 +1539,43 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestPerplexityBuckets:
+    def test_boundary_tie_group_split_by_doc_id(self, ray_session, tmp_path):
+        """One mean_milli value group straddling BOTH tercile cutoffs
+        must split by doc_id rank — the histogram fast path alone
+        cannot decide these rows, so this pins the boundary pull."""
+        from mlscraper_ray.functions.textstats import doc_perplexity_buckets
+
+        # 6 identical docs -> one value group covering all ranks 0..5;
+        # cutoffs at rank 2 and 4 land inside it
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(["alpha beta gamma"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = doc_perplexity_buckets(str(tmp_path)).to_pandas()
+        assert out["bucket"].tolist() == [
+            "head", "head", "middle", "middle", "tail", "tail"
+        ]
+        assert out["mean_milli"].nunique() == 1
+
+    def test_empty_corpus_typed_schema(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import doc_perplexity_buckets
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([""], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = doc_perplexity_buckets(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "mean_milli", "bucket"]
 
 
 class TestSemDeDup:
