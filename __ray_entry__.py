@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surprisal rank — value-histogram rank, only boundary
         # tie-groups ever pulled
         "doc_perplexity_buckets": textstats.doc_perplexity_buckets,
+        # Johnson-Lindenstrauss signed random projection: md5-derived
+        # ±1 matrix, exact integer dot products, one streaming matmul
+        # pass — the dimensionality-reduction stage before clustering
+        "embed_random_projection": similarity.embed_random_projection,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -541,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
         "embed_pq_codes": similarity.embed_pq_codes_sql(),
+        "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

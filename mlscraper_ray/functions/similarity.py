@@ -1726,3 +1726,90 @@ ORDER BY dist2, vec_id
 LIMIT {k}"""
     )
     return "".join(parts)
+
+
+# -- random projection ----------------------------------------------------
+
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_signs(d_out: int, dim: int) -> np.ndarray:
+    """±1 sign matrix (d_out x dim) for the random projection, each
+    entry the md5 parity of ``rp:{j}:{i}`` — the same
+    derive-the-randomness-from-md5 move as :func:`_lsh_planes`, so the
+    SQL oracle recomputes the IDENTICAL matrix instead of trusting a
+    shipped literal. Worker-global cache: built once per process."""
+    key = (d_out, dim)
+    if key not in _RP_SIGN_CACHE:
+        import hashlib
+
+        H = np.empty((d_out, dim), dtype=np.int64)
+        for j in range(d_out):
+            for i in range(dim):
+                hx = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
+                H[j, i] = 1 if int(hx[0], 16) % 2 == 0 else -1
+        _RP_SIGN_CACHE[key] = H
+    return _RP_SIGN_CACHE[key]
+
+
+def embed_random_projection(sf_dir: str, d_out: int = 8) -> pa.Table:
+    """Signed random projection (Achlioptas 2003 / Johnson-
+    Lindenstrauss): reduce each embedding to ``d_out`` dimensions via
+    a deterministic ±1 matrix — the cheap dimensionality-reduction
+    stage in front of clustering / near-dup at scale. Returns
+    (vec_id, p0..p{d_out-1}) with each component the EXACT integer dot
+    product of the fixed-point-quantized vector (floor(x*10000+0.5),
+    no offset — the projection is multiply+add only, so negative
+    values carry no truncate-vs-floor hazard) with a sign row.
+
+    Plan shape: one streaming ``map_batches`` pass, one int64 matmul
+    per batch against the worker-cached sign matrix. Zero shuffle,
+    zero driver state."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        q = np.floor(mat * _KQ_SCALE + 0.5).astype(np.int64)
+        S = _rp_signs(d_out, q.shape[1] if len(ids) else 0)
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        proj = q @ S.T if len(ids) else np.zeros((0, d_out), dtype=np.int64)
+        for j in range(d_out):
+            cols[f"p{j}"] = pa.array(proj[:, j], pa.int64())
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_random_projection_sql(d_out: int = 8, dim: int = 64) -> str:
+    """DuckDB oracle deriving the SAME sign matrix from md5 parity and
+    the same no-offset quantization; one conditional-aggregation pivot
+    back to columns."""
+    pcols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN p.j = {j} THEN p.s * q.v ELSE 0 END) AS BIGINT) AS p{j}"
+        for j in range(d_out)
+    )
+    return f"""
+WITH proj AS (
+    SELECT j, i,
+           CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN 1 ELSE -1 END AS s
+    FROM UNNEST(generate_series(0, {d_out - 1})) tj(j),
+         UNNEST(generate_series(0, {dim - 1})) ti(i)
+),
+q AS (
+    SELECT vec_id, i,
+           CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {_KQ_SCALE} + 0.5) AS BIGINT) AS v
+    FROM embeddings, UNNEST(generate_series(0, {dim - 1})) t(i)
+)
+SELECT q.vec_id,
+       {pcols}
+FROM q JOIN proj p USING (i)
+GROUP BY q.vec_id
+ORDER BY q.vec_id
+"""

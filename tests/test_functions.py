@@ -91,6 +91,7 @@ def _oracle_names():
         "embed_kmeans_int",
         "embed_semdedup",
         "embed_pq_codes",
+        "embed_random_projection",
         "embed_neardup_pairs",
         "multimodal_features",
         "sessionize",
@@ -1254,7 +1255,7 @@ class TestRegistryWindow:
             "learn_plan", "learn_plan_parallel",
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental", "text_search_phrase",
-            "doc_perplexity_buckets",
+            "doc_perplexity_buckets", "embed_random_projection",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1539,6 +1540,36 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestRandomProjection:
+    def test_one_hot_vectors_read_out_sign_columns(self, ray_session, tmp_path):
+        """A one-hot embedding at dim i must project to exactly
+        10000 * sign(j, i) in every output component — pins the
+        quantization scale, the md5 sign derivation and the matmul."""
+        from mlscraper_ray.functions.similarity import (
+            _rp_signs,
+            embed_random_projection,
+        )
+
+        dim = 64
+        vecs = []
+        for i in (0, 17, 63):
+            v = [0.0] * dim
+            v[i] = 1.0
+            vecs.append(v)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = embed_random_projection(str(tmp_path)).to_pandas()
+        S = _rp_signs(8, dim)
+        for row, i in zip(out.itertuples(index=False), (0, 17, 63)):
+            for j in range(8):
+                assert getattr(row, f"p{j}") == 10000 * S[j, i]
 
 
 class TestPerplexityBuckets:
