@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ±1 matrix, exact integer dot products, one streaming matmul
         # pass — the dimensionality-reduction stage before clustering
         "embed_random_projection": similarity.embed_random_projection,
+        # data-constrained epoch mixing: under-sized sources repeat up
+        # to max_epochs times, each doc carrying its epoch index —
+        # broadcast epoch map + streaming worker-side flat repeat
+        "source_epoch_mix": textstats.source_epoch_mix,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -522,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_temperature_mix": textstats.source_temperature_mix_sql(),
+        "source_epoch_mix": textstats.source_epoch_mix_sql(),
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,
         "source_distinct_hll": textstats.SOURCE_DISTINCT_TOKENS_HLL_SQL,
         "source_token_cms": textstats.SOURCE_TOKEN_CMS_SQL,

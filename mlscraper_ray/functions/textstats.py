@@ -1903,3 +1903,86 @@ SELECT doc_id, CAST(m AS BIGINT) AS mean_milli,
             ELSE 'tail' END AS bucket
 FROM ranked ORDER BY doc_id
 """
+
+
+def source_epoch_mix(sf_dir: str, target_tokens: int = 2700, max_epochs: int = 4) -> pa.Table:
+    """Epoch-based source repetition (the data-constrained mixing move
+    of Muennighoff et al. 2023: repeat under-sized sources up to a few
+    epochs instead of exhausting the budget on one pass): a source with
+    ``t`` total tokens is repeated ``clamp(target_tokens // t, 1,
+    max_epochs)`` times, and every document carries its epoch index.
+    Returns (doc_id, source, epoch) ordered by (doc_id, epoch) —
+    epoch >= 2 rows are the deterministic repeats a downstream packer
+    would interleave.
+
+    Plan shape (100 TB-ready): per-batch token-count partials fold to
+    the tiny per-source table (one small groupby); the epoch map is a
+    broadcast dict; repetition is one streaming flat-map — a doc is
+    duplicated AT THE WORKER, never the driver. No all-to-all."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "n": batch["text"].str.findall(_WORD_RE).str.len().astype("int64"),
+            }
+        )
+        return out.groupby("source", as_index=False).agg(n=("n", "sum"))
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .sum("n")
+        .to_pandas()
+    )
+    epochs = {
+        s: max(1, min(max_epochs, target_tokens // int(t)))
+        for s, t in zip(totals["source"], totals["sum(n)"])
+        if int(t) > 0
+    }
+    e_ref = ray.put(epochs)
+
+    def repeat(batch: pd.DataFrame) -> pd.DataFrame:
+        em = cached_object(e_ref)
+        reps = batch["source"].map(lambda s: em.get(s, 1)).astype("int64")
+        idx = batch.index.repeat(reps)
+        out = batch.loc[idx, ["doc_id", "source"]].reset_index(drop=True)
+        out["epoch"] = [
+            k for r in reps for k in range(1, r + 1)
+        ]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["epoch"] = pd.Series(out["epoch"], dtype="int64")
+        return out
+
+    out = (
+        ds.map_batches(repeat, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_epoch_mix_sql(target_tokens: int = 2700, max_epochs: int = 4) -> str:
+    return f"""
+WITH tk AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n
+    FROM documents
+),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM tk GROUP BY source),
+ep AS (
+    SELECT source,
+           CASE WHEN t > 0 THEN GREATEST(1, LEAST({max_epochs}, {target_tokens} // t))
+                ELSE 1 END AS e
+    FROM tot
+)
+SELECT d.doc_id, d.source, CAST(k AS BIGINT) AS epoch
+FROM documents d
+JOIN ep USING (source),
+     UNNEST(generate_series(1, ep.e)) t(k)
+ORDER BY d.doc_id, epoch
+"""

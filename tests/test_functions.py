@@ -58,6 +58,7 @@ def _oracle_names():
         "doc_tfidf_top_terms",
         "source_token_totals",
         "source_temperature_mix",
+        "source_epoch_mix",
         "source_token_quota",
         "source_distinct_hll",
         "source_token_cms",
@@ -1256,6 +1257,7 @@ class TestRegistryWindow:
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental", "text_search_phrase",
             "doc_perplexity_buckets", "embed_random_projection",
+            "source_epoch_mix",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1540,6 +1542,31 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestSourceEpochMix:
+    def test_clamp_semantics(self, ray_session, tmp_path):
+        """Tiny sources clamp to max_epochs, oversized ones to 1, and
+        a zero-token source still yields exactly one epoch."""
+        from mlscraper_ray.functions.textstats import source_epoch_mix
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "source": pa.array(["tiny", "big", "big", "empty"], pa.string()),
+                "text": pa.array(
+                    ["two words", "w " * 200, "w " * 200, ""], pa.string()
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = source_epoch_mix(
+            str(tmp_path), target_tokens=100, max_epochs=4
+        ).to_pandas()
+        by_doc = out.groupby("doc_id")["epoch"].max().to_dict()
+        # tiny: 100 // 2 = 50 -> clamped to 4; big: 100 // 400 = 0 -> 1
+        assert by_doc == {0: 4, 1: 1, 2: 1, 3: 1}
+        assert out.loc[out["doc_id"] == 0, "epoch"].tolist() == [1, 2, 3, 4]
 
 
 class TestRandomProjection:
