@@ -270,6 +270,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to max_epochs times, each doc carrying its epoch index —
         # broadcast epoch map + streaming worker-side flat repeat
         "source_epoch_mix": textstats.source_epoch_mix,
+        # bloom content-seen screen with a FULL SQL mirror (md5 double
+        # hashing; deliberately undersized so false positives are
+        # value-pinned too) — the queryable twin of the frontier's
+        # seen-set primitive
+        "dedup_bloom_screen": dedup.bloom_screen,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -490,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
         "dedup_exact": dedup_exact_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "dedup_bloom_screen": _bloom_screen_sql(),
         "dedup_minhash_incremental": _minhash_incremental_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_containment": _ngram_containment_sql(),
@@ -659,6 +665,12 @@ def _dedup_incremental_sql() -> str:
     from mlscraper_ray.functions.dedup import incremental_dedup_sql
 
     return incremental_dedup_sql()
+
+
+def _bloom_screen_sql() -> str:
+    from mlscraper_ray.functions.dedup import bloom_screen_sql
+
+    return bloom_screen_sql()
 
 
 def _minhash_incremental_sql() -> str:

@@ -1451,3 +1451,110 @@ FROM new_groups n
 WHERE n.h NOT IN (SELECT h FROM hashed WHERE is_prior)
 ORDER BY n.doc_id
 """
+
+
+# -- bloom content-seen screen --------------------------------------------
+
+
+def _bloom_positions_py(text: str, k: int, m_bits: int) -> list[int]:
+    """Double-hashed probe positions from the two md5 halves —
+    int.from_bytes parity with DuckDB's md5_number_lower/upper is
+    pinned by the oracle itself."""
+    import hashlib
+
+    d = hashlib.md5(text.encode()).digest()
+    h1 = int.from_bytes(d[8:16], "little")
+    h2 = int.from_bytes(d[:8], "little")
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_screen(
+    sf_dir: str, k: int = 4, m_bits: int = 1024
+) -> pa.Table:
+    """Bloom-filter content-seen screen, the URL-seen-set primitive as
+    a QUERYABLE operator with a full SQL mirror: build a bloom over
+    the even-doc_id half of the corpus ("snapshot A"), then probe
+    EVERY document — even docs are guaranteed true positives, odd docs
+    hit only through bloom false positives, so both the set-bit path
+    and the FP semantics are value-pinned. Returns (doc_id, hit)
+    ordered by doc_id.
+
+    ``m_bits`` is deliberately UNDERSIZED (1024 bits for ~250 keys ->
+    ~15% FPR) so false positives actually occur at test scale; the
+    production seen-set geometry (43.1 bits/key, k=30, 1e-9 FPR) is
+    the frontier's ``state/bloom.py`` and is pinned separately by
+    tests/test_state.py::test_bloom_design_point. The frontier filter
+    hashes with blake2b (not SQL-reproducible); this operator uses
+    md5 double hashing so DuckDB rebuilds the IDENTICAL bit set.
+
+    Plan shape (100 TB-ready): A-side probe positions flat-map out as
+    slim int rows and fold through the coarse-bucket DISTINCT — the
+    driver pull is bounded by ``m_bits`` (a constant), never by corpus
+    size; the probe pass is one streaming map over a broadcast
+    frozenset. One tiny shuffle, no all-to-all of document data."""
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def a_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[batch["doc_id"] % 2 == 0]
+        pos: list[int] = []
+        for t in a["text"]:
+            pos.extend(_bloom_positions_py(t, k, m_bits))
+        return pd.DataFrame({"p": pd.Series(sorted(set(pos)), dtype="int64")})
+
+    bits = bucketed_aggregate(
+        docs.map_batches(a_positions, batch_format="pandas"),
+        ["p"],
+        {"cnt": ("p", "count")},
+    ).to_pandas()
+    bit_set = frozenset(int(p) for p in bits["p"]) if len(bits) else frozenset()
+    b_ref = ray.put(bit_set)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        s = cached_object(b_ref)
+        hit = [
+            all(p in s for p in _bloom_positions_py(t, k, m_bits))
+            for t in batch["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "hit": pd.Series(hit, dtype="bool"),
+            }
+        )
+
+    out = (
+        docs.map_batches(probe, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bloom_screen_sql(k: int = 4, m_bits: int = 1024) -> str:
+    """DuckDB mirror: rebuild the same distinct-position set from the
+    md5 halves (HUGEINT math — UBIGINT h1 + i*h2 would overflow), then
+    a per-doc bool_and over the k probes."""
+    return f"""
+WITH pos AS (
+    SELECT DISTINCT
+           (CAST(md5_number_lower(text) AS HUGEINT)
+            + i * CAST(md5_number_upper(text) AS HUGEINT)) % {m_bits} AS p
+    FROM documents, UNNEST(generate_series(0, {k - 1})) t(i)
+    WHERE doc_id % 2 = 0
+),
+probes AS (
+    SELECT doc_id,
+           (CAST(md5_number_lower(text) AS HUGEINT)
+            + i * CAST(md5_number_upper(text) AS HUGEINT)) % {m_bits} AS p
+    FROM documents, UNNEST(generate_series(0, {k - 1})) t(i)
+)
+SELECT pr.doc_id, bool_and(pos.p IS NOT NULL) AS hit
+FROM probes pr LEFT JOIN pos ON pr.p = pos.p
+GROUP BY pr.doc_id
+ORDER BY pr.doc_id
+"""

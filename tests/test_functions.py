@@ -37,6 +37,7 @@ def _oracle_names():
         "events_range_join",
         "dedup_exact",
         "dedup_incremental",
+        "dedup_bloom_screen",
         "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
@@ -1257,7 +1258,7 @@ class TestRegistryWindow:
             "source_temperature_mix", "doc_scrub_dup_runs",
             "dedup_minhash_incremental", "text_search_phrase",
             "doc_perplexity_buckets", "embed_random_projection",
-            "source_epoch_mix",
+            "source_epoch_mix", "dedup_bloom_screen",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1542,6 +1543,29 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestBloomScreen:
+    def test_true_positives_and_fp_rate_shape(self, ray_session, tmp_path):
+        """A duplicate of an A-side text planted in B must hit; a
+        well-sized filter (large m_bits) must produce ZERO false
+        positives on distinct texts."""
+        from mlscraper_ray.functions.dedup import bloom_screen
+
+        texts = [f"unique text number {i} with words" for i in range(20)]
+        texts[1] = texts[0]  # doc 1 (odd, B side) duplicates doc 0 (A side)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = bloom_screen(str(tmp_path), m_bits=1 << 20).to_pandas()
+        got = dict(zip(out["doc_id"], out["hit"]))
+        assert all(got[i] for i in range(0, 20, 2))  # A side: always seen
+        assert got[1]                                # planted duplicate
+        assert not any(got[i] for i in range(3, 20, 2))  # no FPs at 2^20 bits
 
 
 class TestSourceEpochMix:
