@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-pinned too) — the queryable twin of the frontier's
         # seen-set primitive
         "dedup_bloom_screen": dedup.bloom_screen,
+        # frontier admission screen: scheme / binary-extension /
+        # blocked-host / depth / query gates, expected-verdict oracle
+        # per synthesized candidate
+        "frontier_url_filter": urls.frontier_url_filter,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -551,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search_bm25_indexed": search.bm25_indexed_topk_sql(),
         "text_search_phrase": search.phrase_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
+        "frontier_url_filter": _frontier_filter_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
@@ -695,6 +700,12 @@ def _url_dedup_sql() -> str:
     from mlscraper_ray.functions.urls import URL_CANONICAL_DEDUP_SQL
 
     return URL_CANONICAL_DEDUP_SQL
+
+
+def _frontier_filter_sql() -> str:
+    from mlscraper_ray.functions.urls import FRONTIER_URL_FILTER_SQL
+
+    return FRONTIER_URL_FILTER_SQL
 
 
 def _tfidf_sql() -> str:

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "wet_curate",
         "dedup_exact",
         "dedup_incremental",
+        "dedup_bloom_screen",
         "dedup_minhash",
         "dedup_minhash_incremental",
         "neardup_clusters",
@@ -176,6 +177,7 @@ def run_bench() -> dict:
         "corpus_dsir_select",
         "source_token_totals",
         "source_temperature_mix",
+        "source_epoch_mix",
         "source_overlap",
         "source_token_quota",
         "source_distinct_hll",
@@ -183,6 +185,7 @@ def run_bench() -> dict:
         "doc_bpe_token_stats",
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
+        "doc_perplexity_buckets",
         "doc_quality",
         "doc_quality_classifier",
         "doc_gopher_rules",
@@ -190,8 +193,10 @@ def run_bench() -> dict:
         "doc_pii_scrub",
         "corpus_split",
         "url_canonical_dedup",
+        "frontier_url_filter",
         "text_search_bm25",
         "text_search_bm25_indexed",
+        "text_search_phrase",
         "ann_cosine_topk",
         "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",
@@ -203,6 +208,7 @@ def run_bench() -> dict:
         "embed_kmeans_int",
         "embed_semdedup",
         "embed_pq_codes",
+        "embed_random_projection",
         "sessionize",
         "hourly_event_counts",
         "sliding_window_counts",

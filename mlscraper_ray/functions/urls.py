@@ -150,3 +150,113 @@ FROM variants
 GROUP BY canonical
 ORDER BY canonical
 """
+
+
+# -- frontier admission filter --------------------------------------------
+
+_BINARY_EXTS = frozenset(
+    (".jpg", ".jpeg", ".png", ".gif", ".pdf", ".zip", ".gz", ".mp4", ".mp3",
+     ".exe", ".iso", ".tar", ".webp", ".avi", ".mov", ".css", ".js")
+)
+_BLOCKED_HOST_LABELS = frozenset(("spam", "ads", "tracker"))
+
+
+def classify_frontier_url(
+    url: str, max_path_depth: int = 6, max_query_len: int = 64
+) -> tuple[bool, str]:
+    """Frontier admission verdict for one candidate URL — the screen a
+    crawler applies BEFORE a url ever reaches the seen-set/politeness
+    machinery (scheme gate, binary/media extension gate, blocklisted
+    host label, path-depth bound, query-length bound). Returns
+    (keep, reason), reason 'ok' when kept; the FIRST failing rule in
+    the order above names the reason (deterministic, order is part of
+    the contract)."""
+    parts = urlsplit(url)
+    if parts.scheme.lower() not in ("http", "https"):
+        return False, "scheme"
+    path = parts.path or "/"
+    dot = path.rfind(".")
+    if dot > path.rfind("/") and path[dot:].lower() in _BINARY_EXTS:
+        return False, "extension"
+    host = (parts.hostname or "").lower()
+    if any(lbl in _BLOCKED_HOST_LABELS for lbl in host.split(".")):
+        return False, "host"
+    depth = len([s for s in path.split("/") if s])
+    if depth > max_path_depth:
+        return False, "depth"
+    if len(parts.query) > max_query_len:
+        return False, "query"
+    return True, "ok"
+
+
+def frontier_url_filter(sf_dir: str) -> pa.Table:
+    """Registry entry: synthesize a deterministic six-variant
+    candidate-URL table per document (one admissible spelling + one
+    per drop rule + one extension spelling that flips keep/drop on
+    doc_id % 3), classify every candidate with the REAL
+    :func:`classify_frontier_url`, return (url, keep, reason) ordered
+    by url. The oracle states each variant's EXPECTED verdict as a
+    literal (never reimplementing the classifier), so any rule
+    regression — order included — flips the hash.
+
+    Plan shape: one streaming flat-map (synthesize + classify in the
+    worker), no shuffle; the driver pull is the compare contract
+    only — the production twin is the Dataset before ``to_pandas``."""
+
+    def variants(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple[str, bool, str]] = []
+        for doc_id, source in zip(batch["doc_id"], batch["source"]):
+            base = f"https://{source}.example.com"
+            ext = (".jpg", ".html", ".pdf")[int(doc_id) % 3]
+            cands = (
+                f"{base}/docs/{doc_id}",
+                f"ftp://{source}.example.com/docs/{doc_id}",
+                f"{base}/img/{doc_id}{ext}",
+                f"https://{source}.spam.example.com/docs/{doc_id}",
+                f"{base}/a/b/c/d/e/f/g/{doc_id}",
+                f"{base}/docs/{doc_id}?x=" + "q" * 70,
+            )
+            for u in cands:
+                keep, reason = classify_frontier_url(u)
+                rows.append((u, keep, reason))
+        return pd.DataFrame(rows, columns=["url", "keep", "reason"]).astype(
+            {"url": str, "keep": bool, "reason": str}
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = (
+        docs.map_batches(variants, batch_format="pandas")
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Expected-verdict oracle: every synthesized candidate appears with
+# its REQUIRED (keep, reason) literal.
+FRONTIER_URL_FILTER_SQL = """
+WITH v AS (
+    SELECT 'https://' || source || '.example.com' AS base, doc_id, source,
+           CASE doc_id % 3 WHEN 0 THEN '.jpg' WHEN 1 THEN '.html' ELSE '.pdf' END AS ext,
+           doc_id % 3 = 1 AS ext_keep
+    FROM documents
+),
+c AS (
+    SELECT base || '/docs/' || doc_id AS url, TRUE AS keep, 'ok' AS reason FROM v
+    UNION ALL
+    SELECT 'ftp://' || (base[9:]) || '/docs/' || doc_id, FALSE, 'scheme' FROM v
+    UNION ALL
+    SELECT base || '/img/' || doc_id || ext,
+           ext_keep, CASE WHEN ext_keep THEN 'ok' ELSE 'extension' END FROM v
+    UNION ALL
+    SELECT 'https://' || source || '.spam.example.com/docs/' || doc_id,
+           FALSE, 'host' FROM v
+    UNION ALL
+    SELECT base || '/a/b/c/d/e/f/g/' || doc_id, FALSE, 'depth' FROM v
+    UNION ALL
+    SELECT base || '/docs/' || doc_id || '?x=' || repeat('q', 70), FALSE, 'query' FROM v
+)
+SELECT url, keep, reason FROM c ORDER BY url
+"""

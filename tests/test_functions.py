@@ -77,6 +77,7 @@ def _oracle_names():
         "corpus_curate",
         "corpus_decontaminate",
         "url_canonical_dedup",
+        "frontier_url_filter",
         "dedup_minhash",
         "neardup_clusters",
         "corpus_dedup_canonical",
@@ -1259,6 +1260,7 @@ class TestRegistryWindow:
             "dedup_minhash_incremental", "text_search_phrase",
             "doc_perplexity_buckets", "embed_random_projection",
             "source_epoch_mix", "dedup_bloom_screen",
+            "frontier_url_filter",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1543,6 +1545,27 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestFrontierUrlFilter:
+    def test_rule_semantics_and_order(self):
+        """Each gate fires on its own; when several apply, the FIRST
+        rule in the documented order names the reason."""
+        from mlscraper_ray.functions.urls import classify_frontier_url as c
+
+        assert c("https://a.example.com/docs/1") == (True, "ok")
+        assert c("ftp://a.example.com/x") == (False, "scheme")
+        assert c("https://a.example.com/pic.JPG") == (False, "extension")
+        assert c("https://ads.example.com/page") == (False, "host")
+        assert c("https://a.example.com/a/b/c/d/e/f/g") == (False, "depth")
+        assert c("https://a.example.com/p?x=" + "q" * 65) == (False, "query")
+        # scheme beats extension beats host: composite offender
+        assert c("ftp://ads.example.com/pic.jpg") == (False, "scheme")
+        assert c("https://ads.example.com/pic.jpg") == (False, "extension")
+        # dots in DIRECTORY names are not extensions
+        assert c("https://a.example.com/v1.2/page") == (True, "ok")
+        # host label match is exact, not substring
+        assert c("https://adserver.example.com/page") == (True, "ok")
 
 
 class TestBloomScreen:
