@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocked-host / depth / query gates, expected-verdict oracle
         # per synthesized candidate
         "frontier_url_filter": urls.frontier_url_filter,
+        # recency-decayed per-user engagement (recrawl freshness
+        # signal): integer right-shift half-life decay, associative
+        # partials, one coarse-bucket aggregate
+        "events_decayed_value": streams.events_decayed_value,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -563,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_codes": similarity.embed_pq_codes_sql(),
         "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
+        "events_decayed_value": streams.events_decayed_value_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed

@@ -210,6 +210,7 @@ def run_bench() -> dict:
         "embed_pq_codes",
         "embed_random_projection",
         "sessionize",
+        "events_decayed_value",
         "hourly_event_counts",
         "sliding_window_counts",
     ]

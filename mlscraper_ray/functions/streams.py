@@ -244,3 +244,74 @@ FROM exploded
 GROUP BY event_type, window_start_epoch
 ORDER BY event_type, window_start_epoch
 """
+
+
+def events_decayed_value(
+    sf_dir: str, halflife_hours: int = 72
+) -> pa.Table:
+    """Per-user recency-decayed engagement score — the freshness
+    signal a recrawl scheduler feeds on (recent activity counts full,
+    older activity halves every ``halflife_hours``). Integer-exact:
+    each event contributes ``value_milli >> age_halflives`` (right
+    shift = floor halving, associative across any batch structure),
+    ``age_halflives = (ts_max - ts) // halflife`` in microseconds
+    against the distributed global max timestamp. Returns (user_id,
+    decayed_milli, n_events) ordered by user_id.
+
+    Plan shape: one distributed max, one streaming pass emitting
+    per-batch per-user partials, one coarse-bucket aggregate over the
+    user keys. Nothing driver-sized."""
+    hl_us = halflife_hours * 3_600 * 1_000_000
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    mx = ds.max("ts")
+    ts_max_us = pd.Timestamp(mx).value // 1_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        vm = (
+            pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64())
+            .to_numpy()
+        )
+        sh = (ts_max_us - ts_us) // hl_us
+        contrib = np.where(sh >= 63, 0, vm >> np.minimum(sh, 62))
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "c": contrib.astype("int64"),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            decayed_milli=("c", "sum"), n_events=("c", "size")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["user_id"],
+            {"decayed_milli": ("decayed_milli", "sum"), "n_events": ("n_events", "sum")},
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_decayed_value_sql(halflife_hours: int = 72) -> str:
+    hl_us = halflife_hours * 3_600 * 1_000_000
+    return f"""
+WITH e AS (
+    SELECT user_id,
+           CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+           (epoch_us((SELECT MAX(ts) FROM events)) - epoch_us(ts)) // {hl_us} AS sh
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN sh >= 63 THEN 0 ELSE vm >> sh END) AS BIGINT) AS decayed_milli,
+       COUNT(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id
+"""

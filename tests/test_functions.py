@@ -98,6 +98,7 @@ def _oracle_names():
         "embed_neardup_pairs",
         "multimodal_features",
         "sessionize",
+        "events_decayed_value",
         "hourly_event_counts",
         "sliding_window_counts",
         "multimodal_decode",
@@ -1260,7 +1261,7 @@ class TestRegistryWindow:
             "dedup_minhash_incremental", "text_search_phrase",
             "doc_perplexity_buckets", "embed_random_projection",
             "source_epoch_mix", "dedup_bloom_screen",
-            "frontier_url_filter",
+            "frontier_url_filter", "events_decayed_value",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1545,6 +1546,31 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestDecayedValue:
+    def test_halving_per_halflife(self, ray_session, tmp_path):
+        """An event exactly k half-lives old contributes
+        value_milli >> k — pinned on a crafted 3-event log."""
+        from mlscraper_ray.functions.streams import events_decayed_value
+
+        base = pd.Timestamp("2024-01-10 00:00:00")
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base, base - pd.Timedelta(hours=72), base - pd.Timedelta(hours=145)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([8.0, 8.0, 8.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_decayed_value(str(tmp_path), halflife_hours=72).to_pandas()
+        got = dict(zip(out["user_id"], out["decayed_milli"]))
+        # user 1: 8000 (age 0) + 4000 (exactly 1 half-life); user 2:
+        # age 145h = 2 full half-lives -> 2000
+        assert got == {1: 12000, 2: 2000}
 
 
 class TestFrontierUrlFilter:
