@@ -283,6 +283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signal): integer right-shift half-life decay, associative
         # partials, one coarse-bucket aggregate
         "events_decayed_value": streams.events_decayed_value,
+        # radius (threshold) similarity search: broadcast query, one
+        # matmul + predicate per batch, match-bounded output
+        "ann_cosine_range": similarity.cosine_range,
+        # query-by-document exact Jaccard ranking: one bounded gram-set
+        # broadcast, local intersections, partial top-k — the pair
+        # explosion of the all-pairs screen never happens
+        "dedup_query_similar": dedup.query_similar_docs,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -561,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": _url_dedup_sql(),
         "frontier_url_filter": _frontier_filter_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_cosine_range": similarity.cosine_range_sql(),
+        "dedup_query_similar": _query_similar_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -681,6 +690,12 @@ def _bloom_screen_sql() -> str:
     from mlscraper_ray.functions.dedup import bloom_screen_sql
 
     return bloom_screen_sql()
+
+
+def _query_similar_sql() -> str:
+    from mlscraper_ray.functions.dedup import query_similar_docs_sql
+
+    return query_similar_docs_sql()
 
 
 def _minhash_incremental_sql() -> str:

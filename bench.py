@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_incremental",
         "dedup_bloom_screen",
+        "dedup_query_similar",
         "dedup_minhash",
         "dedup_minhash_incremental",
         "neardup_clusters",
@@ -198,6 +199,7 @@ def run_bench() -> dict:
         "text_search_bm25_indexed",
         "text_search_phrase",
         "ann_cosine_topk",
+        "ann_cosine_range",
         "ann_cosine_multi_topk",
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",

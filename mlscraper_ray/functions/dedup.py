@@ -1558,3 +1558,96 @@ FROM probes pr LEFT JOIN pos ON pr.p = pos.p
 GROUP BY pr.doc_id
 ORDER BY pr.doc_id
 """
+
+
+def query_similar_docs(
+    sf_dir: str, query_doc_id: int = 0, n: int = 3, k: int = 20
+) -> pa.Table:
+    """Query-by-document similarity search: rank the corpus against
+    ONE query document by exact distinct-word-n-gram Jaccard (the
+    dedup-by-example / provenance-lookup mode of the pairwise
+    `dedup_ngram_jaccard` screen). Returns up to ``k`` rows of
+    (doc_id, jaccard_pct, n_inter) for docs sharing at least one gram,
+    ordered by (jaccard_pct DESC, doc_id), the query excluded.
+
+    Plan shape: the query's gram set is ONE bounded broadcast
+    (``ray.put``); every batch computes intersections locally and
+    emits a partial top-k — zero shuffle, the inverted-index pair
+    explosion of the all-pairs screen never happens because one side
+    is fixed."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc_
+
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    qt = dset.to_table(columns=["text"], filter=pc_.field("doc_id") == query_doc_id)
+    qgrams = word_gram_set(qt["text"][0].as_py(), n)
+    q_ref = ray.put(qgrams)
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        qg = cached_object(q_ref)
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(doc_id) == query_doc_id:
+                continue
+            g = word_gram_set(text, n)
+            inter = len(qg & g)
+            if inter:
+                union = len(qg) + len(g) - inter
+                rows.append((int(doc_id), (100 * inter) // union, inter))
+        df = pd.DataFrame(rows, columns=["doc_id", "jaccard_pct", "n_inter"]).astype(
+            "int64"
+        )
+        return df.sort_values(
+            ["jaccard_pct", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    parts = docs.map_batches(per_batch, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in ("doc_id", "jaccard_pct", "n_inter")}
+        )
+    out = parts.sort_values(
+        ["jaccard_pct", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(k).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def query_similar_docs_sql(query_doc_id: int = 0, k: int = 20) -> str:
+    """Same gram CTE as NGRAM_JACCARD_SQL, one side pinned to the
+    query document."""
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT b.doc_id, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id = {query_doc_id} AND b.doc_id != {query_doc_id}
+    GROUP BY b.doc_id
+)
+SELECT inter.doc_id,
+       CAST((100 * i) // (cq.n + cb.n - i) AS BIGINT) AS jaccard_pct,
+       CAST(i AS BIGINT) AS n_inter
+FROM inter
+JOIN cnt cq ON cq.doc_id = {query_doc_id}
+JOIN cnt cb ON cb.doc_id = inter.doc_id
+ORDER BY jaccard_pct DESC, inter.doc_id
+LIMIT {k}
+"""

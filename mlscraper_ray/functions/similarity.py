@@ -1813,3 +1813,61 @@ FROM q JOIN proj p USING (i)
 GROUP BY q.vec_id
 ORDER BY q.vec_id
 """
+
+
+def cosine_range(
+    sf_dir: str, query_vec_id: int = 0, threshold_x10k: int = 2500
+) -> pa.Table:
+    """Radius (threshold) similarity search: ALL vectors whose cosine
+    to the query clears ``threshold_x10k`` — the retrieval mode behind
+    near-dup screens and dedup-by-example, where top-k's fixed cutoff
+    is the wrong contract. Returns (vec_id, score_x10k) ordered by
+    (score_x10k DESC, vec_id), the query itself excluded.
+
+    Plan shape: broadcast query vector, one matmul + one filter per
+    batch — rows leaving each task are bounded by the matches in it,
+    never k-padded. Zero shuffle (same plan as :func:`cosine_topk`,
+    with the partial top-k replaced by a predicate)."""
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = np.round((mat @ qv) / norms * 10000).astype(np.int64)
+        keep = (scores >= threshold_x10k) & (ids != query_vec_id)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "score_x10k": pa.array(scores[keep]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cosine_range_sql(query_vec_id: int = 0, threshold_x10k: int = 2500) -> str:
+    return f"""
+SELECT e.vec_id,
+       CAST(ROUND(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
+       ) * 10000) AS BIGINT) AS score_x10k
+FROM embeddings e
+WHERE e.vec_id != {query_vec_id}
+  AND CAST(ROUND(list_cosine_similarity(
+          CAST(e.embedding AS DOUBLE[]),
+          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
+      ) * 10000) AS BIGINT) >= {threshold_x10k}
+ORDER BY score_x10k DESC, vec_id ASC
+"""

@@ -38,6 +38,7 @@ def _oracle_names():
         "dedup_exact",
         "dedup_incremental",
         "dedup_bloom_screen",
+        "dedup_query_similar",
         "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
@@ -85,6 +86,7 @@ def _oracle_names():
         "text_search_bm25_indexed",
         "text_search_phrase",
         "ann_cosine_topk",
+        "ann_cosine_range",
         "ann_cosine_multi_topk",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
@@ -1262,6 +1264,7 @@ class TestRegistryWindow:
             "doc_perplexity_buckets", "embed_random_projection",
             "source_epoch_mix", "dedup_bloom_screen",
             "frontier_url_filter", "events_decayed_value",
+            "ann_cosine_range", "dedup_query_similar",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1546,6 +1549,50 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestCosineRange:
+    def test_threshold_membership_on_planted_vectors(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.similarity import cosine_range
+
+        dim = 8
+        q = [1.0] + [0.0] * (dim - 1)
+        same = list(q)
+        diag = [1.0, 1.0] + [0.0] * (dim - 2)      # cos = 0.7071
+        orth = [0.0, 1.0] + [0.0] * (dim - 2)      # cos = 0
+        t = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array([q, same, diag, orth], pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = cosine_range(str(tmp_path), query_vec_id=0, threshold_x10k=5000).to_pandas()
+        assert out["vec_id"].tolist() == [1, 2]  # query excluded, orth below
+        assert out["score_x10k"].tolist() == [10000, 7071]
+
+
+class TestQuerySimilarDocs:
+    def test_jaccard_ranking_on_planted_docs(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.dedup import query_similar_docs
+
+        texts = [
+            "a b c d e",       # 0: query (grams: abc bcd cde)
+            "a b c d e",       # 1: identical -> 100
+            "a b c x y",       # 2: shares abc only -> 100*1//5 = 20
+            "p q r s t",       # 3: disjoint -> absent
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = query_similar_docs(str(tmp_path), query_doc_id=0).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2]
+        assert out["jaccard_pct"].tolist() == [100, 20]
+        assert out["n_inter"].tolist() == [3, 1]
 
 
 class TestDecayedValue:
