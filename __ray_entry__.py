@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast, local intersections, partial top-k — the pair
         # explosion of the all-pairs screen never happens
         "dedup_query_similar": dedup.query_similar_docs,
+        # winnowing fingerprint selection (Schleimer et al. 2003):
+        # sliding-window minimal k-gram hashes, ~2/(w+1) density with
+        # a shared-run guarantee — counts + value sums SQL-pinned
+        "doc_winnow_fingerprints": dedup.doc_winnow_fingerprints,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -570,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_range": similarity.cosine_range_sql(),
         "dedup_query_similar": _query_similar_sql(),
+        "doc_winnow_fingerprints": _winnow_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -696,6 +701,12 @@ def _query_similar_sql() -> str:
     from mlscraper_ray.functions.dedup import query_similar_docs_sql
 
     return query_similar_docs_sql()
+
+
+def _winnow_sql() -> str:
+    from mlscraper_ray.functions.dedup import doc_winnow_fingerprints_sql
+
+    return doc_winnow_fingerprints_sql()
 
 
 def _minhash_incremental_sql() -> str:

@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "dedup_ngram_jaccard",
         "dedup_containment",
         "doc_dup_span_stats",
+        "doc_winnow_fingerprints",
         "dedup_segments",
         "doc_scrub_dup_runs",
         "doc_collapse_repeats",

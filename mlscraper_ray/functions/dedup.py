@@ -1651,3 +1651,138 @@ JOIN cnt cb ON cb.doc_id = inter.doc_id
 ORDER BY jaccard_pct DESC, inter.doc_id
 LIMIT {k}
 """
+
+
+def doc_winnow_fingerprints(
+    sf_dir: str, k: int = 3, w: int = 4, mod: int = 1_000_003
+) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS selection rule): hash every word k-gram, slide a w-gram
+    window, and select each window's minimal hash — guaranteeing any
+    shared run of >= w+k-1 tokens between two documents shares a
+    fingerprint, at ~2/(w+1) the density of the full gram set. This
+    engine uses the ALL-TIED-MINIMA variant (every position achieving
+    a window's min is selected — deterministic without the paper's
+    rightmost-tie state machine) and reduces hashes mod a prime so the
+    per-doc fingerprint SUM stays int64-exact in SQL.
+
+    Returns (doc_id, n_grams, n_selected, n_distinct_fp, fp_sum)
+    ordered by doc_id: counts pin the selection set, ``fp_sum`` (sum
+    of the selected positions' hash values) pins the VALUES without
+    shipping per-position rows to the driver. Docs with no tokens are
+    absent (no grams — matching the SQL). Plan shape: one streaming
+    pass, per-doc numpy sliding-window mins, zero shuffle."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def gram_hashes(text: str) -> "np.ndarray":
+        import hashlib
+
+        words = text.split()
+        if not words:
+            return np.empty(0, dtype=np.int64)
+        if len(words) < k:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % mod
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            h = gram_hashes(text)
+            n = len(h)
+            if n == 0:
+                continue
+            if n <= w:
+                sel = np.flatnonzero(h == h.min())
+            else:
+                sw = sliding_window_view(h, w)          # (n-w+1, w)
+                wmin = sw.min(axis=1)
+                s_idx, off = np.nonzero(sw == wmin[:, None])
+                sel = np.unique(s_idx + off)
+            fps = h[sel]
+            rows.append(
+                (
+                    int(doc_id),
+                    n,
+                    len(sel),
+                    len(np.unique(fps)),
+                    int(fps.sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_sum"],
+        ).astype("int64")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        docs.map_batches(per_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_sum")
+            }
+        )
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+
+
+def doc_winnow_fingerprints_sql(k: int = 3, w: int = 4, mod: int = 1_000_003) -> str:
+    """DuckDB mirror: positioned grams, per-window MINs, a range join
+    marking every position that achieves some containing window's min."""
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i,
+           CAST(md5_number_lower(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) % {mod} AS BIGINT) AS h
+    FROM words, UNNEST(generate_series(1, len(ws) - {k - 1})) t(i)
+    WHERE len(ws) >= {k}
+    UNION ALL
+    SELECT doc_id, 1 AS i,
+           CAST(md5_number_lower(array_to_string(ws, ' ')) % {mod} AS BIGINT) AS h
+    FROM words WHERE len(ws) BETWEEN 1 AND {k - 1}
+),
+n AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+winidx AS (
+    SELECT n.doc_id, s.s
+    FROM n, UNNEST(generate_series(1, GREATEST(1, n.ng - {w - 1}))) s(s)
+),
+wins AS (
+    SELECT wi.doc_id, wi.s, MIN(g.h) AS wmin
+    FROM winidx wi JOIN grams g
+      ON g.doc_id = wi.doc_id AND g.i BETWEEN wi.s AND wi.s + {w - 1}
+    GROUP BY wi.doc_id, wi.s
+),
+sel AS (
+    SELECT DISTINCT g.doc_id, g.i, g.h
+    FROM grams g JOIN wins wn
+      ON wn.doc_id = g.doc_id
+     AND g.i BETWEEN wn.s AND wn.s + {w - 1}
+     AND g.h = wn.wmin
+)
+SELECT n.doc_id,
+       CAST(n.ng AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_distinct_fp,
+       CAST(SUM(s.h) AS BIGINT) AS fp_sum
+FROM sel s JOIN n ON n.doc_id = s.doc_id
+GROUP BY n.doc_id, n.ng
+ORDER BY n.doc_id
+"""

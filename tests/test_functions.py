@@ -39,6 +39,7 @@ def _oracle_names():
         "dedup_incremental",
         "dedup_bloom_screen",
         "dedup_query_similar",
+        "doc_winnow_fingerprints",
         "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
@@ -1265,6 +1266,7 @@ class TestRegistryWindow:
             "source_epoch_mix", "dedup_bloom_screen",
             "frontier_url_filter", "events_decayed_value",
             "ann_cosine_range", "dedup_query_similar",
+            "doc_winnow_fingerprints",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1549,6 +1551,56 @@ class TestPhraseSearch:
         out = phrase_topk(str(tmp_path), phrase=("part", "filter"), k=10)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits", "n_tokens"]
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, ray_session, tmp_path):
+        """Winnowing's contract: two docs sharing a token run of
+        length >= w+k-1 (= 6 at k=3, w=4) MUST share at least one
+        selected fingerprint, wherever the run sits in either doc."""
+        import hashlib
+
+        from mlscraper_ray.functions.dedup import doc_winnow_fingerprints
+
+        run = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        texts = [
+            run + " one two three four five six seven eight",
+            "nine ten eleven twelve " + run + " thirteen fourteen",
+            "totally unrelated words with no shared content here",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = doc_winnow_fingerprints(str(tmp_path)).to_pandas()
+        assert len(out) == 3 and (out["n_selected"] > 0).all()
+
+        # recompute each doc's selected fingerprint SET independently
+        # (brute force) and check the guarantee + the returned sums
+        def fps(text, k=3, w=4, mod=1_000_003):
+            ws = text.split()
+            grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            h = [
+                int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % mod
+                for g in grams
+            ]
+            sel = set()
+            for s in range(max(1, len(h) - w + 1)):
+                win = h[s : s + w]
+                m = min(win)
+                sel.update(s + j for j, v in enumerate(win) if v == m)
+            return {i: h[i] for i in sel}
+
+        f0, f1, f2 = (fps(tx) for tx in texts)
+        assert set(f0.values()) & set(f1.values())        # the guarantee
+        assert not (set(f0.values()) & set(f2.values()))
+        got = out.set_index("doc_id")
+        for d, f in enumerate((f0, f1, f2)):
+            assert got.loc[d, "n_selected"] == len(f)
+            assert got.loc[d, "fp_sum"] == sum(f.values())
 
 
 class TestCosineRange:
