@@ -1653,9 +1653,9 @@ LIMIT {k}
 """
 
 
-def doc_winnow_fingerprints(
+def winnow_fingerprints_ds(
     sf_dir: str, k: int = 3, w: int = 4, mod: int = 1_000_003
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
     MOSS selection rule): hash every word k-gram, slide a w-gram
     window, and select each window's minimal hash — guaranteeing any
@@ -1725,19 +1725,7 @@ def doc_winnow_fingerprints(
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    out = (
-        docs.map_batches(per_batch, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
-    if len(out) == 0:
-        return pa.table(
-            {
-                c: pa.array([], pa.int64())
-                for c in ("doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_sum")
-            }
-        )
-    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+    return docs.map_batches(per_batch, batch_format="pandas")
 
 
 def doc_winnow_fingerprints_sql(k: int = 3, w: int = 4, mod: int = 1_000_003) -> str:
@@ -1786,3 +1774,59 @@ FROM sel s JOIN n ON n.doc_id = s.doc_id
 GROUP BY n.doc_id, n.ng
 ORDER BY n.doc_id
 """
+
+
+def doc_winnow_fingerprints(
+    sf_dir: str, k: int = 3, w: int = 4, mod: int = 1_000_003
+) -> pa.Table:
+    """Registry entry: the contract table over
+    :func:`winnow_fingerprints_ds`, ordered by doc_id."""
+    out = (
+        winnow_fingerprints_ds(sf_dir, k=k, w=w, mod=mod)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_sum")
+            }
+        )
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+
+
+def winnow_to_parquet(
+    sf_dir: str, out_dir: str, n_shards: int = 16, window: int = 4, **kwargs
+) -> dict:
+    """Production sink twin of :func:`doc_winnow_fingerprints`,
+    RESUMABLE (marker-last shard protocol, functions/sinks.py): the
+    per-doc fingerprint manifest materializes once as slim rows
+    sharded by crc32(doc_id); each shard commits independently and a
+    re-run skips finished shards. Shard union == the oracle-checked
+    contract table (tested)."""
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = [zlib.crc32(str(d).encode()) % n_shards for d in df["doc_id"]]
+        return df
+
+    rows = (
+        winnow_fingerprints_ds(sf_dir, **kwargs)
+        .map_batches(add_shard, batch_format="pandas")
+        .materialize()
+    )
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        rows.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        ).write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window, write_shard)

@@ -1554,6 +1554,30 @@ class TestPhraseSearch:
 
 
 class TestWinnowing:
+    def test_resumable_sink_matches_contract_table(self, ray_session, tmp_path):
+        """Shard union == the oracle-checked table; a second run with
+        the same out_dir skips every finished shard."""
+        import ray.data
+
+        from mlscraper_ray.functions.dedup import (
+            doc_winnow_fingerprints,
+            winnow_to_parquet,
+        )
+
+        out_dir = str(tmp_path / "winnow")
+        r1 = winnow_to_parquet(SF_DIR, out_dir, n_shards=4, window=2)
+        assert r1["written"] == 4
+        got = (
+            ray.data.read_parquet(out_dir)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            .astype("int64")
+        )
+        want = doc_winnow_fingerprints(SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+        r2 = winnow_to_parquet(SF_DIR, out_dir, n_shards=4, window=2)
+        assert r2 == {"written": 0, "skipped": 4}
+
     def test_shared_run_guarantee(self, ray_session, tmp_path):
         """Winnowing's contract: two docs sharing a token run of
         length >= w+k-1 (= 6 at k=3, w=4) MUST share at least one
