@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window minimal k-gram hashes, ~2/(w+1) density with
         # a shared-run guarantee — counts + value sums SQL-pinned
         "doc_winnow_fingerprints": dedup.doc_winnow_fingerprints,
+        # phrase serving from the PERSISTED positional index (probed
+        # term shards only, per-doc position-set intersection) — the
+        # positional sibling of text_search_bm25_indexed
+        "text_search_phrase_indexed": search.phrase_indexed_topk,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -569,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "text_search_bm25": search.bm25_topk_sql(),
         "text_search_bm25_indexed": search.bm25_indexed_topk_sql(),
         "text_search_phrase": search.phrase_topk_sql(),
+        # the full-scan phrase oracle already emits matches only, so
+        # the indexed serving path shares it verbatim
+        "text_search_phrase_indexed": search.phrase_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "frontier_url_filter": _frontier_filter_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),

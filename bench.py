@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "text_search_bm25",
         "text_search_bm25_indexed",
         "text_search_phrase",
+        "text_search_phrase_indexed",
         "ann_cosine_topk",
         "ann_cosine_range",
         "ann_cosine_multi_topk",

@@ -395,7 +395,7 @@ def bm25_query_index(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _index_cache_dir(sf_dir: str) -> str:
+def _index_cache_dir(sf_dir: str, prefix: str = "bm25_index") -> str:
     """Cache key digests THIS module's source (tokenizer, scoring,
     shard layout) plus a fingerprint of the indexed data (documents
     parquet size+mtime) — mirrors pagerank's ``_graph_cache_dir`` so a
@@ -411,7 +411,7 @@ def _index_cache_dir(sf_dir: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(
         os.environ.get("MLSCRAPER_RAY_TMP", "/tmp/mlscraper_ray_data"),
-        f"bm25_index_{sf_tag}_{h.hexdigest()[:10]}",
+        f"{prefix}_{sf_tag}_{h.hexdigest()[:10]}",
     )
 
 
@@ -545,3 +545,173 @@ WHERE n_hits > 0
 ORDER BY n_hits DESC, doc_id
 LIMIT {k}
 """
+
+
+# -- persisted POSITIONAL index (phrase serving) --------------------------
+
+
+def phrase_index_to_parquet(
+    sf_dir: str, out_dir: str, n_shards: int = 16, window: int = 4
+) -> dict:
+    """Build a PERSISTED positional inverted index: postings rows
+    (term, doc_id, positions list<int64>, n_tokens), crc32(term)-
+    sharded into the resumable marker-last layout, each shard sorted
+    by (term, doc_id) so a term probe row-group-prunes. The positional
+    payload is what upgrades the bag-of-words index to phrase / NEAR
+    queries. ``_meta.json`` (shard count) commits last."""
+    import json
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if all_shards_done(out_dir, n_shards) and os.path.exists(meta_path):
+        return {"written": 0, "skipped": n_shards}
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_d, rows_p, rows_n, rows_s = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = re.findall(_TOKEN_RE, (text or "").lower())
+            n = len(toks)
+            pos: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(i)
+            for t, ps in pos.items():
+                rows_t.append(t)
+                rows_d.append(doc_id)
+                rows_p.append(ps)
+                rows_n.append(n)
+                rows_s.append(zlib.crc32(t.encode()) % n_shards)
+        return pd.DataFrame(
+            {
+                "term": pd.Series(rows_t, dtype=str),
+                "doc_id": pd.Series(rows_d, dtype="int64"),
+                "positions": pd.Series(rows_p, dtype=object),
+                "n_tokens": pd.Series(rows_n, dtype="int64"),
+                "shard": pd.Series(rows_s, dtype="int32"),
+            }
+        )
+
+    slim = ds.map_batches(postings, batch_format="pandas").materialize()
+    _pin_fsspec_http_stub()
+
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("positions", pa.list_(pa.int64())),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def write_shard(s: int, dest: str) -> None:
+        sp = slim.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        ).to_pandas()
+        if len(sp) == 0:
+            tbl = schema.empty_table()
+        else:
+            sp = sp.sort_values(["term", "doc_id"], ignore_index=True)
+            tbl = pa.Table.from_pandas(sp, preserve_index=False).cast(schema)
+        os.makedirs(dest, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(dest, "postings.parquet"), row_group_size=4096)
+
+    res = run_resumable_shards(out_dir, n_shards, window, write_shard)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"n_shards": n_shards}, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return res
+
+
+def phrase_query_index(
+    index_dir: str, phrase: tuple[str, ...] = DEFAULT_PHRASE, k: int = 10
+) -> pa.Table:
+    """Serve a phrase query FROM THE PERSISTED POSITIONAL INDEX: read
+    only the probed terms' shards (filter pushed into the scan), then
+    co-locate each candidate doc's per-term position lists in one
+    crc32(doc_id)-bucket round and count consecutive runs by
+    successive position-set intersection — docs missing ANY phrase
+    term never join. Equal to the full-scan :func:`phrase_topk`
+    (which already emits matches only; tested)."""
+    import json
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate  # noqa: F401
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    shard_ids = sorted({zlib.crc32(t.encode()) % meta["n_shards"] for t in phrase})
+    paths = [
+        os.path.join(index_dir, f"shard={s:04d}", "postings.parquet") for s in shard_ids
+    ]
+    post = ray.data.read_parquet(
+        paths,
+        columns=["term", "doc_id", "positions", "n_tokens"],
+        filter=pc.field("term").isin(list(set(phrase))),
+    ).materialize()
+
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("doc_id", "n_hits", "n_tokens")}
+    )
+    if post.count() == 0:
+        return empty
+
+    n_buckets = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = [zlib.crc32(str(d).encode()) % n_buckets for d in df["doc_id"]]
+        return df
+
+    terms = list(phrase)
+
+    def count_hits(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, rows in g.groupby("doc_id", sort=False):
+            by_term = {t: ps for t, ps in zip(rows["term"], rows["positions"])}
+            if any(t not in by_term for t in terms):
+                continue
+            s = set(by_term[terms[0]])
+            for j, t in enumerate(terms[1:], start=1):
+                nxt = set(by_term[t])
+                s = {p for p in s if p + j in nxt}
+                if not s:
+                    break
+            if s:
+                out.append((int(doc_id), len(s), int(rows["n_tokens"].iloc[0])))
+        df = pd.DataFrame(out, columns=["doc_id", "n_hits", "n_tokens"]).astype("int64")
+        order = np.lexsort((df["doc_id"].to_numpy(), -df["n_hits"].to_numpy()))[:k]
+        return df.iloc[order]
+
+    parts = (
+        post.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(count_hits, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return empty
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["n_hits"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def phrase_indexed_topk(
+    sf_dir: str, phrase: tuple[str, ...] = DEFAULT_PHRASE, k: int = 10
+) -> pa.Table:
+    """Registry entry: build (or reuse — resumable and cached) the
+    positional index for this corpus tier, then serve the default
+    phrase from it."""
+    index_dir = _index_cache_dir(sf_dir, prefix="phrase_index")
+    phrase_index_to_parquet(sf_dir, index_dir)
+    return phrase_query_index(index_dir, phrase, k)

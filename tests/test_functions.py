@@ -86,6 +86,7 @@ def _oracle_names():
         "text_search_bm25",
         "text_search_bm25_indexed",
         "text_search_phrase",
+        "text_search_phrase_indexed",
         "ann_cosine_topk",
         "ann_cosine_range",
         "ann_cosine_multi_topk",
@@ -1266,7 +1267,7 @@ class TestRegistryWindow:
             "source_epoch_mix", "dedup_bloom_screen",
             "frontier_url_filter", "events_decayed_value",
             "ann_cosine_range", "dedup_query_similar",
-            "doc_winnow_fingerprints",
+            "doc_winnow_fingerprints", "text_search_phrase_indexed",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1535,6 +1536,42 @@ class TestPhraseSearch:
             str(tmp_path), phrase=("part", "filter", "part"), k=10
         ).to_pandas()
         assert dict(zip(tri["doc_id"], tri["n_hits"])) == {0: 1}
+
+    def test_indexed_serving_equals_full_scan_and_resumes(self, ray_session, tmp_path):
+        """The positional index must serve the exact full-scan phrase
+        ranking (incl. a 3-token phrase and a phrase with a missing
+        term), and a rebuild into the same dir skips every shard."""
+        from mlscraper_ray.functions.search import (
+            phrase_index_to_parquet,
+            phrase_query_index,
+            phrase_topk,
+        )
+
+        rng = np.random.RandomState(11)
+        words = ["part", "filter", "scan", "merge", "pad"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(3, 25)))
+            for _ in range(120)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        idx = str(tmp_path / "pidx")
+        r1 = phrase_index_to_parquet(str(tmp_path), idx, n_shards=4, window=2)
+        assert r1["written"] == 4
+        for phrase in (("part", "filter"), ("part", "filter", "scan")):
+            a = phrase_topk(str(tmp_path), phrase=phrase, k=10).to_pandas()
+            b = phrase_query_index(idx, phrase=phrase, k=10).to_pandas()
+            pd.testing.assert_frame_equal(a, b)
+        miss = phrase_query_index(idx, phrase=("part", "nosuchword"), k=10)
+        assert miss.num_rows == 0
+        assert miss.column_names == ["doc_id", "n_hits", "n_tokens"]
+        r2 = phrase_index_to_parquet(str(tmp_path), idx, n_shards=4, window=2)
+        assert r2 == {"written": 0, "skipped": 4}
 
     def test_no_cross_document_matches(self, ray_session, tmp_path):
         """A phrase ending one doc and starting the next must NOT
