@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term shards only, per-doc position-set intersection) — the
         # positional sibling of text_search_bm25_indexed
         "text_search_phrase_indexed": search.phrase_indexed_topk,
+        # MOSS similarity join: pairs sharing >= t winnowing
+        # fingerprints (the inverted-index pair plan over the ~2/(w+1)
+        # selected-fp mass instead of the full gram set)
+        "dedup_winnow_pairs": dedup.winnow_neardup_pairs,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -582,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_range": similarity.cosine_range_sql(),
         "dedup_query_similar": _query_similar_sql(),
         "doc_winnow_fingerprints": _winnow_sql(),
+        "dedup_winnow_pairs": _winnow_pairs_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -714,6 +719,12 @@ def _winnow_sql() -> str:
     from mlscraper_ray.functions.dedup import doc_winnow_fingerprints_sql
 
     return doc_winnow_fingerprints_sql()
+
+
+def _winnow_pairs_sql() -> str:
+    from mlscraper_ray.functions.dedup import winnow_neardup_pairs_sql
+
+    return winnow_neardup_pairs_sql()
 
 
 def _minhash_incremental_sql() -> str:

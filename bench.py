@@ -168,6 +168,7 @@ def run_bench() -> dict:
         "dedup_containment",
         "doc_dup_span_stats",
         "doc_winnow_fingerprints",
+        "dedup_winnow_pairs",
         "dedup_segments",
         "doc_scrub_dup_runs",
         "doc_collapse_repeats",

@@ -1830,3 +1830,126 @@ def winnow_to_parquet(
         ).write_parquet(dest)
 
     return run_resumable_shards(out_dir, n_shards, window, write_shard)
+
+
+def winnow_neardup_pairs(
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    mod: int = 1_000_003,
+    min_shared: int = 3,
+    df_cap: int | None = None,
+) -> pa.Table:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS similarity join: doc pairs sharing >= ``min_shared`` selected
+    fingerprints (any shared run >= w+k-1 tokens guarantees >= 1, so
+    the threshold tunes run mass, not recall of long overlaps).
+    Returns (doc_a, doc_b, shared) with doc_a < doc_b, ordered by
+    (doc_a, doc_b).
+
+    Distributed plan: the inverted-index pair plan of the n-gram
+    joins, with the selected-fp table (~2/(w+1) the gram mass — the
+    winnowing saving carries straight into the join): distinct
+    (fp, doc_id) rows bucket by fp % 256; per-fp pairs emit vectorized
+    inside buckets with packed int64 keys; shared counts fold through
+    the coarse-bucket aggregate. ``df_cap`` drops fps held by more
+    docs than the cap (the boilerplate guard at 100 TB); None keeps
+    the join exact and oracle-matching."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids, fps = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split()
+            if not words:
+                continue
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
+                    % mod
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            if len(h) <= w:
+                sel = np.flatnonzero(h == h.min())
+            else:
+                sw = sliding_window_view(h, w)
+                wmin = sw.min(axis=1)
+                s_idx, off = np.nonzero(sw == wmin[:, None])
+                sel = np.unique(s_idx + off)
+            vals = np.unique(h[sel])
+            ids.extend([int(doc_id)] * len(vals))
+            fps.extend(int(v) for v in vals)
+        df = pd.DataFrame(
+            {
+                "fp": pd.Series(fps, dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+            }
+        )
+        df["fp_bucket"] = (df["fp"] % 256).astype("int32")
+        return df
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    exploded = docs.map_batches(explode, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if df_cap is not None:
+            freq = g.groupby("fp", sort=False)["doc_id"].transform("nunique")
+            g = g[freq <= df_cap]
+        p = _emit_pairs_by_key(g, "fp")
+        key = _pack_pairs_pd(p["doc_a"], p["doc_b"])
+        part = key.value_counts().rename_axis("pair_key").reset_index(name="shared")
+        part["pair_bucket"] = (part["pair_key"] % 241).astype("int32")
+        return part
+
+    counted = bucketed_aggregate(
+        exploded.groupby("fp_bucket").map_groups(pairs_in_bucket, batch_format="pandas"),
+        ["pair_key"],
+        {"shared": ("shared", "sum")},
+    )
+
+    out = counted.map_batches(
+        lambda df: df[df["shared"] >= min_shared], batch_format="pandas"
+    ).to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in ("doc_a", "doc_b", "shared")}
+        )
+    out["doc_a"] = (out["pair_key"] // _PAIR_BASE).astype("int64")
+    out["doc_b"] = (out["pair_key"] % _PAIR_BASE).astype("int64")
+    out = out[["doc_a", "doc_b", "shared"]].sort_values(
+        ["doc_a", "doc_b"], ignore_index=True
+    ).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def winnow_neardup_pairs_sql(
+    k: int = 3, w: int = 4, mod: int = 1_000_003, min_shared: int = 3
+) -> str:
+    """The winnow-fingerprint sel CTE self-joined on fp value."""
+    base = doc_winnow_fingerprints_sql(k=k, w=w, mod=mod)
+    head = base[: base.rindex("SELECT n.doc_id")].rstrip()
+    assert head.endswith(")")
+    return (
+        head
+        + f""",
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.h) AS shared
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+FROM pairs WHERE shared >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+    )

@@ -40,6 +40,7 @@ def _oracle_names():
         "dedup_bloom_screen",
         "dedup_query_similar",
         "doc_winnow_fingerprints",
+        "dedup_winnow_pairs",
         "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
@@ -1268,6 +1269,7 @@ class TestRegistryWindow:
             "frontier_url_filter", "events_decayed_value",
             "ann_cosine_range", "dedup_query_similar",
             "doc_winnow_fingerprints", "text_search_phrase_indexed",
+            "dedup_winnow_pairs",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1591,6 +1593,29 @@ class TestPhraseSearch:
 
 
 class TestWinnowing:
+    def test_pair_join_finds_planted_shared_passage(self, ray_session, tmp_path):
+        """Two docs sharing a >= w+k-1 token passage must pair (the
+        winnowing guarantee carried into the join); unrelated docs
+        must not reach min_shared."""
+        from mlscraper_ray.functions.dedup import winnow_neardup_pairs
+
+        run = " ".join(f"tok{i}" for i in range(12))  # 12 shared tokens
+        texts = [
+            run + " left tail words here",
+            "right head words here " + run,
+            "completely different content with other words entirely now",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = winnow_neardup_pairs(str(tmp_path), min_shared=2).to_pandas()
+        assert [(a, b) for a, b in zip(out["doc_a"], out["doc_b"])] == [(0, 1)]
+        assert int(out["shared"].iloc[0]) >= 2
+
     def test_resumable_sink_matches_contract_table(self, ray_session, tmp_path):
         """Shard union == the oracle-checked table; a second run with
         the same out_dir skips every finished shard."""
