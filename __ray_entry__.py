@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fingerprints (the inverted-index pair plan over the ~2/(w+1)
         # selected-fp mass instead of the full gram set)
         "dedup_winnow_pairs": dedup.winnow_neardup_pairs,
+        # per-source data card: doc/token/empty counts + max/mean doc
+        # length — the release-documentation table next to the corpus
+        "source_datacard": textstats.source_datacard,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -558,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
+        "source_datacard": textstats.SOURCE_DATACARD_SQL,
         "source_temperature_mix": textstats.source_temperature_mix_sql(),
         "source_epoch_mix": textstats.source_epoch_mix_sql(),
         "source_token_quota": textstats.SOURCE_TOKEN_QUOTA_SQL,

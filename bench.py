@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "corpus_decontaminate",
         "corpus_dsir_select",
         "source_token_totals",
+        "source_datacard",
         "source_temperature_mix",
         "source_epoch_mix",
         "source_overlap",

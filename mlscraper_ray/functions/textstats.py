@@ -1986,3 +1986,67 @@ JOIN ep USING (source),
      UNNEST(generate_series(1, ep.e)) t(k)
 ORDER BY d.doc_id, epoch
 """
+
+
+def source_datacard(sf_dir: str) -> pa.Table:
+    """Per-source corpus data card — the release-documentation table a
+    training-data pipeline publishes next to the corpus: document and
+    token counts, empty-doc count, max and mean (integer floor) doc
+    length per source. One streaming pass of per-batch partials into
+    the tiny per-source groupby; extends `source_token_totals` with
+    the distribution facts a mixing recipe actually reads."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].str.findall(_WORD_RE).str.len().astype("int64")
+        df = pd.DataFrame({"source": batch["source"], "n": n})
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "size"),
+            n_tokens=("n", "sum"),
+            n_empty=("n", lambda s: int((s == 0).sum())),
+            max_tokens=("n", "max"),
+        )
+        for c in ("n_docs", "n_tokens", "n_empty", "max_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_tokens", alias_name="n_tokens"),
+            ray.data.aggregate.Sum("n_empty", alias_name="n_empty"),
+            ray.data.aggregate.Max("max_tokens", alias_name="max_tokens"),
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    for c in ("n_docs", "n_tokens", "n_empty", "max_tokens"):
+        agg[c] = agg[c].astype("int64")
+    agg["mean_tokens"] = agg["n_tokens"] // agg["n_docs"]
+    return pa.Table.from_pandas(
+        agg[["source", "n_docs", "n_tokens", "n_empty", "max_tokens", "mean_tokens"]],
+        preserve_index=False,
+    )
+
+
+SOURCE_DATACARD_SQL = """
+WITH tk AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(MAX(n) AS BIGINT) AS max_tokens,
+       CAST(SUM(n) // COUNT(*) AS BIGINT) AS mean_tokens
+FROM tk
+GROUP BY source
+ORDER BY source
+"""

@@ -61,6 +61,7 @@ def _oracle_names():
         "doc_bpe_token_stats",
         "doc_tfidf_top_terms",
         "source_token_totals",
+        "source_datacard",
         "source_temperature_mix",
         "source_epoch_mix",
         "source_token_quota",
@@ -1269,7 +1270,7 @@ class TestRegistryWindow:
             "frontier_url_filter", "events_decayed_value",
             "ann_cosine_range", "dedup_query_similar",
             "doc_winnow_fingerprints", "text_search_phrase_indexed",
-            "dedup_winnow_pairs",
+            "dedup_winnow_pairs", "source_datacard",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
