@@ -1580,6 +1580,11 @@ def query_similar_docs(
 
     dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
     qt = dset.to_table(columns=["text"], filter=pc_.field("doc_id") == query_doc_id)
+    if qt.num_rows == 0:
+        # unknown query id: the SQL oracle yields zero rows here too
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in ("doc_id", "jaccard_pct", "n_inter")}
+        )
     qgrams = word_gram_set(qt["text"][0].as_py(), n)
     q_ref = ray.put(qgrams)
 
@@ -1653,6 +1658,40 @@ LIMIT {k}
 """
 
 
+def _winnow_selected_fps(text: str, k: int, w: int, mod: int) -> "np.ndarray":
+    """Gram-hash + ALL-TIED-MINIMA winnow selection shared by the
+    per-doc fingerprint table and the similarity join (both are pinned
+    by the same SQL sel CTE — one definition so they cannot
+    desynchronize). Returns the selected positions' hash values in
+    (h, sel): the full gram-hash array and the selected positions —
+    both consumers derive their views from this one pair."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % mod
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    if len(h) <= w:
+        sel = np.flatnonzero(h == h.min())
+    else:
+        sw = sliding_window_view(h, w)          # (n-w+1, w)
+        wmin = sw.min(axis=1)
+        s_idx, off = np.nonzero(sw == wmin[:, None])
+        sel = np.unique(s_idx + off)
+    return h, sel
+
+
 def winnow_fingerprints_ds(
     sf_dir: str, k: int = 3, w: int = 4, mod: int = 1_000_003
 ) -> "ray.data.Dataset":
@@ -1672,41 +1711,13 @@ def winnow_fingerprints_ds(
     shipping per-position rows to the driver. Docs with no tokens are
     absent (no grams — matching the SQL). Plan shape: one streaming
     pass, per-doc numpy sliding-window mins, zero shuffle."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    def gram_hashes(text: str) -> "np.ndarray":
-        import hashlib
-
-        words = text.split()
-        if not words:
-            return np.empty(0, dtype=np.int64)
-        if len(words) < k:
-            grams = [" ".join(words)]
-        else:
-            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % mod
-                for g in grams
-            ),
-            dtype=np.int64,
-            count=len(grams),
-        )
-
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            h = gram_hashes(text)
+            h, sel = _winnow_selected_fps(text, k, w, mod)
             n = len(h)
             if n == 0:
                 continue
-            if n <= w:
-                sel = np.flatnonzero(h == h.min())
-            else:
-                sw = sliding_window_view(h, w)          # (n-w+1, w)
-                wmin = sw.min(axis=1)
-                s_idx, off = np.nonzero(sw == wmin[:, None])
-                sel = np.unique(s_idx + off)
             fps = h[sel]
             rows.append(
                 (
@@ -1781,11 +1792,7 @@ def doc_winnow_fingerprints(
 ) -> pa.Table:
     """Registry entry: the contract table over
     :func:`winnow_fingerprints_ds`, ordered by doc_id."""
-    out = (
-        winnow_fingerprints_ds(sf_dir, k=k, w=w, mod=mod)
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
+    out = winnow_fingerprints_ds(sf_dir, k=k, w=w, mod=mod).to_pandas()
     if len(out) == 0:
         return pa.table(
             {
@@ -1793,6 +1800,7 @@ def doc_winnow_fingerprints(
                 for c in ("doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_sum")
             }
         )
+    out = out.sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
 
 
@@ -1858,33 +1866,11 @@ def winnow_neardup_pairs(
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        from numpy.lib.stride_tricks import sliding_window_view
-
         ids, fps = [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            words = text.split()
-            if not words:
+            h, sel = _winnow_selected_fps(text, k, w, mod)
+            if len(h) == 0:
                 continue
-            if len(words) < k:
-                grams = [" ".join(words)]
-            else:
-                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-            h = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
-                    % mod
-                    for g in grams
-                ),
-                dtype=np.int64,
-                count=len(grams),
-            )
-            if len(h) <= w:
-                sel = np.flatnonzero(h == h.min())
-            else:
-                sw = sliding_window_view(h, w)
-                wmin = sw.min(axis=1)
-                s_idx, off = np.nonzero(sw == wmin[:, None])
-                sel = np.unique(s_idx + off)
             vals = np.unique(h[sel])
             ids.extend([int(doc_id)] * len(vals))
             fps.extend(int(v) for v in vals)
@@ -1908,9 +1894,7 @@ def winnow_neardup_pairs(
             g = g[freq <= df_cap]
         p = _emit_pairs_by_key(g, "fp")
         key = _pack_pairs_pd(p["doc_a"], p["doc_b"])
-        part = key.value_counts().rename_axis("pair_key").reset_index(name="shared")
-        part["pair_bucket"] = (part["pair_key"] % 241).astype("int32")
-        return part
+        return key.value_counts().rename_axis("pair_key").reset_index(name="shared")
 
     counted = bucketed_aggregate(
         exploded.groupby("fp_bucket").map_groups(pairs_in_bucket, batch_format="pandas"),

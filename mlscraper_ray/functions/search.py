@@ -646,8 +646,6 @@ def phrase_query_index(
 
     import pyarrow.compute as pc
 
-    from mlscraper_ray.functions.bucketed import bucketed_aggregate  # noqa: F401
-
     with open(os.path.join(index_dir, "_meta.json")) as f:
         meta = json.load(f)
     shard_ids = sorted({zlib.crc32(t.encode()) % meta["n_shards"] for t in phrase})

@@ -1837,7 +1837,11 @@ def cosine_range(
         ids, mat = _batch_matrix(batch)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        scores = np.round((mat @ qv) / norms * 10000).astype(np.int64)
+        # floor(x+0.5), NOT np.round: in a THRESHOLD operator every row
+        # is its own boundary, so the half-to-even vs half-away-from-
+        # zero divergence (the documented _quantize hazard) would flip
+        # set membership vs the oracle on exact .5 landings
+        scores = np.floor((mat @ qv) / norms * 10000 + 0.5).astype(np.int64)
         keep = (scores >= threshold_x10k) & (ids != query_vec_id)
         return pa.table(
             {
@@ -1850,6 +1854,12 @@ def cosine_range(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        # empty-Dataset to_pandas() drops columns (repo-documented
+        # hazard) — typed empty BEFORE touching them
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "score_x10k": pa.array([], pa.int64())}
+        )
     out = out.sort_values(
         ["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True
     )
@@ -1858,16 +1868,17 @@ def cosine_range(
 
 def cosine_range_sql(query_vec_id: int = 0, threshold_x10k: int = 2500) -> str:
     return f"""
-SELECT e.vec_id,
-       CAST(ROUND(list_cosine_similarity(
-           CAST(e.embedding AS DOUBLE[]),
-           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
-       ) * 10000) AS BIGINT) AS score_x10k
-FROM embeddings e
-WHERE e.vec_id != {query_vec_id}
-  AND CAST(ROUND(list_cosine_similarity(
-          CAST(e.embedding AS DOUBLE[]),
-          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
-      ) * 10000) AS BIGINT) >= {threshold_x10k}
+WITH scored AS (
+    SELECT e.vec_id,
+           CAST(FLOOR(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {query_vec_id})
+           ) * 10000 + 0.5) AS BIGINT) AS score_x10k
+    FROM embeddings e
+    WHERE e.vec_id != {query_vec_id}
+)
+SELECT vec_id, score_x10k
+FROM scored
+WHERE score_x10k >= {threshold_x10k}
 ORDER BY score_x10k DESC, vec_id ASC
 """

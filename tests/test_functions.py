@@ -1709,6 +1709,10 @@ class TestCosineRange:
         out = cosine_range(str(tmp_path), query_vec_id=0, threshold_x10k=5000).to_pandas()
         assert out["vec_id"].tolist() == [1, 2]  # query excluded, orth below
         assert out["score_x10k"].tolist() == [10000, 7071]
+        # no vector clears the bar -> typed empty (review-fix regression)
+        none = cosine_range(str(tmp_path), query_vec_id=0, threshold_x10k=10001)
+        assert none.num_rows == 0
+        assert none.column_names == ["vec_id", "score_x10k"]
 
 
 class TestQuerySimilarDocs:
@@ -1732,6 +1736,10 @@ class TestQuerySimilarDocs:
         assert out["doc_id"].tolist() == [1, 2]
         assert out["jaccard_pct"].tolist() == [100, 20]
         assert out["n_inter"].tolist() == [3, 1]
+        # unknown query id -> typed empty, like the SQL (review-fix)
+        miss = query_similar_docs(str(tmp_path), query_doc_id=999)
+        assert miss.num_rows == 0
+        assert miss.column_names == ["doc_id", "jaccard_pct", "n_inter"]
 
 
 class TestDecayedValue:
