@@ -2425,3 +2425,78 @@ def test_coalesce_blocks_bounds_block_count(ray_session):
     out = coalesce_blocks(ds, approx_rows=40).materialize()
     assert out.num_blocks() <= 8
     assert sorted(out.to_pandas()["x"]) == list(range(40))
+
+
+class TestSearchKernelProperties:
+    """Hypothesis properties for the session's positional/winnowing
+    kernels — random small corpora vs independent brute-force
+    recomputes (the shift-compare and window-min numpy paths have
+    boundary structure golden cases alone can miss)."""
+
+    @staticmethod
+    def _brute_phrase_hits(tokens, phrase):
+        L = len(phrase)
+        return sum(
+            1
+            for i in range(len(tokens) - L + 1)
+            if tuple(tokens[i : i + L]) == tuple(phrase)
+        )
+
+    def test_phrase_counts_match_bruteforce(self, ray_session, tmp_path_factory):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mlscraper_ray.functions.search import phrase_topk
+
+        words = ["a", "b", "c"]
+        case = st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=12),
+            min_size=1,
+            max_size=8,
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(docs=case, phrase_len=st.integers(2, 3))
+        def check(docs, phrase_len):
+            phrase = tuple(words[:phrase_len])
+            tmp = tmp_path_factory.mktemp("phr")
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array([" ".join(d) for d in docs], pa.string()),
+                }
+            )
+            pq.write_table(t, str(tmp / "documents.parquet"))
+            out = phrase_topk(str(tmp), phrase=phrase, k=100).to_pandas()
+            got = dict(zip(out["doc_id"], out["n_hits"]))
+            want = {
+                i: self._brute_phrase_hits(d, phrase)
+                for i, d in enumerate(docs)
+                if self._brute_phrase_hits(d, phrase) > 0
+            }
+            assert got == want
+
+        check()
+
+    def test_winnow_guarantee_on_random_docs(self):
+        """Pure-kernel property (no Ray): any two docs sharing a run
+        of >= w+k-1 tokens share a selected fingerprint."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mlscraper_ray.functions.dedup import _winnow_selected_fps
+
+        vocab = [f"w{i}" for i in range(30)]
+        tok = st.lists(st.sampled_from(vocab), min_size=0, max_size=10)
+
+        @settings(max_examples=25, deadline=None)
+        @given(pre_a=tok, post_a=tok, pre_b=tok, post_b=tok,
+               run=st.lists(st.sampled_from(vocab), min_size=6, max_size=9))
+        def check(pre_a, post_a, pre_b, post_b, run):
+            a = " ".join(pre_a + run + post_a)
+            b = " ".join(pre_b + run + post_b)
+            ha, sa = _winnow_selected_fps(a, 3, 4, 1_000_003)
+            hb, sb = _winnow_selected_fps(b, 3, 4, 1_000_003)
+            assert set(ha[sa]) & set(hb[sb])
+
+        check()
