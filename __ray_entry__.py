@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source data card: doc/token/empty counts + max/mean doc
         # length — the release-documentation table next to the corpus
         "source_datacard": textstats.source_datacard,
+        # connected components over the winnow similarity graph (the
+        # MOSS pair join feeding the shared min-label propagation)
+        "dedup_winnow_clusters": components.winnow_clusters,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -591,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_query_similar": _query_similar_sql(),
         "doc_winnow_fingerprints": _winnow_sql(),
         "dedup_winnow_pairs": _winnow_pairs_sql(),
+        "dedup_winnow_clusters": _winnow_clusters_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -729,6 +733,12 @@ def _winnow_pairs_sql() -> str:
     from mlscraper_ray.functions.dedup import winnow_neardup_pairs_sql
 
     return winnow_neardup_pairs_sql()
+
+
+def _winnow_clusters_sql() -> str:
+    from mlscraper_ray.functions.components import winnow_clusters_sql
+
+    return winnow_clusters_sql()
 
 
 def _minhash_incremental_sql() -> str:

@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "doc_dup_span_stats",
         "doc_winnow_fingerprints",
         "dedup_winnow_pairs",
+        "dedup_winnow_clusters",
         "dedup_segments",
         "doc_scrub_dup_runs",
         "doc_collapse_repeats",

@@ -343,3 +343,59 @@ WHERE NOT EXISTS (
 )
 ORDER BY d.doc_id
 """
+
+
+def winnow_clusters(sf_dir: str, min_shared: int = 3) -> pa.Table:
+    """Cluster assignment over the WINNOWING similarity graph — the
+    same distributed min-label propagation as :func:`neardup_clusters`
+    fed by :func:`winnow_neardup_pairs_ds` (pairs stay a Dataset end
+    to end). Returns (doc_id, cluster_id), cluster_id = component
+    minimum, one slim row per clustered doc."""
+    from mlscraper_ray.functions.dedup import winnow_neardup_pairs_ds
+
+    pairs = winnow_neardup_pairs_ds(sf_dir, min_shared=min_shared)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(t["doc_a"], pa.int64()),
+                "v": pc.cast(t["doc_b"], pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    labels = connected_components(edges, approx_edges=n_edges)
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.sort_values("doc_id", ignore_index=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def winnow_clusters_sql(min_shared: int = 3) -> str:
+    """Recursive-CTE transitive closure over the winnow pair join —
+    the same reach/clusters tail as NEARDUP_CLUSTERS_SQL with the
+    MOSS pair source swapped in."""
+    from mlscraper_ray.functions.dedup import winnow_neardup_pairs_sql
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({winnow_neardup_pairs_sql(min_shared=min_shared).rstrip()}) __wp),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+clusters AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""

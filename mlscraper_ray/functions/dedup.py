@@ -1840,20 +1840,20 @@ def winnow_to_parquet(
     return run_resumable_shards(out_dir, n_shards, window, write_shard)
 
 
-def winnow_neardup_pairs(
+def winnow_neardup_pairs_ds(
     sf_dir: str,
     k: int = 3,
     w: int = 4,
     mod: int = 1_000_003,
     min_shared: int = 3,
     df_cap: int | None = None,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
     MOSS similarity join: doc pairs sharing >= ``min_shared`` selected
     fingerprints (any shared run >= w+k-1 tokens guarantees >= 1, so
     the threshold tunes run mass, not recall of long overlaps).
-    Returns (doc_a, doc_b, shared) with doc_a < doc_b, ordered by
-    (doc_a, doc_b).
+    Dataset of (doc_a, doc_b, shared) rows with doc_a < doc_b (order
+    unspecified — the table wrapper sorts).
 
     Distributed plan: the inverted-index pair plan of the n-gram
     joins, with the selected-fp table (~2/(w+1) the gram mass — the
@@ -1902,19 +1902,17 @@ def winnow_neardup_pairs(
         {"shared": ("shared", "sum")},
     )
 
-    out = counted.map_batches(
-        lambda df: df[df["shared"] >= min_shared], batch_format="pandas"
-    ).to_pandas()
-    if len(out) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in ("doc_a", "doc_b", "shared")}
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["shared"] >= min_shared]
+        return pd.DataFrame(
+            {
+                "doc_a": (df["pair_key"] // _PAIR_BASE).astype("int64"),
+                "doc_b": (df["pair_key"] % _PAIR_BASE).astype("int64"),
+                "shared": df["shared"].astype("int64"),
+            }
         )
-    out["doc_a"] = (out["pair_key"] // _PAIR_BASE).astype("int64")
-    out["doc_b"] = (out["pair_key"] % _PAIR_BASE).astype("int64")
-    out = out[["doc_a", "doc_b", "shared"]].sort_values(
-        ["doc_a", "doc_b"], ignore_index=True
-    ).astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+    return counted.map_batches(unpack, batch_format="pandas")
 
 
 def winnow_neardup_pairs_sql(
@@ -1937,3 +1935,24 @@ FROM pairs WHERE shared >= {min_shared}
 ORDER BY doc_a, doc_b
 """
     )
+
+
+def winnow_neardup_pairs(
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    mod: int = 1_000_003,
+    min_shared: int = 3,
+    df_cap: int | None = None,
+) -> pa.Table:
+    """Registry entry: the contract table over
+    :func:`winnow_neardup_pairs_ds`, ordered by (doc_a, doc_b)."""
+    out = winnow_neardup_pairs_ds(
+        sf_dir, k=k, w=w, mod=mod, min_shared=min_shared, df_cap=df_cap
+    ).to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in ("doc_a", "doc_b", "shared")}
+        )
+    out = out.sort_values(["doc_a", "doc_b"], ignore_index=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -41,6 +41,7 @@ def _oracle_names():
         "dedup_query_similar",
         "doc_winnow_fingerprints",
         "dedup_winnow_pairs",
+        "dedup_winnow_clusters",
         "dedup_minhash_incremental",
         "dedup_ngram_jaccard",
         "dedup_containment",
@@ -1271,6 +1272,7 @@ class TestRegistryWindow:
             "ann_cosine_range", "dedup_query_similar",
             "doc_winnow_fingerprints", "text_search_phrase_indexed",
             "dedup_winnow_pairs", "source_datacard",
+            "dedup_winnow_clusters",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
