@@ -798,11 +798,18 @@ def _fold_surprisal(scored: "ray.data.Dataset") -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# scored-Dataset memo: doc_unigram_surprisal and doc_perplexity_buckets
+# both pay the scorer; within one process a registry pass reuses the
+# materialized slim result. Keyed by the documents parquet's identity
+# (path + size + mtime), so a rewritten file can't serve stale scores.
+_SCORED_CACHE: dict = {}
+
+
 def _unigram_scored_ds(
     sf_dir: str, broadcast_limit: int = 2_000_000
 ) -> "ray.data.Dataset":
     """Scored Dataset (doc_id, n_tokens, surprisal_sum) behind both
-    surprisal-family operators.
+    surprisal-family operators (process-memoized, see _SCORED_CACHE).
 
     Distributed plan: per-batch LOCAL (word, cnt) partials fold
     through the coarse-bucket aggregate into the corpus count table
@@ -818,9 +825,19 @@ def _unigram_scored_ds(
 
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(docs_path)
+    memo_key = (os.path.abspath(docs_path), st_.st_size, st_.st_mtime_ns, broadcast_limit)
+    if memo_key in _SCORED_CACHE:
+        return _SCORED_CACHE[memo_key]
+
+    def _memo(ds_out: "ray.data.Dataset") -> "ray.data.Dataset":
+        out = ds_out.materialize()
+        _SCORED_CACHE.clear()  # one corpus at a time: bound the memo
+        _SCORED_CACHE[memo_key] = out
+        return out
+
+    docs = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
 
     counts = bucketed_aggregate(
         docs.map_batches(
@@ -835,12 +852,14 @@ def _unigram_scored_ds(
     if total == 0:
         # all-empty corpus: empty Dataset to_pandas() drops columns
         # (repo-documented hazard), so hand back a TYPED empty table
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    c: pa.array([], pa.int64())
-                    for c in ("doc_id", "n_tokens", "surprisal_sum")
-                }
+        return _memo(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        c: pa.array([], pa.int64())
+                        for c in ("doc_id", "n_tokens", "surprisal_sum")
+                    }
+                )
             )
         )
 
@@ -872,7 +891,7 @@ def _unigram_scored_ds(
                 }
             )
 
-        return docs.map_batches(score, batch_format="pandas")
+        return _memo(docs.map_batches(score, batch_format="pandas"))
 
     # scale path: per-doc (word, occ) partials meet the count table in
     # crc32(word) buckets; doc scores fold through the coarse bucket
@@ -948,8 +967,10 @@ def _unigram_scored_ds(
         .groupby("bucket")
         .map_groups(join_score, batch_format="pandas")
     )
-    return bucketed_aggregate(
-        flags, ["doc_id"], {"surprisal_sum": ("s", "sum"), "n_tokens": ("n", "sum")}
+    return _memo(
+        bucketed_aggregate(
+            flags, ["doc_id"], {"surprisal_sum": ("s", "sum"), "n_tokens": ("n", "sum")}
+        )
     )
 
 
