@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the winnow similarity graph (the
         # MOSS pair join feeding the shared min-label propagation)
         "dedup_winnow_clusters": components.winnow_clusters,
+        # redirect-chain resolution by distributed POINTER DOUBLING:
+        # chains/trees resolve in log rounds, loops stay unresolved —
+        # the crawl-side Location canonicalization step
+        "url_redirect_resolve": urls.url_redirect_resolve,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -589,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search_phrase_indexed": search.phrase_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "frontier_url_filter": _frontier_filter_sql(),
+        "url_redirect_resolve": _redirect_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_cosine_range": similarity.cosine_range_sql(),
         "dedup_query_similar": _query_similar_sql(),
@@ -769,6 +774,12 @@ def _frontier_filter_sql() -> str:
     from mlscraper_ray.functions.urls import FRONTIER_URL_FILTER_SQL
 
     return FRONTIER_URL_FILTER_SQL
+
+
+def _redirect_sql() -> str:
+    from mlscraper_ray.functions.urls import url_redirect_resolve_sql
+
+    return url_redirect_resolve_sql()
 
 
 def _tfidf_sql() -> str:

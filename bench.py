@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "doc_pii_scrub",
         "corpus_split",
         "url_canonical_dedup",
+        "url_redirect_resolve",
         "frontier_url_filter",
         "text_search_bm25",
         "text_search_bm25_indexed",

@@ -260,3 +260,159 @@ c AS (
 )
 SELECT url, keep, reason FROM c ORDER BY url
 """
+
+
+# -- redirect-chain resolution --------------------------------------------
+
+
+def _redirect_edge(i: int, n: int) -> int | None:
+    """Deterministic synthetic redirect map over doc ids: multiples of
+    7 are terminal pages; multiples of 5 hop forward ((i+3) mod n —
+    creating genuine CYCLES like 10->13->12->11->10); everything else
+    redirects one step back. Mixes short chains, convergent trees and
+    unresolvable loops — the shapes a real redirect table contains."""
+    if i % 7 == 0:
+        return None
+    if i % 5 == 0:
+        return (i + 3) % n
+    return i - 1
+
+
+def url_redirect_resolve(sf_dir: str, max_hops: int = 16) -> pa.Table:
+    """Resolve every URL's redirect chain to its terminal target — the
+    canonicalization step a crawler runs over its observed
+    Location-header table before frontier admission. Functional graph
+    (<= 1 outgoing edge per url): chains end at a terminal page,
+    converge into trees, or loop; loops (and chains past ``max_hops``)
+    are unresolved. Returns (doc_id, final_id, n_hops, resolved)
+    ordered by doc_id, with final_id/n_hops = -1 when unresolved.
+
+    Distributed plan: POINTER DOUBLING (the path-halving trick of the
+    connected-components family): each round, every unresolved node's
+    pointer jumps to its pointer's pointer and the walked-hop count
+    accumulates — after round r every chain of length <= 2^r - 1 is
+    resolved (done-detection lags the doubling by one round, hence
+    rounds = ceil(log2(max_hops)) + 1), independent of corpus size.
+    No driver-side walking; each round is ONE :func:`cogroup_join` of
+    slim int rows keyed on the current pointer, with the state block
+    count re-bounded every round (the connected-components
+    block-doubling hazard, see components.py)."""
+    import math
+
+    n_docs_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = n_docs_ds.count()
+
+    def init_state(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        term = ids % 7 == 0
+        fwd = (~term) & (ids % 5 == 0)
+        # terminal nodes resolve to themselves in 0 hops
+        ptr = np.where(term, ids, np.where(fwd, (ids + 3) % n, ids - 1))
+        return pa.table(
+            {
+                "u": pa.array(ids, pa.int64()),
+                "ptr": pa.array(ptr.astype("int64"), pa.int64()),
+                "hops": pa.array(np.where(term, 0, 1).astype("int64"), pa.int64()),
+                "done": pa.array(term),
+            }
+        )
+
+    state_blocks = max(4, min(64, n // 1_000_000 + 4))
+    state = (
+        n_docs_ds.map_batches(init_state, batch_format="pyarrow")
+        .repartition(state_blocks, shuffle=False)
+        .materialize()
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops))) + 1
+
+    def as_self(t: pa.Table) -> pa.Table:
+        # jump key: where my pointer currently points
+        return pa.table(
+            {"k": t["ptr"], "u": t["u"], "ptr": t["ptr"],
+             "hops": t["hops"], "done": t["done"]}
+        )
+
+    def as_lookup(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": t["u"], "t_ptr": t["ptr"],
+             "t_hops": t["hops"], "t_done": t["done"]}
+        )
+
+    def jump(df: pd.DataFrame) -> pd.DataFrame:
+        move = ~df["done"].astype(bool)
+        new_ptr = df["ptr"].where(~move, df["t_ptr"]).astype("int64")
+        new_hops = df["hops"].where(~move, df["hops"] + df["t_hops"]).astype("int64")
+        new_done = (df["done"].astype(bool) | (move & df["t_done"].astype(bool)))
+        return pd.DataFrame(
+            {"u": df["u"].astype("int64"), "ptr": new_ptr,
+             "hops": new_hops, "done": new_done}
+        )
+
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    for _ in range(rounds):
+        # every pointer targets a valid node id, so inner == left here
+        joined = cogroup_join(
+            state.map_batches(as_self, batch_format="pyarrow"),
+            state.map_batches(as_lookup, batch_format="pyarrow"),
+            "k",
+            approx_rows=2 * n,
+        )
+        state = (
+            joined.map_batches(jump, batch_format="pandas")
+            .repartition(state_blocks, shuffle=False)
+            .materialize()
+        )
+
+    out = state.to_pandas()
+    resolved = out["done"].astype(bool) & (out["hops"] <= max_hops)
+    out["final_id"] = out["ptr"].where(resolved, -1).astype("int64")
+    out["n_hops"] = out["hops"].where(resolved, -1).astype("int64")
+    out["resolved"] = resolved.astype(bool)
+    out = out.rename(columns={"u": "doc_id"})[
+        ["doc_id", "final_id", "n_hops", "resolved"]
+    ].sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def url_redirect_resolve_sql(max_hops: int = 16) -> str:
+    """Recursive-CTE walk of the same synthetic redirect map, bounded
+    by ``max_hops``; unresolved (cyclic) urls never reach a terminal
+    row and fall out of the LEFT JOIN as -1."""
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+edges AS (
+    SELECT u,
+           CASE WHEN u % 7 = 0 THEN NULL
+                WHEN u % 5 = 0 THEN (u + 3) % (SELECT n FROM nn)
+                ELSE u - 1 END AS nxt
+    FROM nodes
+),
+walk(u, cur, hops) AS (
+    SELECT u, u, 0 FROM nodes
+    UNION ALL
+    SELECT w.u, e.nxt, w.hops + 1
+    FROM walk w JOIN edges e ON e.u = w.cur
+    WHERE e.nxt IS NOT NULL AND w.hops < {max_hops}
+),
+fin AS (
+    SELECT w.u, w.cur, w.hops
+    FROM walk w JOIN edges e2 ON e2.u = w.cur
+    WHERE e2.nxt IS NULL
+)
+SELECT n.u AS doc_id,
+       CAST(COALESCE(f.cur, -1) AS BIGINT) AS final_id,
+       CAST(COALESCE(f.hops, -1) AS BIGINT) AS n_hops,
+       f.u IS NOT NULL AS resolved
+FROM nodes n LEFT JOIN fin f ON f.u = n.u
+ORDER BY doc_id
+"""

@@ -2502,3 +2502,63 @@ class TestSearchKernelProperties:
             assert set(ha[sa]) & set(hb[sb])
 
         check()
+
+
+class TestRedirectResolve:
+    """Pointer-doubling redirect resolution vs a single-process walk
+    of the same synthetic Location map (chains, convergent trees and
+    genuine cycles all occur for n >= 14)."""
+
+    @staticmethod
+    def _walk(i, n, max_hops):
+        from mlscraper_ray.functions.urls import _redirect_edge
+
+        cur, hops = i, 0
+        while hops <= max_hops:
+            nxt = _redirect_edge(cur, n)
+            if nxt is None:
+                return cur, hops, True
+            cur, hops = nxt, hops + 1
+        return -1, -1, False
+
+    def _check(self, tmp_path, n, max_hops):
+        from mlscraper_ray.functions.urls import url_redirect_resolve
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = url_redirect_resolve(str(tmp_path), max_hops=max_hops).to_pandas()
+        want = pd.DataFrame(
+            [
+                (i, *self._walk(i, n, max_hops))
+                for i in range(n)
+            ],
+            columns=["doc_id", "final_id", "n_hops", "resolved"],
+        )
+        want[["doc_id", "final_id", "n_hops"]] = want[
+            ["doc_id", "final_id", "n_hops"]
+        ].astype("int64")
+        pd.testing.assert_frame_equal(out, want)
+        return out
+
+    def test_matches_reference_walk(self, ray_session, tmp_path):
+        out = self._check(tmp_path, n=30, max_hops=16)
+        # non-vacuous: the map contains both shapes
+        assert out["resolved"].any() and (~out["resolved"]).any()
+        # cycle 10 -> 13 -> 12 -> 11 -> 10 stays unresolved
+        assert not out.set_index("doc_id").loc[10, "resolved"]
+        # terminal pages resolve to themselves in 0 hops
+        term = out.set_index("doc_id").loc[7]
+        assert term["final_id"] == 7 and term["n_hops"] == 0
+
+    def test_max_hops_bound(self, ray_session, tmp_path):
+        # with max_hops=1 only terminals and 1-hop chains resolve;
+        # the reference walk enforces the same cut, so equality IS
+        # the bound test
+        out = self._check(tmp_path, n=30, max_hops=1)
+        assert (out.loc[out["resolved"], "n_hops"] <= 1).all()
+        assert (~out["resolved"]).any()
