@@ -312,6 +312,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chains/trees resolve in log rounds, loops stay unresolved —
         # the crawl-side Location canonicalization step
         "url_redirect_resolve": urls.url_redirect_resolve,
+        # ordered funnel conversion (first-touch anchoring, per-stage
+        # window): the whole per-user timestamp chain runs inside one
+        # user-bucket shuffle; only per-bucket step counts leave
+        "events_funnel": streams.events_funnel,
+        # cohort retention triangle: first-day and distinct active
+        # days computed in the SAME user bucket (no cohort join-back)
+        "events_retention": streams.events_retention,
+        # KMV bottom-k quantile sketch: mergeable deterministic sample
+        # (k smallest md5 ranks), bounded at k rows/type regardless of
+        # value cardinality — the sketch sibling of the exact histogram
+        "event_value_quantile_sketch": aggregates.event_value_quantile_sketch,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -607,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
+        "events_funnel": streams.events_funnel_sql(),
+        "events_retention": streams.EVENTS_RETENTION_SQL,
+        "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed

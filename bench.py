@@ -219,6 +219,9 @@ def run_bench() -> dict:
         "embed_random_projection",
         "sessionize",
         "events_decayed_value",
+        "events_funnel",
+        "events_retention",
+        "event_value_quantile_sketch",
         "hourly_event_counts",
         "sliding_window_counts",
     ]

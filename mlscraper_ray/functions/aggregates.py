@@ -345,6 +345,127 @@ def event_value_percentiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def event_value_quantile_sketch(sf_dir: str, k: int = 256) -> pa.Table:
+    """Bounded-memory quantile SKETCH per event_type: a KMV bottom-k
+    sample (the k smallest md5(event_id) hashes per type — a uniform
+    deterministic sample, mergeable by construction: min-k of a union
+    is the min-k of the partial min-k's) with discrete quantiles read
+    off the sorted sample. The sketch sibling of
+    :func:`event_value_percentiles` — the exact histogram's state
+    grows with distinct-VALUE cardinality, this stays at k rows per
+    type no matter what the value column looks like (the trade is
+    sampling error, pinned by test against the exact answer).
+
+    Per-batch partials emit at most k sample rows + 1 count row per
+    (batch, type); the final per-type combine re-takes the bottom-k
+    of the partials. Deterministic in the DATA only (seedless md5
+    rank, the repo's sampling idiom), so the DuckDB mirror reproduces
+    the sample — and therefore the estimates — bit-for-bit."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def md5_low(ids: np.ndarray) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "event_id": batch["event_id"].to_pandas().astype("int64"),
+                "vm": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()
+                ).to_pandas(),
+            }
+        )
+        df["h"] = md5_low(df["event_id"].to_numpy())
+        samp = (
+            df.sort_values(["h", "event_id"])
+            .groupby("event_type", as_index=False, sort=False)
+            .head(k)
+        )
+        samp = samp.assign(kind=np.int8(0), n=np.int64(0))
+        cnt = df.groupby("event_type", as_index=False).size()
+        cnt = pd.DataFrame(
+            {
+                "event_type": cnt["event_type"],
+                "event_id": np.int64(0),
+                "vm": np.int64(0),
+                "h": np.uint64(0),
+                "kind": np.int8(1),
+                "n": cnt["size"].astype("int64"),
+            }
+        )
+        cols = ["event_type", "event_id", "vm", "h", "kind", "n"]
+        return pd.concat([samp[cols], cnt[cols]], ignore_index=True)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n_events = int(g.loc[g["kind"] == 1, "n"].sum())
+        s = g[g["kind"] == 0].sort_values(["h", "event_id"]).head(k)
+        vs = np.sort(s["vm"].to_numpy(dtype="int64"))
+        m = len(vs)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": np.int64(n_events),
+                "n_sample": np.int64(m),
+                "p50_milli": np.int64(vs[(m - 1) * 50 // 100]),
+                "p90_milli": np.int64(vs[(m - 1) * 90 // 100]),
+                "p99_milli": np.int64(vs[(m - 1) * 99 // 100]),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def event_value_quantile_sketch_sql(k: int = 256) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         md5_number_lower(CAST(event_id AS VARCHAR)) AS h,
+         CAST(ROUND(value*1000) AS BIGINT) AS vm
+  FROM events
+),
+cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY event_type
+),
+samp AS (
+  SELECT event_type, vm
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) <= {k}
+),
+ranked AS (
+  SELECT event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rv,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM samp
+)
+SELECT c.event_type, c.n_events,
+       CAST(ANY_VALUE(m) AS BIGINT) AS n_sample,
+       CAST(MAX(CASE WHEN rv = (m-1)*50//100 + 1 THEN vm END) AS BIGINT) AS p50_milli,
+       CAST(MAX(CASE WHEN rv = (m-1)*90//100 + 1 THEN vm END) AS BIGINT) AS p90_milli,
+       CAST(MAX(CASE WHEN rv = (m-1)*99//100 + 1 THEN vm END) AS BIGINT) AS p99_milli
+FROM ranked JOIN cnt c USING (event_type)
+GROUP BY c.event_type, c.n_events
+ORDER BY c.event_type
+"""
+
+
 EVENT_VALUE_PERCENTILES_SQL = """
 SELECT event_type,
        quantile_disc(CAST(ROUND(value*1000) AS BIGINT), 0.50) AS p50_milli,

@@ -301,6 +301,173 @@ def events_decayed_value(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 72,
+) -> pa.Table:
+    """Ordered funnel conversion: users whose first ``steps[0]`` is
+    followed by a ``steps[1]`` within ``window_hours``, then a
+    ``steps[2]`` within ``window_hours`` of that, etc. (each stage
+    anchors on the EARLIEST qualifying event — the standard
+    first-touch funnel). Returns one row per step: (step, event_type,
+    n_users), n_users monotonically non-increasing.
+
+    Plan shape: filter to the step types at the read, one shuffle
+    keyed on user_id (64 fixed buckets), then the whole per-user
+    timestamp chain is vectorized pandas merges inside each bucket;
+    each bucket emits 3 partial-count rows, so the driver combine is
+    O(buckets * steps) — nothing per-user ever leaves the cluster."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    win = pd.Timedelta(hours=window_hours)
+    n_buckets = 64
+    step_set = list(steps)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=pa.array(step_set)))
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        prev: pd.Series | None = None
+        for idx, step in enumerate(step_set):
+            ev = g[g["event_type"] == step]
+            if idx == 0:
+                cur = ev.groupby("user_id", as_index=False)["ts"].min()
+            else:
+                # merge on COLUMNS only: an empty merge keeps the right
+                # side's index NAME, which then collides with the
+                # user_id column at groupby time (pandas ambiguity)
+                m = ev.merge(prev.rename(columns={"ts": "t_prev"}), on="user_id")
+                m = m[(m["ts"] >= m["t_prev"]) & (m["ts"] <= m["t_prev"] + win)]
+                cur = m.groupby("user_id", as_index=False)["ts"].min()
+            rows.append((idx + 1, step, len(cur)))
+            prev = cur
+        return pd.DataFrame(rows, columns=["step", "event_type", "n_users"])
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # every step row exists even on an empty/step-free corpus (the SQL
+    # mirror's COUNT(*) CTEs emit 0-count rows unconditionally)
+    base = pd.DataFrame(
+        {"step": range(1, len(step_set) + 1), "event_type": step_set, "n_users": 0}
+    )
+    if len(partials):
+        summed = partials.groupby(["step", "event_type"], as_index=False)["n_users"].sum()
+        base = (
+            pd.concat([base, summed], ignore_index=True)
+            .groupby(["step", "event_type"], as_index=False)["n_users"]
+            .sum()
+        )
+    out = base.sort_values("step", ignore_index=True)
+    out["step"] = out["step"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out[["step", "event_type", "n_users"]], preserve_index=False)
+
+
+def events_funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"), window_hours: int = 72
+) -> str:
+    ctes = [
+        f"t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"t{i + 1} AS (SELECT e.user_id, MIN(e.ts) AS ts{i + 1} "
+            f"FROM events e JOIN t{i} USING (user_id) "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts >= t{i}.ts{i} "
+            f"AND e.ts <= t{i}.ts{i} + INTERVAL {window_hours} HOUR "
+            f"GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM t{i + 1}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step"
+
+
+def events_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-activity day (epoch
+    days, integer), counted once per (cohort, day-offset) they were
+    active on. The classic triangle retention table.
+
+    Plan shape: one shuffle keyed on user_id; first-day AND distinct
+    active days are both computed inside the same bucket group (no
+    second shuffle to join the cohort back), partials are per-bucket
+    (cohort_day, day_offset) counts — distinct users never collide
+    across buckets because the bucket key IS the user — then one
+    coarse-bucket sum over the tiny cohort x offset key space."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    n_buckets = 64
+    us_per_day = 86_400_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        day = pc.divide(pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()), us_per_day)
+        t = pa.table({"user_id": batch["user_id"], "day": day})
+        return t.append_column("__bucket", bucket_of(t["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d0 = g.groupby("user_id")["day"].min().rename("d0")
+        act = g.drop_duplicates(["user_id", "day"]).merge(
+            d0, left_on="user_id", right_index=True
+        )
+        out = (
+            act.assign(day_offset=act["day"] - act["d0"])
+            .groupby(["d0", "day_offset"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "cohort_day": out["d0"].astype("int64"),
+                "day_offset": out["day_offset"].astype("int64"),
+                "n_users": out["size"].astype("int64"),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = (
+        bucketed_aggregate(
+            partials, ["cohort_day", "day_offset"], {"n_users": ("n_users", "sum")}
+        )
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"], ignore_index=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+act AS (
+    SELECT DISTINCT e.user_id, f.d0, e.day - f.d0 AS day_offset
+    FROM e JOIN f USING (user_id)
+)
+SELECT d0 AS cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act GROUP BY d0, day_offset ORDER BY cohort_day, day_offset
+"""
+
+
 def events_decayed_value_sql(halflife_hours: int = 72) -> str:
     hl_us = halflife_hours * 3_600 * 1_000_000
     return f"""

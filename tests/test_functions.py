@@ -106,6 +106,9 @@ def _oracle_names():
         "multimodal_features",
         "sessionize",
         "events_decayed_value",
+        "events_funnel",
+        "events_retention",
+        "event_value_quantile_sketch",
         "hourly_event_counts",
         "sliding_window_counts",
         "multimodal_decode",
@@ -1272,7 +1275,9 @@ class TestRegistryWindow:
             "ann_cosine_range", "dedup_query_similar",
             "doc_winnow_fingerprints", "text_search_phrase_indexed",
             "dedup_winnow_pairs", "source_datacard",
-            "dedup_winnow_clusters",
+            "dedup_winnow_clusters", "url_redirect_resolve",
+            "events_funnel", "events_retention",
+            "event_value_quantile_sketch",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -1767,6 +1772,105 @@ class TestDecayedValue:
         # user 1: 8000 (age 0) + 4000 (exactly 1 half-life); user 2:
         # age 145h = 2 full half-lives -> 2000
         assert got == {1: 12000, 2: 2000}
+
+
+class TestEventsFunnel:
+    def test_ordering_and_window_semantics(self, ray_session, tmp_path):
+        """A step-2 event BEFORE the user's first step-1, or outside
+        the window after it, must not convert; conversion anchors on
+        the FIRST qualifying event of the previous stage."""
+        from mlscraper_ray.functions.streams import events_funnel
+
+        base = pd.Timestamp("2024-01-10 00:00:00")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # user 1: view -> click(+1h) -> purchase(+2h): full convert
+            (1, base, "view"), (1, base + h, "click"), (1, base + 2 * h, "purchase"),
+            # user 2: click BEFORE any view -> step 2 not reached
+            (2, base - h, "click"), (2, base, "view"),
+            # user 3: click outside the 72h window -> not reached
+            (3, base, "view"), (3, base + pd.Timedelta(hours=73), "click"),
+            # user 4: two clicks; purchase qualifies only against the
+            # SECOND click's window but funnel anchors on the FIRST
+            (4, base, "view"), (4, base + h, "click"),
+            (4, base + pd.Timedelta(hours=80), "click"),
+            (4, base + pd.Timedelta(hours=100), "purchase"),
+            # user 5: purchase first, never views -> contributes nothing
+            (5, base, "purchase"),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_funnel(str(tmp_path)).to_pandas()
+        assert out["step"].tolist() == [1, 2, 3]
+        assert out["event_type"].tolist() == ["view", "click", "purchase"]
+        # views: users 1,2,3,4; clicks in-window after first view: 1,2? no
+        # (2's click precedes its view), 4 (first click at +1h); 3 out of
+        # window -> step2 = {1, 4}; purchases within 72h of the FIRST
+        # qualifying click: user 1 yes, user 4's purchase is 99h after its
+        # anchored click -> step3 = {1}
+        assert out["n_users"].tolist() == [4, 2, 1]
+
+
+class TestEventsRetention:
+    def test_triangle_counts(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.streams import events_retention
+
+        d = lambda s: pd.Timestamp(s)
+        rows = [
+            # cohort day 0: users 1,2 — user 1 returns day 1 and 3
+            (1, d("2024-01-01 08:00")), (1, d("2024-01-02 09:00")),
+            (1, d("2024-01-04 07:00")), (1, d("2024-01-04 23:00")),
+            (2, d("2024-01-01 10:00")),
+            # cohort day 1: user 3, returns day 2
+            (3, d("2024-01-02 01:00")), (3, d("2024-01-03 01:00")),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_retention(str(tmp_path)).to_pandas()
+        day0 = int(pd.Timestamp("2024-01-01").value // (86_400 * 10**9))
+        got = {
+            (r.cohort_day - day0, r.day_offset): r.n_users
+            for r in out.itertuples()
+        }
+        # duplicate same-day activity (user 1 on day 3) counts once
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+class TestQuantileSketch:
+    def test_sample_estimate_tracks_exact(self, ray_session, tmp_path):
+        """The KMV bottom-k sample is a uniform sample, so its
+        discrete quantiles must land near the exact ones — pinned on
+        a 20k-row uniform value column (deterministic md5 ranks, so
+        the assertion is stable)."""
+        from mlscraper_ray.functions.aggregates import event_value_quantile_sketch
+
+        n = 20_000
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "event_type": pa.array(["t"] * n, pa.string()),
+                # uniform 0..999.999 (value_milli = event_id * 50 % 10**6)
+                "value": pa.array([(i * 50 % 10**6) / 1000.0 for i in range(n)], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = event_value_quantile_sketch(str(tmp_path), k=256).to_pandas()
+        assert out["n_events"].tolist() == [n]
+        assert out["n_sample"].tolist() == [256]
+        for col, q in (("p50_milli", 0.50), ("p90_milli", 0.90), ("p99_milli", 0.99)):
+            exact = q * 10**6
+            assert abs(int(out[col].iloc[0]) - exact) < 0.08 * 10**6, (col, int(out[col].iloc[0]))
 
 
 class TestFrontierUrlFilter:
