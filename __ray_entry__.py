@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         content,
         curate,
         dedup,
+        graphdist,
         hits,
         joins,
         keywords,
@@ -323,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (k smallest md5 ranks), bounded at k rows/type regardless of
         # value cardinality — the sketch sibling of the exact histogram
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch,
+        # seed-distance BFS over the shared link graph (frontier
+        # expansion as iterative Dataset rounds; generator-truth
+        # constant table pins parse + graph + iteration)
+        "link_distance_from_seeds": graphdist.link_distance_from_seeds,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -682,6 +687,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
+        "link_distance_from_seeds": lambda: truth_oracles.link_distance_truth_sql(0.01),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.01),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.01),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.01),

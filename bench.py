@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "event_value_percentiles",
         "page_rank",
         "link_hits",
+        "link_distance_from_seeds",
         "link_stats",
         "host_rank",
         "host_reciprocity",

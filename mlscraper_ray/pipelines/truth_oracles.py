@@ -550,6 +550,46 @@ def hits_truth_sql(sf: float, n_iters: int = 4) -> str:
     return _cached(corpus_dir, "hits", key, build)
 
 
+def link_distance_truth_sql(sf: float) -> str:
+    """(url, dist) BFS distances from the seed manifest, recomputed by
+    the single-process reference walk over the corpus GENERATOR's own
+    link records (corpusgen.page_links — independent of the pipeline's
+    HTML parse / link-extraction path), so the constant table pins
+    extraction, graph assembly and the distributed frontier iteration
+    in one value check. Seeds mirror corpusgen's seeds.parquet rule
+    (first content page of the first n_seeds hosts)."""
+    from mlscraper_ray.functions import graphdist as graphdist_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        _source_digest(corpusgen, graphdist_mod).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        edges = [
+            (spec.page_url(h, i), t)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+            for t in corpusgen.page_links(spec, h, i)
+            if t in urlset
+        ]
+        seeds = [
+            spec.page_url(h, 1) for h in range(min(spec.n_seeds, spec.n_hosts))
+        ]
+        dist = graphdist_mod.bfs_reference(seeds, edges)
+        rows = sorted(dist.items())
+        return values_sql(rows, ["url", "dist"]) + ' ORDER BY "url"'
+
+    return _cached(corpus_dir, "linkdist", key, build)
+
+
 def link_stats_truth_sql(sf: float) -> str:
     """(url, in_links, src_hosts, out_links, top_anchor) per corpus
     page, recomputed from corpusgen.page_links plus the generator's

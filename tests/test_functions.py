@@ -129,7 +129,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -152,6 +152,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.001),
         "robots_stats": lambda: truth_oracles.robots_stats_truth_sql(0.001),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.001),
+        "link_distance_from_seeds": lambda: truth_oracles.link_distance_truth_sql(0.001),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.001),
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.001),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.001),
@@ -1277,7 +1278,7 @@ class TestRegistryWindow:
             "dedup_winnow_pairs", "source_datacard",
             "dedup_winnow_clusters", "url_redirect_resolve",
             "events_funnel", "events_retention",
-            "event_value_quantile_sketch",
+            "event_value_quantile_sketch", "link_distance_from_seeds",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing

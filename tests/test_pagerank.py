@@ -559,3 +559,45 @@ class TestWetCurate:
         os.remove(os.path.join(out_dir, "shard=0005", "_SUCCESS"))
         r3 = wet_curate_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
+
+
+class TestLinkDistance:
+    def test_distributed_equals_reference_on_random_digraphs(self, ray_session):
+        """Frontier-expansion BFS == single-process reference on
+        seeded random digraphs (cycles, unreachable islands, multiple
+        seeds), on BOTH the driver fast path and the forced
+        distributed loop."""
+        import random
+
+        import pyarrow as pa
+
+        from mlscraper_ray.functions.graphdist import bfs_reference, link_distance_ds
+
+        for seed in (1, 7):
+            rng = random.Random(seed)
+            n = 120
+            urls = [f"u{i:03d}" for i in range(n)]
+            edges = [
+                (urls[rng.randrange(n)], urls[rng.randrange(n)]) for _ in range(420)
+            ]
+            seeds = [urls[0], urls[50]]
+            want = bfs_reference(seeds, edges)
+            eds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([e[0] for e in edges]),
+                        "dst": pa.array([e[1] for e in edges]),
+                    }
+                )
+            )
+            for bl in (10**6, 0):  # driver path / distributed loop
+                got = (
+                    link_distance_ds(eds, seeds, broadcast_limit=bl)
+                    .to_pandas()
+                    .set_index("url")["dist"]
+                    .to_dict()
+                )
+                assert got == want, (seed, bl)
+            # unreachable nodes are absent, seeds are 0
+            assert all(want[s] == 0 for s in seeds)
+            assert len(want) < n  # random digraph leaves islands
