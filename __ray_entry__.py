@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (k smallest md5 ranks), bounded at k rows/type regardless of
         # value cardinality — the sketch sibling of the exact histogram
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch,
+        # leakage-free split: assignment hashes the SOURCE (group)
+        # key so near-dups inside a source never straddle train/eval
+        "corpus_split_by_source": textstats.corpus_split_by_source,
         # seed-distance BFS over the shared link graph (frontier
         # expansion as iterative Dataset rounds; generator-truth
         # constant table pins parse + graph + iteration)
@@ -625,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),
         "events_retention": streams.EVENTS_RETENTION_SQL,
+        "corpus_split_by_source": textstats.corpus_split_by_source_sql(),
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",
+        "corpus_split_by_source",
         "url_canonical_dedup",
         "url_redirect_resolve",
         "frontier_url_filter",

@@ -1373,6 +1373,77 @@ ORDER BY source, split
 """
 
 
+def corpus_split_by_source(
+    sf_dir: str, val_pct: int = 10, test_pct: int = 10
+) -> pa.Table:
+    """LEAKAGE-FREE split assignment: the split is decided by
+    md5(source) — the GROUP key — so every document of a source lands
+    in the same split. The per-doc split (:func:`corpus_split`) leaks
+    near-duplicates across the train/eval boundary whenever a source
+    hosts templated or mirrored text (the norm on web corpora); the
+    group split is the standard fix (eval contamination can then only
+    come from CROSS-source duplication, which the dedup family
+    handles). Same plan shape as corpus_split: pure streaming
+    assignment, per-batch integer partials, one tiny combine. Returns
+    (source, split, n_docs, n_tokens) — one row per source."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        r = pd.Series(
+            [
+                int.from_bytes(hashlib.md5(str(s).encode()).digest()[8:], "little")
+                % 100
+                for s in batch["source"]
+            ],
+            index=batch.index,
+        )
+        split = pd.Series("train", index=batch.index)
+        split[r < val_pct + test_pct] = "val"
+        split[r < test_pct] = "test"
+        toks = batch["text"].str.findall(_WORD_RE).str.len().astype("int64")
+        g = (
+            pd.DataFrame({"source": batch["source"], "split": split, "n_tokens": toks})
+            .groupby(["source", "split"], sort=False, as_index=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["source", "split"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+        .sort_values(["source", "split"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def corpus_split_by_source_sql(val_pct: int = 10, test_pct: int = 10) -> str:
+    return f"""
+WITH assigned AS (
+    SELECT source,
+           CASE
+               WHEN md5_number_lower(source) % 100 < {test_pct} THEN 'test'
+               WHEN md5_number_lower(source) % 100 < {val_pct + test_pct} THEN 'val'
+               ELSE 'train'
+           END AS split,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 # -- Gopher-style rule verdicts ------------------------------------------
 
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")

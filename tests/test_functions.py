@@ -78,6 +78,7 @@ def _oracle_names():
         "doc_pii_scrub",
         "doc_sample_10pct",
         "corpus_split",
+        "corpus_split_by_source",
         "doc_fingerprints",
         "corpus_curate",
         "corpus_decontaminate",
@@ -1279,6 +1280,7 @@ class TestRegistryWindow:
             "dedup_winnow_clusters", "url_redirect_resolve",
             "events_funnel", "events_retention",
             "event_value_quantile_sketch", "link_distance_from_seeds",
+            "corpus_split_by_source",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
