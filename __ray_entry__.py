@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (k smallest md5 ranks), bounded at k rows/type regardless of
         # value cardinality — the sketch sibling of the exact histogram
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch,
+        # snapshot change detection: current-vs-prior content-hash
+        # diff labeling added/removed/changed/unchanged per doc (the
+        # recrawl scheduler's per-doc input), one slim-row shuffle
+        "corpus_snapshot_diff": dedup.corpus_snapshot_diff,
         # leakage-free split: assignment hashes the SOURCE (group)
         # key so near-dups inside a source never straddle train/eval
         "corpus_split_by_source": textstats.corpus_split_by_source,
@@ -529,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
     from mlscraper_ray.functions import (
         aggregates,
         curate,
+        dedup,
         joins,
         packing,
         scrub,
@@ -629,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": streams.events_funnel_sql(),
         "events_retention": streams.EVENTS_RETENTION_SQL,
         "corpus_split_by_source": textstats.corpus_split_by_source_sql(),
+        "corpus_snapshot_diff": dedup.corpus_snapshot_diff_sql(),
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

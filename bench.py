@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "dedup_query_similar",
         "dedup_minhash",
         "dedup_minhash_incremental",
+        "corpus_snapshot_diff",
         "neardup_clusters",
         "corpus_dedup_canonical",
         "dedup_simhash_pairs",

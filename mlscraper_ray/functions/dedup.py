@@ -1456,6 +1456,142 @@ ORDER BY n.doc_id
 # -- bloom content-seen screen --------------------------------------------
 
 
+def corpus_snapshot_diff(
+    sf_dir: str,
+    snapshot_mod: int = 4,
+    ghost_mod: int = 8,
+    change_mod: int = 5,
+) -> pa.Table:
+    """Snapshot CHANGE DETECTION — the recrawl-scheduler's input: diff
+    the current corpus against the prior crawl snapshot by content
+    hash and label every doc_id ``added`` / ``removed`` / ``changed``
+    / ``unchanged``. (Change-rate per host is what drives freshness
+    tiers; this is the per-doc table that rate rolls up from.)
+
+    The prior snapshot is a deterministic stand-in (the
+    ``incremental_dedup`` convention — a real deployment reads the
+    prior crawl's persisted manifest): it holds every current doc with
+    ``doc_id % snapshot_mod != 0`` (so the ``== 0`` rows are newly
+    ADDED), plus retired ghost ids ``max_id+1+doc_id`` for
+    ``doc_id % ghost_mod == 0`` (REMOVED since), and its text carries
+    a ``~v2`` suffix when ``doc_id % change_mod == 0`` (CHANGED
+    since — a byte-suffix edit, no unicode-reversal semantics to
+    disagree on).
+
+    Scale shape: ONE streaming pass emits both sides as slim
+    (doc_id, hc, hp) rows with -1 sentinels on the absent side; one
+    coarse-bucket max-aggregate folds the two sides per doc_id; the
+    status label is then a pure vectorized map. No broadcast, no
+    driver structure, exactly one shuffle of slim int rows. Returns
+    (doc_id, status) over the union of both id spaces, sorted."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    mask = (1 << 62) - 1  # fit the unsigned md5 word into int64
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = int(ds.max("doc_id")) + 1
+
+    def sides(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little") & mask
+                for t in texts
+            ],
+            dtype=np.int64,
+        )
+        hv2 = np.array(
+            [
+                int.from_bytes(hashlib.md5((t + "~v2").encode()).digest()[8:], "little")
+                & mask
+                for t in texts
+            ],
+            dtype=np.int64,
+        )
+        cur = pd.DataFrame({"doc_id": ids, "hc": h, "hp": np.int64(-1)})
+        in_prior = ids % snapshot_mod != 0
+        prior = pd.DataFrame(
+            {
+                "doc_id": ids[in_prior],
+                "hc": np.int64(-1),
+                "hp": np.where(
+                    ids[in_prior] % change_mod == 0, hv2[in_prior], h[in_prior]
+                ),
+            }
+        )
+        ghost_sel = ids % ghost_mod == 0
+        ghosts = pd.DataFrame(
+            {
+                "doc_id": base + ids[ghost_sel],
+                "hc": np.int64(-1),
+                "hp": h[ghost_sel],
+            }
+        )
+        return pd.concat([cur, prior, ghosts], ignore_index=True)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(sides, batch_format="pyarrow"),
+        ["doc_id"],
+        {"hc": ("hc", "max"), "hp": ("hp", "max")},
+    )
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            df["hp"] < 0,
+            "added",
+            np.where(
+                df["hc"] < 0,
+                "removed",
+                np.where(df["hc"] == df["hp"], "unchanged", "changed"),
+            ),
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "status": status}
+        )
+
+    out = (
+        folded.map_batches(label, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # empty corpus: typed empty, not a column-drop crash
+        return pa.table({"doc_id": pa.array([], pa.int64()), "status": pa.array([], pa.string())})
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out[["doc_id", "status"]], preserve_index=False)
+
+
+def corpus_snapshot_diff_sql(
+    snapshot_mod: int = 4, ghost_mod: int = 8, change_mod: int = 5
+) -> str:
+    mask = (1 << 62) - 1
+    return f"""
+WITH cur AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(text) & {mask} AS BIGINT) AS hc
+  FROM documents
+),
+prior AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(
+             CASE WHEN doc_id % {change_mod} = 0 THEN text || '~v2' ELSE text END
+         ) & {mask} AS BIGINT) AS hp
+  FROM documents WHERE doc_id % {snapshot_mod} <> 0
+  UNION ALL
+  SELECT (SELECT MAX(doc_id) + 1 FROM documents) + doc_id,
+         CAST(md5_number_lower(text) & {mask} AS BIGINT)
+  FROM documents WHERE doc_id % {ghost_mod} = 0
+)
+SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            WHEN c.hc = p.hp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM cur c FULL OUTER JOIN prior p ON c.doc_id = p.doc_id
+ORDER BY doc_id
+"""
+
+
 def _bloom_positions_py(text: str, k: int, m_bits: int) -> list[int]:
     """Double-hashed probe positions from the two md5 halves —
     int.from_bytes parity with DuckDB's md5_number_lower/upper is

@@ -79,6 +79,7 @@ def _oracle_names():
         "doc_sample_10pct",
         "corpus_split",
         "corpus_split_by_source",
+        "corpus_snapshot_diff",
         "doc_fingerprints",
         "corpus_curate",
         "corpus_decontaminate",
@@ -1280,7 +1281,7 @@ class TestRegistryWindow:
             "dedup_winnow_clusters", "url_redirect_resolve",
             "events_funnel", "events_retention",
             "event_value_quantile_sketch", "link_distance_from_seeds",
-            "corpus_split_by_source",
+            "corpus_split_by_source", "corpus_snapshot_diff",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -2669,3 +2670,31 @@ class TestRedirectResolve:
         out = self._check(tmp_path, n=30, max_hops=1)
         assert (out.loc[out["resolved"], "n_hops"] <= 1).all()
         assert (~out["resolved"]).any()
+
+
+class TestSnapshotDiff:
+    def test_status_labels_on_crafted_corpus(self, ray_session, tmp_path):
+        """Pin each label class on a table small enough to hand-walk:
+        ids 0..9, snapshot_mod=4 (ids 0,4,8 added), ghost_mod=8
+        (ghosts base+0, base+8 removed), change_mod=5 (prior text of
+        ids 5 differs; id 0 is %5 too but isn't in the prior)."""
+        import pyarrow.parquet as pq
+
+        from mlscraper_ray.functions.dedup import corpus_snapshot_diff
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array([f"doc text {i}" for i in range(10)], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = corpus_snapshot_diff(str(tmp_path)).to_pandas()
+        got = dict(zip(out["doc_id"], out["status"]))
+        assert got == {
+            0: "added", 4: "added", 8: "added",
+            5: "changed",
+            1: "unchanged", 2: "unchanged", 3: "unchanged",
+            6: "unchanged", 7: "unchanged", 9: "unchanged",
+            10: "removed", 18: "removed",
+        }

@@ -601,3 +601,31 @@ class TestLinkDistance:
             # unreachable nodes are absent, seeds are 0
             assert all(want[s] == 0 for s in seeds)
             assert len(want) < n  # random digraph leaves islands
+
+    def test_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from mlscraper_ray.functions.graphdist import (
+            link_distance_from_seeds,
+            link_distance_to_parquet,
+        )
+
+        out_dir = str(tmp_path / "linkdist")
+        r1 = link_distance_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        files = sorted(glob.glob(out_dir + "/shard=*/*.parquet"))
+        got = (
+            pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+            .astype({"dist": "int64"})
+            .sort_values("url", ignore_index=True)
+        )
+        want = link_distance_from_seeds(SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(got[["url", "dist"]], want[["url", "dist"]])
+        r2 = link_distance_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
+        r3 = link_distance_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
