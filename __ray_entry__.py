@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (k smallest md5 ranks), bounded at k rows/type regardless of
         # value cardinality — the sketch sibling of the exact histogram
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch,
+        # near-dup SERVING from the persisted LSH bucket index:
+        # probe the query's band keys, read only those shards, exact
+        # gram-verify — the constant-work twin of dedup_query_similar
+        "dedup_query_similar_indexed": dedup.query_similar_indexed,
         # snapshot change detection: current-vs-prior content-hash
         # diff labeling added/removed/changed/unchanged per doc (the
         # recrawl scheduler's per-doc input), one slim-row shuffle
@@ -635,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": streams.EVENTS_RETENTION_SQL,
         "corpus_split_by_source": textstats.corpus_split_by_source_sql(),
         "corpus_snapshot_diff": dedup.corpus_snapshot_diff_sql(),
+        "dedup_query_similar_indexed": dedup.query_similar_indexed_sql(),
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "dedup_incremental",
         "dedup_bloom_screen",
         "dedup_query_similar",
+        "dedup_query_similar_indexed",
         "dedup_minhash",
         "dedup_minhash_incremental",
         "corpus_snapshot_diff",

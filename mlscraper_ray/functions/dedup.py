@@ -1794,6 +1794,241 @@ LIMIT {k}
 """
 
 
+def lsh_index_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window: int = 4,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> dict:
+    """Build a PERSISTED MinHash-LSH bucket index: postings rows
+    (band, bucket, doc_id) partitioned by crc32(band:bucket) into the
+    repo's resumable marker-last shard layout (the bm25/positional
+    index protocol), each shard's parquet SORTED by (band, bucket) so
+    a bucket probe row-group-prunes. LSH params land in ``_meta.json``
+    (written last) so a query with mismatched params fails loud
+    instead of probing garbage buckets."""
+    import json
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if all_shards_done(out_dir, n_shards) and os.path.exists(meta_path):
+        return {"written": 0, "skipped": n_shards}
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sigs = ds.map_batches(
+        minhash_stage_task,
+        fn_kwargs={
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "seed": seed,
+        },
+        batch_format="pyarrow",
+    )
+
+    def add_shard(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["shard"] = [
+            zlib.crc32(f"{b}:{v}".encode()) % n_shards
+            for b, v in zip(df["band"], df["bucket"])
+        ]
+        return df[["band", "bucket", "doc_id", "shard"]]
+
+    slim = sigs.map_batches(add_shard, batch_format="pyarrow").materialize()
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        part = slim.map_batches(
+            lambda df, s=s: (
+                df[df["shard"] == s]
+                .drop(columns=["shard"])
+                .sort_values(["band", "bucket", "doc_id"], ignore_index=True)
+            ),
+            batch_format="pandas",
+        )
+        part.write_parquet(dest)
+
+    res = run_resumable_shards(out_dir, n_shards, window, write_shard)
+    with open(meta_path, "w") as fh:
+        json.dump(
+            {
+                "num_perm": num_perm,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "seed": seed,
+                "n_shards": n_shards,
+            },
+            fh,
+        )
+    return res
+
+
+def query_similar_indexed(
+    sf_dir: str,
+    query_doc_id: int = 8,
+    threshold_pct: int = 80,
+    n: int = 3,
+    k: int = 20,
+) -> pa.Table:
+    """Near-dup SERVING from the PERSISTED LSH index — the
+    constant-work sibling of :func:`query_similar_docs` (which scans
+    every document against the query): probe the query's ``bands``
+    (band, bucket) keys, read ONLY the probed index shards with a
+    pushed-down bucket filter, then exact-verify the candidate set by
+    string-gram Jaccard and keep matches ``>= threshold_pct``.
+
+    Contract: equals the exhaustive SQL ranking RESTRICTED to
+    ``jaccard_pct >= threshold_pct`` — the same recall guarantee the
+    dedup_minhash oracle proves on this corpus (at 80 with 128/32
+    bands, candidate-miss probability ~5e-8 per pair; the exhaustive
+    join IS the oracle, so a recall miss fails the compare loud).
+    Returns (doc_id, jaccard_pct, n_inter) ordered by
+    (jaccard_pct DESC, doc_id). The index is built once per corpus
+    tier (cached, resumable, keyed by data + module digest)."""
+    import zlib
+
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads
+
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.search import _index_cache_dir
+
+    index_dir = _index_cache_dir(sf_dir, prefix="lsh_index")
+    lsh_index_to_parquet(sf_dir, index_dir)
+    import json
+
+    with open(os.path.join(index_dir, "_meta.json")) as fh:
+        meta = json.load(fh)
+
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("doc_id", "jaccard_pct", "n_inter")}
+    )
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    qt = dset.to_table(columns=["text"], filter=pc_.field("doc_id") == query_doc_id)
+    if qt.num_rows == 0:
+        return empty
+    qtext = qt["text"][0].as_py()
+
+    # the query's band keys, from the SAME stage the index was built with
+    sig_t = minhash_stage_task(
+        pa.table(
+            {"doc_id": pa.array([query_doc_id], pa.int64()), "text": pa.array([qtext])}
+        ),
+        num_perm=meta["num_perm"],
+        bands=meta["bands"],
+        shingle_n=meta["shingle_n"],
+        seed=meta["seed"],
+    )
+    keys = list(zip(sig_t["band"].to_pylist(), sig_t["bucket"].to_pylist()))
+    probe_shards = sorted(
+        {zlib.crc32(f"{b}:{v}".encode()) % meta["n_shards"] for b, v in keys}
+    )
+    flt = None
+    for b, v in keys:
+        term = (pc_.field("band") == b) & (pc_.field("bucket") == v)
+        flt = term if flt is None else (flt | term)
+    cands: set[int] = set()
+    for s in probe_shards:
+        shard_dir = os.path.join(index_dir, f"shard={s:04d}")
+        post = pads.dataset(shard_dir, format="parquet").to_table(
+            columns=["doc_id"], filter=flt
+        )
+        cands.update(post["doc_id"].to_pylist())
+    cands.discard(query_doc_id)
+    if not cands:
+        return empty
+
+    # exact verify: candidate texts only (pushed-down id filter),
+    # string-gram Jaccard against the broadcast query gram set
+    qg_ref = ray.put(word_gram_set(qtext, n))
+    cand_arr = pa.array(sorted(cands), pa.int64())
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc_.field("doc_id").isin(cand_arr),
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        qg = cached_object(qg_ref)
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            g = word_gram_set(text, n)
+            inter = len(qg & g)
+            if not inter:
+                continue
+            pct = (100 * inter) // (len(qg) + len(g) - inter)
+            if pct >= threshold_pct:
+                rows.append((int(doc_id), pct, inter))
+        return pd.DataFrame(rows, columns=["doc_id", "jaccard_pct", "n_inter"]).astype(
+            "int64"
+        )
+
+    parts = docs.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return empty
+    out = (
+        parts.sort_values(
+            ["jaccard_pct", "doc_id"], ascending=[False, True], ignore_index=True
+        )
+        .head(k)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def query_similar_indexed_sql(
+    query_doc_id: int = 8, threshold_pct: int = 80, k: int = 20
+) -> str:
+    """The exhaustive query-by-document join restricted to the
+    serving threshold — shared shape with query_similar_docs_sql; the
+    restriction is what the LSH probe's recall guarantee covers."""
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT b.doc_id, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id = {query_doc_id} AND b.doc_id != {query_doc_id}
+    GROUP BY b.doc_id
+),
+scored AS (
+    SELECT inter.doc_id,
+           CAST((100 * i) // (cq.n + cb.n - i) AS BIGINT) AS jaccard_pct,
+           CAST(i AS BIGINT) AS n_inter
+    FROM inter
+    JOIN cnt cq ON cq.doc_id = {query_doc_id}
+    JOIN cnt cb ON cb.doc_id = inter.doc_id
+)
+SELECT doc_id, jaccard_pct, n_inter
+FROM scored
+WHERE jaccard_pct >= {threshold_pct}
+ORDER BY jaccard_pct DESC, doc_id
+LIMIT {k}
+"""
+
+
 def _winnow_selected_fps(text: str, k: int, w: int, mod: int) -> "np.ndarray":
     """Gram-hash + ALL-TIED-MINIMA winnow selection shared by the
     per-doc fingerprint table and the similarity join (both are pinned

@@ -80,6 +80,7 @@ def _oracle_names():
         "corpus_split",
         "corpus_split_by_source",
         "corpus_snapshot_diff",
+        "dedup_query_similar_indexed",
         "doc_fingerprints",
         "corpus_curate",
         "corpus_decontaminate",
@@ -1282,6 +1283,7 @@ class TestRegistryWindow:
             "events_funnel", "events_retention",
             "event_value_quantile_sketch", "link_distance_from_seeds",
             "corpus_split_by_source", "corpus_snapshot_diff",
+            "dedup_query_similar_indexed",
         }
         missing = must_be_inside - set(first50)
         assert not missing, missing
@@ -2698,3 +2700,44 @@ class TestSnapshotDiff:
             6: "unchanged", 7: "unchanged", 9: "unchanged",
             10: "removed", 18: "removed",
         }
+
+
+class TestQuerySimilarIndexed:
+    def test_unknown_query_and_index_resume(self, ray_session, tmp_path):
+        """Missing query id -> typed empty (the to_pandas column-drop
+        hazard); the index build is resumable marker-last and a rebuilt
+        shard serves identical results."""
+        import os
+
+        from mlscraper_ray.functions.dedup import (
+            lsh_index_to_parquet,
+            query_similar_indexed,
+        )
+
+        miss = query_similar_indexed(SF_DIR, query_doc_id=10**9)
+        assert miss.num_rows == 0
+        assert miss.column_names == ["doc_id", "jaccard_pct", "n_inter"]
+
+        out_dir = str(tmp_path / "lsh")
+        r1 = lsh_index_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        r2 = lsh_index_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0002", "_SUCCESS"))
+        r3 = lsh_index_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
+        assert r3 == {"written": 1, "skipped": 7}
+
+    def test_matches_full_scan_at_threshold(self, ray_session):
+        """The indexed serving path equals the full-scan
+        query-by-document ranking restricted to the threshold — the
+        recall contract, checked against the scan twin directly."""
+        from mlscraper_ray.functions.dedup import (
+            query_similar_docs,
+            query_similar_indexed,
+        )
+
+        idx = query_similar_indexed(SF_DIR, query_doc_id=8).to_pandas()
+        scan = query_similar_docs(SF_DIR, query_doc_id=8, k=500).to_pandas()
+        scan = scan[scan["jaccard_pct"] >= 80].reset_index(drop=True)
+        pd.testing.assert_frame_equal(idx, scan.head(20))
+        assert len(idx) > 0  # doc 8 has planted near-dups
