@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scrub: count + redact emails/phones/IPs, pure streaming
         "doc_pii_scrub": textstats.pii_scrub,
         "doc_sample_10pct": textstats.sample_documents,
+        # per-source robust MAD length-outlier gate (histogram+rank)
+        "doc_length_outliers": textstats.doc_length_outliers,
         # deterministic train/val/test split bookkeeping (data card)
         "corpus_split": textstats.corpus_split,
         # per-language rate mixing (50% en / 20% rest, seedless)
@@ -569,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_scrub_dup_runs": scrub.scrub_dup_runs_sql(),
         "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
         "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
+        "doc_length_outliers": textstats.doc_length_outliers_sql(),
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,
         "corpus_to_training": packing.corpus_to_training_sql(),

@@ -2142,3 +2142,148 @@ FROM tk
 GROUP BY source
 ORDER BY source
 """
+
+
+def doc_length_outliers(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-source robust length-outlier flag — the MAD rule quality
+    filters actually use (median +/- k*MAD is outlier-proof where
+    mean +/- k*sigma is not): flag every document whose token count
+    deviates from its source's median by more than ``k`` times the
+    source's median absolute deviation. All-integer and exact — the
+    median is defined as the value at 0-indexed rank ``(n-1)//2``
+    (low median), MAD as the low median of ``|x - med|``, and the MAD
+    floor is 1 so a zero-spread source still has a well-defined gate.
+
+    Distributed plan (100 TB-ready): token counts have a bounded value
+    range, so ONE (source, n_tokens) count-histogram shuffle (tiny —
+    sources x distinct lengths) is pulled to the driver; both medians
+    are read off cumulative counts there (the deviation histogram is
+    derived from the same table, no second corpus pass), and the flag
+    is a streaming broadcast-dict map. Same histogram+rank shape as
+    ``doc_perplexity_buckets`` / ``event_value_percentiles``.
+
+    Returns (doc_id, source, n_tokens, med, mad, is_outlier) ordered
+    by doc_id, is_outlier as int64 0/1.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"],
+                "n_tokens": batch["text"]
+                .str.findall(_WORD_RE)
+                .str.len()
+                .astype("int64"),
+            }
+        )
+
+    tds = ds.map_batches(tokens, batch_format="pandas").materialize()
+
+    hist = bucketed_aggregate(
+        tds.map_batches(
+            lambda df: df.groupby(["source", "n_tokens"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["source", "n_tokens"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    if len(hist) == 0:  # empty to_pandas drops columns — guard first
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "med": pa.array([], pa.int64()),
+                "mad": pa.array([], pa.int64()),
+                "is_outlier": pa.array([], pa.int64()),
+            }
+        )
+
+    def low_median(vals: list[tuple[int, int]]) -> int:
+        """Value at 0-indexed rank (n-1)//2 of the expanded multiset,
+        read off (value, count) pairs sorted by value."""
+        n = sum(c for _, c in vals)
+        target = (n - 1) // 2
+        seen = 0
+        for v, c in sorted(vals):
+            if seen + c > target:
+                return v
+            seen += c
+        raise AssertionError("rank out of histogram range")
+
+    stats: dict[str, tuple[int, int]] = {}
+    for src, grp in hist.groupby("source"):
+        vals = list(zip(grp["n_tokens"].astype(int), grp["cnt"].astype(int)))
+        med = low_median(vals)
+        mad = low_median([(abs(v - med), c) for v, c in vals])
+        stats[str(src)] = (med, max(mad, 1))
+
+    s_ref = ray.put(stats)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        st = cached_object(s_ref)
+        med = df["source"].map(lambda s: st[s][0]).astype("int64")
+        mad = df["source"].map(lambda s: st[s][1]).astype("int64")
+        out = df.copy()
+        out["med"] = med
+        out["mad"] = mad
+        out["is_outlier"] = (
+            (df["n_tokens"] - med).abs() > k * mad
+        ).astype("int64")
+        return out
+
+    out = (
+        tds.map_batches(classify, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(
+        out[["doc_id", "source", "n_tokens", "med", "mad", "is_outlier"]],
+        preserve_index=False,
+    )
+
+
+def doc_length_outliers_sql(k: int = 3) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) - 1 AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM d
+),
+med AS (SELECT source, n_tokens AS med FROM r WHERE rk = (n - 1) // 2),
+dev AS (
+    SELECT d.source, abs(d.n_tokens - m.med) AS dv
+    FROM d JOIN med m USING (source)
+),
+r2 AS (
+    SELECT source, dv,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) - 1 AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM dev
+),
+mad AS (
+    SELECT source, greatest(dv, 1) AS mad FROM r2 WHERE rk = (n - 1) // 2
+)
+SELECT d.doc_id, d.source, d.n_tokens, m.med, a.mad,
+       CAST(CASE WHEN abs(d.n_tokens - m.med) > {k} * a.mad THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+FROM d JOIN med m USING (source) JOIN mad a USING (source)
+ORDER BY doc_id
+"""

@@ -2741,3 +2741,68 @@ class TestQuerySimilarIndexed:
         scan = scan[scan["jaccard_pct"] >= 80].reset_index(drop=True)
         pd.testing.assert_frame_equal(idx, scan.head(20))
         assert len(idx) > 0  # doc 8 has planted near-dups
+
+
+class TestLengthOutliers:
+    def _write(self, tmp_path, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    def test_mad_rule_flags_only_the_planted_outlier(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import doc_length_outliers
+
+        # source a: lengths 9,10,10,11,12 and one planted 60-token doc
+        rows = [
+            (0, "a", " ".join(["w"] * 9)),
+            (1, "a", " ".join(["w"] * 10)),
+            (2, "a", " ".join(["w"] * 10)),
+            (3, "a", " ".join(["w"] * 11)),
+            (4, "a", " ".join(["w"] * 12)),
+            (5, "a", " ".join(["w"] * 60)),
+        ]
+        self._write(tmp_path, rows)
+        out = doc_length_outliers(str(tmp_path)).to_pandas()
+        # low median of (9,10,10,11,12,60) = value at rank 2 = 10;
+        # deviations (1,0,0,1,2,50) -> low median at rank 2 = 1
+        assert out["med"].tolist() == [10] * 6
+        assert out["mad"].tolist() == [1] * 6
+        assert out["is_outlier"].tolist() == [0, 0, 0, 0, 0, 1]
+
+    def test_sources_gate_independently_and_mad_floor(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import doc_length_outliers
+
+        # source z has zero spread -> MAD floors at 1; its 5-token doc
+        # deviates by 2 > 3*0 but NOT > 3*1 under the floor... 2 <= 3
+        # so not flagged; the 20-token doc is. Source a unaffected.
+        rows = [
+            (0, "a", " ".join(["w"] * 10)),
+            (1, "a", " ".join(["w"] * 10)),
+            (2, "z", " ".join(["w"] * 3)),
+            (3, "z", " ".join(["w"] * 3)),
+            (4, "z", " ".join(["w"] * 3)),
+            (5, "z", " ".join(["w"] * 5)),
+            (6, "z", " ".join(["w"] * 20)),
+        ]
+        self._write(tmp_path, rows)
+        out = doc_length_outliers(str(tmp_path)).to_pandas()
+        z = out[out["source"] == "z"].sort_values("doc_id")
+        assert z["med"].tolist() == [3] * 5
+        assert z["mad"].tolist() == [1] * 5  # floored from 0
+        assert z["is_outlier"].tolist() == [0, 0, 0, 0, 1]
+        assert out[out["source"] == "a"]["is_outlier"].tolist() == [0, 0]
+
+    def test_empty_corpus_typed_schema(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.textstats import doc_length_outliers
+
+        self._write(tmp_path, [])
+        out = doc_length_outliers(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == [
+            "doc_id", "source", "n_tokens", "med", "mad", "is_outlier"
+        ]
