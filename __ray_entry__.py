@@ -457,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_10pct": textstats.sample_documents,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
+        # per-source chrome-gram boilerplate strip (CCNet host rule)
+        "doc_strip_boilerplate": scrub.strip_boilerplate,
         # deterministic train/val/test split bookkeeping (data card)
         "corpus_split": textstats.corpus_split,
         # per-language rate mixing (50% en / 20% rest, seedless)
@@ -572,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
         "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
         "doc_length_outliers": textstats.doc_length_outliers_sql(),
+        "doc_strip_boilerplate": scrub.strip_boilerplate_sql(),
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,
         "corpus_to_training": packing.corpus_to_training_sql(),

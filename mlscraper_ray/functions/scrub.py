@@ -626,3 +626,364 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def _boiler_phrase(source: str, g: int) -> str:
+    """Deterministic per-source boilerplate phrase — the stand-in for
+    the real-world shared chrome (nav bars, cookie banners, footers)
+    that the synthetic corpus lacks. Tokens are outside the organic
+    vocabulary by construction, so the massage plants exactly one
+    cross-document g-gram per source."""
+    return " ".join(f"bp{source}w{j}" for j in range(g))
+
+
+def strip_boilerplate_ds(
+    sf_dir: str,
+    g: int = 6,
+    min_doc_pct: int = 30,
+    broadcast_limit: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-SOURCE boilerplate removal — the host-frequency rule CCNet
+    and trafilatura-style curation applies to web text: any
+    OVERLAPPING ``g``-gram that appears in at least ``min_doc_pct`` %
+    of a source's documents (distinct-doc frequency, exact integer
+    threshold ``cnt * 100 >= pct * n_docs``) is chrome, and every
+    token covered by an occurrence of a chrome gram is struck from the
+    document. Differs from :func:`scrub_dup_runs` (global df > 1, long
+    runs only) in both the grouping (per-source fraction) and the cut
+    rule (all covered tokens go — chrome is removed wholesale).
+
+    Input massage (deterministic stand-in, the ``bloom_screen`` /
+    ``corpus_snapshot_diff`` convention): docs with even ``doc_id``
+    get their source's :func:`_boiler_phrase` appended, simulating the
+    shared page chrome a real crawl carries; the detection path under
+    test is blind to the plant.
+
+    Returns one row per doc: (doc_id, source, n_before, n_after,
+    clean_md5) — md5 of the kept-token join byte-pins the rewrite.
+
+    Plan: slim (source, gram) distinct-doc counts fold in the
+    coarse-bucket aggregate; per-source doc totals are a tiny
+    broadcast; path by chrome-gram COUNT — broadcast set + one
+    streaming rewrite under the cap, else gram-position rows meet the
+    chrome set in crc32(source,gram) buckets and flagged positions
+    rejoin each doc's text in a doc-hash bucket groupby (text crosses
+    the wire once, co-partitioned, never driver-sized)."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def massage(doc_id: int, source: str, text: str) -> str:
+        if doc_id % 2 == 0:
+            return (text.strip() + " " + _boiler_phrase(source, g)).strip()
+        return text
+
+    def doc_distinct_grams(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        grams: list[str] = []
+        for doc_id, source, text in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for gr in set(_grams_overlapping(massage(doc_id, source, text).split(), g)):
+                srcs.append(source)
+                grams.append(gr)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "gram": pa.array(grams, pa.string()),
+            }
+        )
+
+    df_counts = bucketed_aggregate(
+        docs.map_batches(doc_distinct_grams, batch_format="pyarrow"),
+        ["source", "gram"],
+        {"cnt": ("gram", "count")},
+    )
+
+    nd = (
+        docs.map_batches(
+            lambda d: d.groupby("source", sort=False).size().rename("n").reset_index(),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_docs = (
+        {str(s): int(n) for s, n in zip(nd["source"], nd["n"])} if len(nd) else {}
+    )
+    nd_ref = ray.put(n_docs)
+
+    def keep_chrome(t: pa.Table) -> pa.Table:
+        # arrow-side filter: empty pandas object batches trip Ray's
+        # noisy size estimator (repo-documented hazard)
+        ndm = cached_object(nd_ref)
+        tot = np.fromiter(
+            (ndm[s] for s in t["source"].to_pylist()), dtype=np.int64, count=t.num_rows
+        )
+        cnt = np.asarray(t["cnt"].to_pylist(), dtype=np.int64)
+        return t.select(["source", "gram"]).filter(
+            pa.array(cnt * 100 >= min_doc_pct * tot)
+        )
+
+    chrome_rows = df_counts.map_batches(keep_chrome, batch_format="pyarrow").materialize()
+    n_chrome = chrome_rows.count()
+
+    out_schema = {
+        "doc_id": pa.int64(),
+        "source": pa.string(),
+        "n_before": pa.int64(),
+        "n_after": pa.int64(),
+        "clean_md5": pa.string(),
+    }
+
+    def finish_doc(doc_id: int, source: str, words: list[str], flags: "np.ndarray"):
+        keep, _runs, _rm = _covered_runs(flags, len(words), g, 1)
+        clean = " ".join(w for w, k in zip(words, keep) if k)
+        return (
+            int(doc_id),
+            source,
+            len(words),
+            int(keep.sum()),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    def rows_table(rows) -> pa.Table:
+        cols = list(zip(*rows)) if rows else [[] for _ in out_schema]
+        return pa.table(
+            {n: pa.array(c, t) for (n, t), c in zip(out_schema.items(), cols)}
+        )
+
+    if n_chrome <= broadcast_limit:
+        by_src: dict[str, set] = {}
+        cdf = chrome_rows.to_pandas()
+        if len(cdf):
+            for s, gr in zip(cdf["source"], cdf["gram"]):
+                by_src.setdefault(str(s), set()).add(gr)
+        chrome_ref = ray.put(by_src)
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            chrome = cached_object(chrome_ref)
+            rows = []
+            for doc_id, source, text in zip(
+                batch["doc_id"].to_pylist(),
+                batch["source"].to_pylist(),
+                batch["text"].to_pylist(),
+            ):
+                words = massage(doc_id, source, text).split()
+                cs = chrome.get(source, ())
+                grams = _grams_overlapping(words, g)
+                flags = np.fromiter(
+                    (gr in cs for gr in grams), dtype=bool, count=len(grams)
+                )
+                rows.append(finish_doc(doc_id, source, words, flags))
+            return rows_table(rows)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow")
+
+    # join-back path: (source, gram) position rows meet the chrome set
+    # in crc32 buckets; flagged positions rejoin doc text by doc hash
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(docs.count())
+
+    def skey(source: str, gr: str) -> int:
+        return zlib.crc32((source + "\x1f" + gr).encode()) % n_buckets
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, srcs, poss, grams, buckets = [], [], [], [], []
+        for doc_id, source, text in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for i, gr in enumerate(
+                _grams_overlapping(massage(doc_id, source, text).split(), g)
+            ):
+                ids.append(doc_id)
+                srcs.append(source)
+                poss.append(i)
+                grams.append(gr)
+                buckets.append(skey(source, gr))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "side": pa.array(["t"] * len(ids), pa.string()),
+            }
+        )
+
+    def tag_chrome(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array([-1] * n, pa.int64()),
+                "source": batch["source"],
+                "pos": pa.array([-1] * n, pa.int64()),
+                "gram": batch["gram"],
+                "bucket": pa.array(
+                    [
+                        skey(s, gr)
+                        for s, gr in zip(
+                            batch["source"].to_pylist(), batch["gram"].to_pylist()
+                        )
+                    ],
+                    pa.int32(),
+                ),
+                "side": pa.array(["d"] * n, pa.string()),
+            }
+        )
+
+    unioned = docs.map_batches(explode, batch_format="pyarrow").union(
+        chrome_rows.map_batches(tag_chrome, batch_format="pyarrow")
+    )
+
+    def flag_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        d = grp[grp["side"] == "d"]
+        chrome = set(zip(d["source"], d["gram"]))
+        t = grp[grp["side"] == "t"]
+        hit = t[[sg in chrome for sg in zip(t["source"], t["gram"])]]
+        return pd.DataFrame(
+            {
+                "doc_id": hit["doc_id"].astype("int64"),
+                "pos": hit["pos"].astype("int64"),
+                "payload": pd.Series([""] * len(hit), index=hit.index, dtype=str),
+                "src": hit["source"].astype(str),
+                "doc_bucket": (hit["doc_id"] % n_buckets).astype("int32"),
+            }
+        )
+
+    flagged = unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
+
+    def doc_carrier(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "pos": pd.Series([-1] * len(df), index=df.index, dtype="int64"),
+                "payload": df["text"].astype(str),
+                "src": df["source"].astype(str),
+                "doc_bucket": (df["doc_id"] % n_buckets).astype("int32"),
+            }
+        )
+
+    both = flagged.union(docs.map_batches(doc_carrier, batch_format="pandas"))
+
+    def reassemble(grp: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "source", "n_before", "n_after", "clean_md5"]
+        if grp.empty or "doc_id" not in grp.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype=str),
+                    "n_before": pd.Series(dtype="int64"),
+                    "n_after": pd.Series(dtype="int64"),
+                    "clean_md5": pd.Series(dtype=str),
+                }
+            )
+        rows = []
+        for doc_id, d in grp.groupby("doc_id", sort=False):
+            text_rows = d[d["pos"] < 0]
+            if text_rows.empty:
+                continue
+            source = text_rows["src"].iloc[0]
+            words = massage(int(doc_id), source, text_rows["payload"].iloc[0]).split()
+            n_pos = max(0, len(words) - g + 1)
+            flags = np.zeros(n_pos, dtype=bool)
+            hit = d.loc[d["pos"] >= 0, "pos"].to_numpy()
+            if len(hit):
+                flags[hit] = True
+            rows.append(finish_doc(int(doc_id), source, words, flags))
+        return pd.DataFrame(rows, columns=cols)
+
+    return both.groupby("doc_bucket").map_groups(reassemble, batch_format="pandas")
+
+
+def strip_boilerplate(sf_dir: str, g: int = 6, min_doc_pct: int = 30, **kwargs) -> pa.Table:
+    out = strip_boilerplate_ds(sf_dir, g=g, min_doc_pct=min_doc_pct, **kwargs).to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_before": pa.array([], pa.int64()),
+                "n_after": pa.array([], pa.int64()),
+                "clean_md5": pa.array([], pa.string()),
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True)
+    for c in ("doc_id", "n_before", "n_after"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "source", "n_before", "n_after", "clean_md5"]],
+        preserve_index=False,
+    )
+
+
+def strip_boilerplate_sql(g: int = 6, min_doc_pct: int = 30) -> str:
+    boiler = " || ".join(
+        [f"' bp' || source || 'w{j}'" for j in range(g)]
+    )
+    return f"""
+WITH massaged AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 0
+                THEN trim(trim(text) || {boiler})
+                ELSE text END AS t
+    FROM documents
+),
+arr AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(t), '\\s+') AS a
+    FROM massaged WHERE trim(t) <> ''
+),
+toks AS (
+    SELECT doc_id, source, s.i AS pos, a[s.i] AS tok, len(a) AS n
+    FROM arr, UNNEST(generate_series(1, len(a))) AS s(i)
+),
+grams AS (
+    SELECT doc_id, source, s.i AS gpos,
+           array_to_string(a[s.i:s.i + {g - 1}], chr(31)) AS gr
+    FROM arr, UNNEST(generate_series(1, len(a) - {g - 1})) AS s(i)
+),
+docgrams AS (SELECT DISTINCT doc_id, source, gr FROM grams),
+src_docs AS (SELECT source, COUNT(*) AS nd FROM massaged GROUP BY source),
+chrome AS (
+    SELECT dg.source, dg.gr
+    FROM (SELECT source, gr, COUNT(*) AS c FROM docgrams GROUP BY source, gr) dg
+    JOIN src_docs sd USING (source)
+    WHERE dg.c * 100 >= {min_doc_pct} * sd.nd
+),
+cov AS (
+    SELECT g2.doc_id, g2.gpos
+    FROM grams g2 JOIN chrome ch ON g2.source = ch.source AND g2.gr = ch.gr
+),
+cut AS (
+    SELECT t.doc_id, t.source, t.pos, t.tok, t.n,
+           EXISTS (
+               SELECT 1 FROM cov c
+               WHERE c.doc_id = t.doc_id AND t.pos BETWEEN c.gpos AND c.gpos + {g - 1}
+           ) AS removed
+    FROM toks t
+),
+folded AS (
+    SELECT doc_id,
+           any_value(n) AS n_before,
+           COUNT(*) FILTER (WHERE NOT removed) AS n_after,
+           md5(COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT removed), ''))
+               AS clean_md5
+    FROM cut GROUP BY doc_id
+)
+SELECT m.doc_id, m.source,
+       CAST(COALESCE(f.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(f.n_after, 0) AS BIGINT) AS n_after,
+       COALESCE(f.clean_md5, md5('')) AS clean_md5
+FROM massaged m LEFT JOIN folded f USING (doc_id)
+ORDER BY m.doc_id
+"""

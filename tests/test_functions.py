@@ -2806,3 +2806,73 @@ class TestLengthOutliers:
         assert out.column_names == [
             "doc_id", "source", "n_tokens", "med", "mad", "is_outlier"
         ]
+
+
+class TestStripBoilerplate:
+    def _write(self, tmp_path, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    def test_planted_chrome_stripped_from_even_docs_only(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.scrub import strip_boilerplate
+
+        # 4 docs, one source: even ids get the planted phrase appended
+        # by the massage; organic text is unique per doc so the ONLY
+        # chrome gram is the plant (2/4 docs = 50% >= 30%)
+        rows = [(i, "a", f"organic u{i} v{i} w{i} x{i} y{i} z{i} q{i}") for i in range(4)]
+        self._write(tmp_path, rows)
+        out = strip_boilerplate(tmp_path.as_posix()).to_pandas()
+        assert (out.loc[out.doc_id % 2 == 0, "n_before"]
+                - out.loc[out.doc_id % 2 == 0, "n_after"]).tolist() == [6, 6]
+        assert (out.loc[out.doc_id % 2 == 1, "n_before"]
+                == out.loc[out.doc_id % 2 == 1, "n_after"]).all()
+
+    def test_organic_repeated_gram_is_chrome_and_coverage_merges(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.scrub import strip_boilerplate
+        import hashlib
+
+        # three of four odd docs share the same 7-token run -> its two
+        # overlapping 6-grams pass the threshold (75%) while every
+        # singleton gram stays under it (25% < 30%); coverage must
+        # merge to strike exactly those 7 tokens once
+        chrome = "c1 c2 c3 c4 c5 c6 c7"
+        rows = [
+            (1, "a", f"u1 {chrome} tail1"),
+            (3, "a", f"u3 {chrome} tail3"),
+            (5, "a", f"u5 {chrome} tail5"),
+            (7, "a", "o1 o2 o3 o4 o5 o6 o7 o8"),
+        ]
+        self._write(tmp_path, rows)
+        out = strip_boilerplate(tmp_path.as_posix()).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_before"] == 9 and out.loc[1, "n_after"] == 2
+        assert out.loc[1, "clean_md5"] == hashlib.md5(b"u1 tail1").hexdigest()
+
+    def test_sources_threshold_independently(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.scrub import strip_boilerplate
+
+        # the same repeated gram sits in 4/4 docs of source a (chrome)
+        # but only 1/5 docs of source b (20% — not chrome there);
+        # singleton grams stay under threshold on both sides
+        chrome = "k1 k2 k3 k4 k5 k6"
+        rows = [(i, "a", f"a{i} {chrome}") for i in (1, 3, 15, 17)] + [
+            (5, "b", f"b5 {chrome}")
+        ] + [
+            (i, "b", f"b{i} d{i} e{i} f{i} g{i} h{i} j{i}") for i in (7, 9, 11, 13)
+        ]
+        self._write(tmp_path, rows)
+        out = strip_boilerplate(tmp_path.as_posix()).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_after"] == 1 and out.loc[3, "n_after"] == 1
+        assert out.loc[5, "n_after"] == out.loc[5, "n_before"]
+
+    def test_join_back_path_equals_broadcast(self, ray_session):
+        from mlscraper_ray.functions.scrub import strip_boilerplate
+
+        a = strip_boilerplate("/root/testdata/sf0.001").to_pandas()
+        b = strip_boilerplate("/root/testdata/sf0.001", broadcast_limit=0).to_pandas()
+        assert a.equals(b)
