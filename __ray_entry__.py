@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link reciprocity per host (mutual-citation / link-farm
         # signal over the distinct cross-host pair table)
         "host_reciprocity": pagerank.host_reciprocity,
+        # per-host triangle count + clustering coefficient (degree-
+        # ordered wedge orientation, generator-truth oracle)
+        "host_triangles": pagerank.host_triangles,
         # URL canonicalization + canonical-form dedup (real stdlib
         # parser; deterministic dirty-URL synthesis, expected-value
         # oracle per spelling)
@@ -716,6 +719,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.01),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
         "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.01),
+        "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

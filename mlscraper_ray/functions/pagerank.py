@@ -901,3 +901,289 @@ def host_rank(
     assert (out["rank_total"] >= 0).all(), "host rank_total overflowed int64; lower `scale`"
     cols = ["host", "n_pages", "rank_total", "in_hosts", "out_hosts"]
     return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+def host_triangles_ds(
+    edges: ray.data.Dataset, broadcast_limit: int = 2_000_000
+) -> ray.data.Dataset:
+    """Per-host TRIANGLE counts over the undirected host graph — the
+    community-density signal (hosts embedded in mutually-linked
+    clusters vs isolated spam hubs). Exact, via the degree-ordered
+    edge orientation (each undirected edge points from its
+    (degree, name)-smaller endpoint, so every out-neighborhood is
+    O(sqrt(m)) and wedge emission never goes quadratic on hot hosts):
+
+    1. distinct unordered cross-host pairs — the shared
+       :func:`_distinct_host_pairs` fold (slim, <= hosts^2 rows);
+    2. per-host degree = one bucketed endpoint sum;
+    3. orient edges by (degree, host); per center, emit its sorted
+       out-neighbor PAIRS as wedge rows (the only superlinear step,
+       bounded by the orientation);
+    4. wedges meet the edge table in crc32(lo, hi) buckets — each
+       closed wedge is one triangle, credited to ALL THREE corners;
+    5. per-host triangle totals fold in the coarse-bucket aggregate.
+
+    Degrees attach by count-guarded broadcast (one int per host)
+    with a cogroup join-back fallback above ``broadcast_limit``.
+    Returns per-host rows (host, degree, triangles)."""
+    pairs = _distinct_host_pairs(edges).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": pd.concat([df["sh"], df["dh"]], ignore_index=True)}
+        )
+
+    def unordered(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "sh" not in df.columns:  # empty group block
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype=str), "hi": pd.Series(dtype=str)}
+            )
+        lo = df[["sh", "dh"]].min(axis=1)
+        hi = df[["sh", "dh"]].max(axis=1)
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    und = bucketed_aggregate(
+        pairs.map_batches(unordered, batch_format="pandas"),
+        ["lo", "hi"],
+        {"one": ("lo", "count")},
+    ).materialize()
+
+    def _endpoints_und(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "lo" not in df.columns:  # empty group block
+            return pd.DataFrame({"host": pd.Series(dtype=str)})
+        return pd.DataFrame(
+            {"host": pd.concat([df["lo"], df["hi"]], ignore_index=True)}
+        )
+
+    deg = bucketed_aggregate(
+        und.map_batches(_endpoints_und, batch_format="pandas"),
+        ["host"],
+        {"degree": ("host", "count")},
+    ).materialize()
+    n_hosts = deg.count()
+    n_edges_und = und.count()
+
+    if n_hosts <= broadcast_limit:
+        ddf = deg.to_pandas()
+        deg_ref = ray.put(
+            {str(h): int(d) for h, d in zip(ddf["host"], ddf["degree"])}
+            if len(ddf)
+            else {}
+        )
+
+        def orient(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "lo" not in df.columns:  # empty group block
+                return pd.DataFrame(
+                    {"a": pd.Series(dtype=str), "b": pd.Series(dtype=str)}
+                )
+            dm = cached_object(deg_ref)
+            klo = [(dm[h], h) for h in df["lo"]]
+            khi = [(dm[h], h) for h in df["hi"]]
+            a = [l if kl <= kh else h for l, h, kl, kh in zip(df["lo"], df["hi"], klo, khi)]
+            b = [h if kl <= kh else l for l, h, kl, kh in zip(df["lo"], df["hi"], klo, khi)]
+            return pd.DataFrame({"a": a, "b": b})
+
+        directed = und.map_batches(orient, batch_format="pandas")
+    else:
+        from mlscraper_ray.functions.joins import cogroup_join
+
+        lo_deg = cogroup_join(
+            und.map_batches(
+                lambda df: df.rename(columns={"lo": "host"})[["host", "hi"]],
+                batch_format="pandas",
+            ),
+            deg.map_batches(
+                lambda df: df.rename(columns={"degree": "deg_lo"}),
+                batch_format="pandas",
+            ),
+            "host",
+            approx_rows=n_edges_und,
+        ).map_batches(
+            lambda df: df.rename(columns={"host": "lo"}), batch_format="pandas"
+        )
+        both_deg = cogroup_join(
+            lo_deg.map_batches(
+                lambda df: df.rename(columns={"hi": "host"}), batch_format="pandas"
+            ),
+            deg.map_batches(
+                lambda df: df.rename(columns={"degree": "deg_hi"}),
+                batch_format="pandas",
+            ),
+            "host",
+            approx_rows=n_edges_und,
+        )
+
+        def orient_joined(df: pd.DataFrame) -> pd.DataFrame:
+            # cogroup null-pad turns ints to float64 — cast back
+            dlo = df["deg_lo"].astype("int64")
+            dhi = df["deg_hi"].astype("int64")
+            lo_first = (dlo < dhi) | ((dlo == dhi) & (df["lo"] <= df["host"]))
+            return pd.DataFrame(
+                {
+                    "a": df["lo"].where(lo_first, df["host"]),
+                    "b": df["host"].where(lo_first, df["lo"]),
+                }
+            )
+
+        directed = both_deg.map_batches(orient_joined, batch_format="pandas")
+
+    nb = adaptive_n_buckets(max(n_edges_und, 1))
+
+    def wedges(grp: pd.DataFrame) -> pd.DataFrame:
+        rows_lo, rows_hi, rows_c = [], [], []
+        if grp.empty or "a" not in grp.columns:  # empty group block
+            grp = pd.DataFrame({"a": [], "b": []})
+        for center, d in grp.groupby("a", sort=False):
+            nbrs = sorted(d["b"])
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    rows_lo.append(nbrs[i])
+                    rows_hi.append(nbrs[j])
+                    rows_c.append(center)
+        return pd.DataFrame(
+            {
+                "lo": pd.Series(rows_lo, dtype=str),
+                "hi": pd.Series(rows_hi, dtype=str),
+                "center": pd.Series(rows_c, dtype=str),
+                "side": pd.Series(["w"] * len(rows_c), dtype=str),
+            }
+        )
+
+    wedge_rows = (
+        coalesce_blocks(directed, n_edges_und)
+        .groupby("a")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def _edge_carrier(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "lo" not in df.columns:  # empty group block
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype=str),
+                    "hi": pd.Series(dtype=str),
+                    "center": pd.Series(dtype=str),
+                    "side": pd.Series(dtype=str),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lo": df["lo"].astype(str),
+                "hi": df["hi"].astype(str),
+                "center": pd.Series([""] * len(df), index=df.index, dtype=str),
+                "side": pd.Series(["e"] * len(df), index=df.index, dtype=str),
+            }
+        )
+
+    edge_rows = und.map_batches(_edge_carrier, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "lo" not in df.columns:  # empty group block
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype=str),
+                    "hi": pd.Series(dtype=str),
+                    "center": pd.Series(dtype=str),
+                    "side": pd.Series(dtype=str),
+                    "bucket": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["bucket"] = [
+            zlib.crc32((l + "\x1f" + h).encode()) % nb
+            for l, h in zip(df["lo"], df["hi"])
+        ]
+        return df
+
+    both = (
+        wedge_rows.union(edge_rows)
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def close(grp: pd.DataFrame) -> pd.DataFrame:
+        if grp.empty or "lo" not in grp.columns:  # empty group block
+            return pd.DataFrame({"host": pd.Series(dtype=str)})
+        e = grp[grp["side"] == "e"]
+        exists = set(zip(e["lo"], e["hi"]))
+        w = grp[grp["side"] == "w"]
+        # numpy mask, NOT a list: an empty list is pandas COLUMN
+        # selection and silently drops every column
+        import numpy as np
+
+        mask = np.fromiter(
+            (p in exists for p in zip(w["lo"], w["hi"])), dtype=bool, count=len(w)
+        )
+        closed = w[mask]
+        hosts = pd.concat(
+            [closed["lo"], closed["hi"], closed["center"]], ignore_index=True
+        )
+        return pd.DataFrame({"host": hosts.astype(str)})
+
+    tri_rows = (
+        coalesce_blocks(both, n_edges_und * 4)
+        .groupby("bucket")
+        .map_groups(close, batch_format="pandas")
+    )
+
+    tri = bucketed_aggregate(
+        tri_rows, ["host"], {"triangles": ("host", "count")}
+    )
+
+    # degree + triangles fold in ONE additive union-aggregate (hosts
+    # with zero triangles must still appear)
+    tagged = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "host": df["host"].astype(str),
+                "degree": df["degree"].astype("int64"),
+                "triangles": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).union(
+        tri.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "host": df["host"].astype(str),
+                    "degree": pd.Series([0] * len(df), index=df.index, dtype="int64"),
+                    "triangles": df["triangles"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    return bucketed_aggregate(
+        tagged,
+        ["host"],
+        {"degree": ("degree", "sum"), "triangles": ("triangles", "sum")},
+    )
+
+
+def host_triangles(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
+    """Driver-table wrapper: (host, degree, triangles,
+    clustering_milli) sorted by host — clustering_milli =
+    (2000 * triangles) // (degree * (degree - 1)), 0 when degree < 2
+    (the local clustering coefficient in exact fixed-point)."""
+    _, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    out = host_triangles_ds(edges, broadcast_limit=broadcast_limit).to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "degree": pa.array([], pa.int64()),
+                "triangles": pa.array([], pa.int64()),
+                "clustering_milli": pa.array([], pa.int64()),
+            }
+        )
+    out = out.astype({"degree": "int64", "triangles": "int64"})
+    d = out["degree"]
+    out["clustering_milli"] = 0
+    m = d >= 2
+    out.loc[m, "clustering_milli"] = (2000 * out.loc[m, "triangles"]) // (
+        d[m] * (d[m] - 1)
+    )
+    out["clustering_milli"] = out["clustering_milli"].astype("int64")
+    out = out.sort_values("host", ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["host", "degree", "triangles", "clustering_milli"]],
+        preserve_index=False,
+    )

@@ -850,7 +850,14 @@ def strip_boilerplate_ds(
         d = grp[grp["side"] == "d"]
         chrome = set(zip(d["source"], d["gram"]))
         t = grp[grp["side"] == "t"]
-        hit = t[[sg in chrome for sg in zip(t["source"], t["gram"])]]
+        # numpy mask, NOT a list: an empty list is pandas COLUMN
+        # selection and silently drops every column
+        mask = np.fromiter(
+            (sg in chrome for sg in zip(t["source"], t["gram"])),
+            dtype=bool,
+            count=len(t),
+        )
+        hit = t[mask]
         return pd.DataFrame(
             {
                 "doc_id": hit["doc_id"].astype("int64"),

@@ -877,3 +877,59 @@ def wet_curate_truth_sql(sf: float, min_tokens: int = 20) -> str:
         )
 
     return _cached(corpus_dir, "wet", key, build)
+
+
+def host_triangles_truth_sql(sf: float) -> str:
+    """(host, degree, triangles, clustering_milli) recomputed from
+    the generator's link records: undirected cross-host edge set over
+    EXISTING-page links, per-host triangle count by neighbor-pair set
+    lookup, coefficient in exact fixed-point — independent of the
+    distributed orientation/wedge path under test."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("tri" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        und = set()
+        for h in range(spec.n_hosts):
+            sh = spec.host(h)
+            for i in range(spec.n_pages(h)):
+                for t in corpusgen.page_links(spec, h, i):
+                    if t in urlset:
+                        dh = corpusgen.url_host(t)
+                        if dh != sh:
+                            und.add((min(sh, dh), max(sh, dh)))
+        adj: dict = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        rows = []
+        for host in sorted(adj):
+            nbrs = sorted(adj[host])
+            d = len(nbrs)
+            t = sum(
+                1
+                for i in range(d)
+                for j in range(i + 1, d)
+                if (nbrs[i], nbrs[j]) in und
+            )
+            milli = (2000 * t) // (d * (d - 1)) if d >= 2 else 0
+            rows.append((host, d, t, milli))
+        return (
+            values_sql(rows, ["host", "degree", "triangles", "clustering_milli"])
+            + ' ORDER BY "host"'
+        )
+
+    return _cached(corpus_dir, "host_tri", key, build)

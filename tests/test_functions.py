@@ -2876,3 +2876,55 @@ class TestStripBoilerplate:
         a = strip_boilerplate("/root/testdata/sf0.001").to_pandas()
         b = strip_boilerplate("/root/testdata/sf0.001", broadcast_limit=0).to_pandas()
         assert a.equals(b)
+
+
+class TestHostTriangles:
+    def _edges(self, pairs):
+        import ray.data
+
+        return ray.data.from_items(
+            [
+                {"src": f"http://{a}/p", "dst": f"http://{b}/q"}
+                for a, b in pairs
+            ]
+        )
+
+    def test_crafted_triangle_with_pendant(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_triangles_ds
+
+        # a-b-c is a triangle; d hangs off a. Duplicate/reverse edges
+        # must fold into the undirected pair set first.
+        edges = self._edges(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "d"), ("a", "b")]
+        )
+        out = (
+            host_triangles_ds(edges)
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        assert out["host"].tolist() == ["a", "b", "c", "d"]
+        assert out["degree"].tolist() == [3, 2, 2, 1]
+        assert out["triangles"].tolist() == [1, 1, 1, 0]
+
+    def test_clustering_coefficient_fixed_point(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_triangles_ds
+        import pandas as pd
+
+        edges = self._edges([("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")])
+        out = host_triangles_ds(edges).to_pandas().set_index("host")
+        d = out["degree"]
+        milli = {
+            h: (2000 * int(out.loc[h, "triangles"])) // (int(d[h]) * (int(d[h]) - 1))
+            if d[h] >= 2
+            else 0
+            for h in out.index
+        }
+        assert milli == {"a": 333, "b": 1000, "c": 1000, "d": 0}
+
+    def test_join_back_path_equals_broadcast_and_nonvacuous(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_triangles
+
+        a = host_triangles("/root/testdata/sf0.001").to_pandas()
+        b = host_triangles("/root/testdata/sf0.001", broadcast_limit=0).to_pandas()
+        assert a.equals(b)
+        assert (a["triangles"] > 0).any()  # the corpus graph has triangles
