@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         # stream-shaped
         "sessionize": streams.sessionize,
+        # top-of-session event-type path mining (funnel design input)
+        "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
         "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
@@ -643,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_codes": similarity.embed_pq_codes_sql(),
         "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
+        "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),
         "events_retention": streams.EVENTS_RETENTION_SQL,

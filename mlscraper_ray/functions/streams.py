@@ -482,3 +482,94 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id ORDER BY user_id
 """
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30, depth: int = 3) -> pa.Table:
+    """Top-of-session event-type SEQUENCES — the entry-path mining
+    behind funnel design: sessionize per user (same gap rule as
+    :func:`sessionize`, (ts, event_id) ordering for deterministic
+    same-timestamp ties), take each session's first ``depth`` event
+    types as a '>'-joined path, count sessions per path. The path
+    space is bounded by |event_types|^depth, so the result is a small
+    table regardless of corpus size. Returns (path, n_sessions)
+    ordered by path.
+
+    Distributed plan: user-hash buckets (one shuffle), vectorized
+    windowing + local path counts inside each bucket group, then the
+    tiny coarse-bucket path-count sum."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "user_id" not in g.columns:  # empty group block
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=str), "n": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["ts"].shift()
+        ns = (prev.isna() | ((g["ts"] - prev) > gap)).astype("int64")
+        g = g.assign(__sid=ns.cumsum())  # bucket-global session id
+        g["__rk"] = g.groupby("__sid").cumcount()
+        head = g[g["__rk"] < depth]
+        paths = head.groupby("__sid")["event_type"].agg(">".join)
+        counts = paths.value_counts()
+        return pd.DataFrame(
+            {"path": counts.index.astype(str), "n": counts.to_numpy("int64")}
+        )
+
+    local = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = bucketed_aggregate(local, ["path"], {"n_sessions": ("n", "sum")}).to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "path": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+            }
+        )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out = out.sort_values("path", ignore_index=True)
+    return pa.Table.from_pandas(out[["path", "n_sessions"]], preserve_index=False)
+
+
+def session_paths_sql(gap_minutes: int = 30, depth: int = 3) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+ranked AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM ranked WHERE rk <= {depth} GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path ORDER BY path
+"""

@@ -2928,3 +2928,34 @@ class TestHostTriangles:
         b = host_triangles("/root/testdata/sf0.001", broadcast_limit=0).to_pandas()
         assert a.equals(b)
         assert (a["triangles"] > 0).any()  # the corpus graph has triangles
+
+
+class TestSessionPaths:
+    def test_crafted_sessions_ties_and_depth(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.streams import session_paths
+
+        # user 1: one session of 4 events (path cut at depth 3, with a
+        # same-timestamp tie broken by event_id), then a 40-min gap
+        # opens a second session of 1 event. user 2: one 2-event session.
+        base = pd.Timestamp("2026-01-01 10:00:00")
+        rows = [
+            (10, base, 1, "a"),
+            (11, base, 1, "b"),            # same ts as event 10 -> id order
+            (12, base + pd.Timedelta(minutes=5), 1, "c"),
+            (13, base + pd.Timedelta(minutes=6), 1, "d"),  # beyond depth
+            (14, base + pd.Timedelta(minutes=50), 1, "e"),  # new session
+            (20, base, 2, "b"),
+            (21, base + pd.Timedelta(minutes=1), 2, "a"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = session_paths(tmp_path.as_posix()).to_pandas()
+        got = dict(zip(out["path"], out["n_sessions"]))
+        assert got == {"a>b>c": 1, "e": 1, "b>a": 1}
