@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host triangle count + clustering coefficient (degree-
         # ordered wedge orientation, generator-truth oracle)
         "host_triangles": pagerank.host_triangles,
+        # per-host k-core coreness (distributed peeling loop)
+        "host_kcore": pagerank.host_kcore,
         # URL canonicalization + canonical-form dedup (real stdlib
         # parser; deterministic dirty-URL synthesis, expected-value
         # oracle per spelling)
@@ -723,6 +725,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.01),
         "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.01),
         "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.01),
+        "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

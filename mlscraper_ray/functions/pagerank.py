@@ -1187,3 +1187,157 @@ def host_triangles(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
         out[["host", "degree", "triangles", "clustering_milli"]],
         preserve_index=False,
     )
+
+
+def _kcore_peel_local(pairs: list[tuple[str, str]]) -> dict[str, int]:
+    """Textbook O(m) min-degree peeling over an undirected edge list:
+    returns coreness per host. Driver fast path AND the shared
+    definition the distributed loop must agree with (path equality is
+    regression-tested on crafted and corpus graphs)."""
+    from collections import defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {h: len(n) for h, n in adj.items()}
+    core: dict[str, int] = {}
+    # bucket queue by current degree; deterministic host-name order
+    # inside a bucket (output is order-independent anyway)
+    import heapq
+
+    heap = [(d, h) for h, d in deg.items()]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, h = heapq.heappop(heap)
+        if h in core:
+            continue
+        if deg[h] != d:
+            continue  # stale entry
+        k = max(k, deg[h])
+        core[h] = k
+        for nb in adj[h]:
+            if nb not in core:
+                deg[nb] -= 1
+                heapq.heappush(heap, (deg[nb], nb))
+    return core
+
+
+def host_kcore_ds(
+    edges: ray.data.Dataset, broadcast_limit: int = 2_000_000
+) -> ray.data.Dataset:
+    """Per-host CORENESS over the undirected host graph (k-core
+    decomposition) — the robustness/community-depth signal crawl
+    prioritization uses alongside rank: a host in the k-core survives
+    when every host of degree < k is recursively stripped away.
+
+    Path choice by undirected-pair COUNT (the graphdist idiom): under
+    ``broadcast_limit`` the slim pair table is pulled once (a pull
+    bounded by the constant) and peeled in O(m) driver-side; above it,
+    the distributed PEELING loop runs stage k = 1, 2, ...: each round
+    one bucketed degree count over live edges + one broadcast victim
+    filter (hosts with degree < k get coreness k-1 and their edges
+    drop). Rounds are bounded by graph degeneracy x peel depth —
+    small for host graphs, whose degeneracy grows far slower than
+    size; every round ships only slim host-string rows, and live
+    edges re-materialize per round with bounded block count (the
+    components.py block-doubling hazard).
+
+    Returns per-host rows (host, coreness)."""
+    pairs = _distinct_host_pairs(edges).materialize()
+
+    def unordered(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "sh" not in df.columns:  # empty group block
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype=str), "hi": pd.Series(dtype=str)}
+            )
+        lo = df[["sh", "dh"]].min(axis=1)
+        hi = df[["sh", "dh"]].max(axis=1)
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    und = bucketed_aggregate(
+        pairs.map_batches(unordered, batch_format="pandas"),
+        ["lo", "hi"],
+        {"one": ("lo", "count")},
+    ).materialize()
+    n_und = und.count()
+
+    def rows_table(core: dict[str, int]) -> pa.Table:
+        hosts = sorted(core)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "coreness": pa.array([core[h] for h in hosts], pa.int64()),
+            }
+        )
+
+    if n_und <= broadcast_limit:
+        pdf = und.to_pandas()
+        pair_list = (
+            list(zip(pdf["lo"], pdf["hi"])) if len(pdf) else []
+        )
+        return ray.data.from_arrow(rows_table(_kcore_peel_local(pair_list)))
+
+    # distributed peeling loop
+    live = und.map_batches(
+        lambda df: df[["lo", "hi"]], batch_format="pandas"
+    ).materialize()
+    core: dict[str, int] = {}
+    k = 1
+    guard = 0
+    while live.count() > 0:
+        guard += 1
+        assert guard < 10_000, "k-core peel did not converge"
+        deg = bucketed_aggregate(
+            live.map_batches(_endpoints_live, batch_format="pandas"),
+            ["host"],
+            {"degree": ("host", "count")},
+        ).to_pandas()
+        victims = set(deg.loc[deg["degree"] < k, "host"]) if len(deg) else set()
+        if not victims:
+            k += 1
+            continue
+        for h in victims:
+            core[h] = k - 1
+        v_ref = ray.put(victims)
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "lo" not in df.columns:
+                return pd.DataFrame(
+                    {"lo": pd.Series(dtype=str), "hi": pd.Series(dtype=str)}
+                )
+            v = cached_object(v_ref)
+            keep = [
+                l not in v and h not in v for l, h in zip(df["lo"], df["hi"])
+            ]
+            import numpy as np
+
+            return df[np.array(keep, dtype=bool)] if len(df) else df
+
+        live = coalesce_blocks(
+            live.map_batches(drop, batch_format="pandas"), max(n_und, 1)
+        ).materialize()
+    return ray.data.from_arrow(rows_table(core))
+
+
+def _endpoints_live(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty or "lo" not in df.columns:  # empty group block
+        return pd.DataFrame({"host": pd.Series(dtype=str)})
+    return pd.DataFrame(
+        {"host": pd.concat([df["lo"], df["hi"]], ignore_index=True)}
+    )
+
+
+def host_kcore(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
+    """Driver-table wrapper: (host, coreness) sorted by host. Hosts
+    with no cross-host edges are absent (as in the other host ops)."""
+    _, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    out = host_kcore_ds(edges, broadcast_limit=broadcast_limit).to_pandas()
+    if out.empty:
+        return pa.table(
+            {"host": pa.array([], pa.string()), "coreness": pa.array([], pa.int64())}
+        )
+    out["coreness"] = out["coreness"].astype("int64")
+    out = out.sort_values("host", ignore_index=True)
+    return pa.Table.from_pandas(out[["host", "coreness"]], preserve_index=False)

@@ -933,3 +933,59 @@ def host_triangles_truth_sql(sf: float) -> str:
         )
 
     return _cached(corpus_dir, "host_tri", key, build)
+
+
+def host_kcore_truth_sql(sf: float) -> str:
+    """(host, coreness) recomputed from the generator's link records
+    with the ITERATIVE threshold peeling (repeatedly delete every
+    host of degree < k before raising k) — an independent formulation
+    of coreness from the engine's min-degree heap peel, so the two
+    agreeing pins the decomposition itself."""
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("kcore" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        und = set()
+        for h in range(spec.n_hosts):
+            sh = spec.host(h)
+            for i in range(spec.n_pages(h)):
+                for t in corpusgen.page_links(spec, h, i):
+                    if t in urlset:
+                        dh = corpusgen.url_host(t)
+                        if dh != sh:
+                            und.add((min(sh, dh), max(sh, dh)))
+        adj: dict = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        live = {h: set(n) for h, n in adj.items()}
+        core: dict = {}
+        k = 1
+        while live:
+            victims = [h for h, n in live.items() if len(n) < k]
+            if not victims:
+                k += 1
+                continue
+            for h in victims:
+                core[h] = k - 1
+                for nb in live[h]:
+                    if nb != h and nb in live:
+                        live[nb].discard(h)
+                del live[h]
+        rows = [(h, core[h]) for h in sorted(core)]
+        return values_sql(rows, ["host", "coreness"]) + ' ORDER BY "host"'
+
+    return _cached(corpus_dir, "host_kcore", key, build)

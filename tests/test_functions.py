@@ -2959,3 +2959,34 @@ class TestSessionPaths:
         out = session_paths(tmp_path.as_posix()).to_pandas()
         got = dict(zip(out["path"], out["n_sessions"]))
         assert got == {"a>b>c": 1, "e": 1, "b>a": 1}
+
+
+class TestHostKcore:
+    def _edges(self, pairs):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"src": f"http://{a}/p", "dst": f"http://{b}/q"} for a, b in pairs]
+        )
+
+    def test_clique_with_tail(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_kcore_ds
+
+        # K4 clique (coreness 3) with a 2-hop tail (coreness 1)
+        clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        tail = [("d", "e"), ("e", "f")]
+        out = host_kcore_ds(self._edges(clique + tail)).to_pandas().set_index("host")
+        assert out["coreness"].to_dict() == {
+            "a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1
+        }
+
+    def test_distributed_peel_equals_driver_peel(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_kcore_ds
+
+        clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        tail = [("d", "e"), ("e", "f"), ("f", "g"), ("g", "e")]
+        fast = host_kcore_ds(self._edges(clique + tail)).to_pandas()
+        slow = host_kcore_ds(self._edges(clique + tail), broadcast_limit=0).to_pandas()
+        assert fast.sort_values("host", ignore_index=True).equals(
+            slow.sort_values("host", ignore_index=True)
+        )
