@@ -457,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style boolean rule verdicts (the filter gate next to
         # the continuous quality signals)
         "doc_gopher_rules": textstats.gopher_rules,
+        # Gopher's WITHIN-doc repetition half: top-2/3/4-gram char
+        # fraction + duplicated-5-gram occurrence fraction, one
+        # shuffle-free streaming map
+        "doc_repetition_stats": textstats.doc_repetition_stats,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -618,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textstats.QUALITY_SCORES_SQL,
         "doc_quality_classifier": _quality_classifier_sql(),
         "doc_gopher_rules": textstats.GOPHER_RULES_SQL,
+        "doc_repetition_stats": textstats.DOC_REPETITION_STATS_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),

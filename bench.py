@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "doc_quality",
         "doc_quality_classifier",
         "doc_gopher_rules",
+        "doc_repetition_stats",
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",

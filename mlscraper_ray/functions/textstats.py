@@ -2287,3 +2287,140 @@ SELECT d.doc_id, d.source, d.n_tokens, m.med, a.mad,
 FROM d JOIN med m USING (source) JOIN mad a USING (source)
 ORDER BY doc_id
 """
+
+
+def doc_repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher/MassiveText WITHIN-doc repetition signals (Rae et al.
+    2021, table A1 — the repetition half of the Gopher gate that
+    :func:`gopher_rules` skips as line-degenerate): per document, the
+    non-whitespace-character fraction claimed by the single most
+    frequent 2/3/4-gram, and the fraction of 5-gram occurrences
+    belonging to duplicated 5-grams. Line-based rules stay out (the
+    corpus has no newlines); cross-doc coverage spans live in
+    ``dedup.doc_dup_span_stats``. All fractions are floor-milli
+    integers so the SQL oracle matches bit-for-bit; ties between
+    equally frequent grams break lexicographically on the
+    space-joined gram (mirroring the oracle's ``ORDER BY cnt DESC,
+    gram ASC``). Empty docs carry no tokens and are absent (matching
+    the SQL base CTE).
+
+    Scale path: every signal is doc-local, so this is ONE streaming
+    map with no shuffle — the 100-TB plan is the same map. The
+    per-doc Counter loops are tokenization-inherent string kernels
+    (same class as the classifier/dedup shingle stages).
+    """
+    from collections import Counter
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        cols: dict[str, list] = {
+            c: []
+            for c in (
+                "doc_id",
+                "n_tokens",
+                "top2_milli",
+                "top3_milli",
+                "top4_milli",
+                "dup5_milli",
+            )
+        }
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            chars = sum(len(t) for t in toks)
+            cols["doc_id"].append(doc_id)
+            cols["n_tokens"].append(n)
+            for k in (2, 3, 4):
+                col = f"top{k}_milli"
+                if n < k:
+                    cols[col].append(0)
+                    continue
+                cnt = Counter(
+                    " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                )
+                best_g, best_c = min(
+                    cnt.items(), key=lambda gc: (-gc[1], gc[0])
+                )
+                gchars = len(best_g) - (k - 1)
+                cols[col].append((1000 * best_c * gchars) // chars)
+            if n < 5:
+                cols["dup5_milli"].append(0)
+            else:
+                c5 = Counter(
+                    tuple(toks[i : i + 5]) for i in range(n - 4)
+                )
+                dup_occ = sum(c for c in c5.values() if c > 1)
+                cols["dup5_milli"].append((1000 * dup_occ) // (n - 4))
+        return pd.DataFrame(
+            {c: pd.Series(v, dtype="int64") for c, v in cols.items()}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        ds.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    if len(out) == 0:  # empty to_pandas drops columns — typed empty
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in (
+                    "doc_id",
+                    "n_tokens",
+                    "top2_milli",
+                    "top3_milli",
+                    "top4_milli",
+                    "dup5_milli",
+                )
+            }
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_REPETITION_STATS_SQL = r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+           length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars
+    FROM documents WHERE trim(text) <> ''
+),
+gk AS (
+    SELECT doc_id, k,
+           unnest(list_transform(range(1, len(tk) - k + 2),
+                                 i -> array_to_string(tk[i:i+k-1], ' '))) AS gram
+    FROM d, (SELECT unnest([2, 3, 4, 5]) AS k) ks
+    WHERE len(tk) >= k
+),
+cnt AS (SELECT doc_id, k, gram, COUNT(*) AS c FROM gk GROUP BY doc_id, k, gram),
+top AS (
+    SELECT doc_id, k, c, length(gram) - (k - 1) AS gchars,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                              ORDER BY c DESC, gram ASC) AS rk
+    FROM cnt WHERE k <= 4
+),
+topm AS (
+    SELECT t.doc_id, t.k, (1000 * t.c * t.gchars) // d.chars AS milli
+    FROM top t JOIN d USING (doc_id) WHERE t.rk = 1
+),
+dup5 AS (
+    SELECT doc_id,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+           SUM(c) AS occ5
+    FROM cnt WHERE k = 5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.tk) AS n_tokens,
+       CAST(COALESCE(t2.milli, 0) AS BIGINT) AS top2_milli,
+       CAST(COALESCE(t3.milli, 0) AS BIGINT) AS top3_milli,
+       CAST(COALESCE(t4.milli, 0) AS BIGINT) AS top4_milli,
+       CAST(COALESCE((1000 * d5.dup_occ) // d5.occ5, 0) AS BIGINT) AS dup5_milli
+FROM d
+LEFT JOIN topm t2 ON t2.doc_id = d.doc_id AND t2.k = 2
+LEFT JOIN topm t3 ON t3.doc_id = d.doc_id AND t3.k = 3
+LEFT JOIN topm t4 ON t4.doc_id = d.doc_id AND t4.k = 4
+LEFT JOIN dup5 d5 ON d5.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
