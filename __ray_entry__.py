@@ -461,6 +461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fraction + duplicated-5-gram occurrence fraction, one
         # shuffle-free streaming map
         "doc_repetition_stats": textstats.doc_repetition_stats,
+        # tokenizer-coverage signal: OOV rate vs the corpus's own
+        # top-V vocabulary (per-block top-V cut -> tiny driver merge
+        # -> broadcast set -> one streaming pass)
+        "doc_oov_rate": textstats.doc_oov_rate,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -623,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_classifier": _quality_classifier_sql(),
         "doc_gopher_rules": textstats.GOPHER_RULES_SQL,
         "doc_repetition_stats": textstats.DOC_REPETITION_STATS_SQL,
+        "doc_oov_rate": textstats.DOC_OOV_RATE_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),

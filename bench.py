@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "doc_quality_classifier",
         "doc_gopher_rules",
         "doc_repetition_stats",
+        "doc_oov_rate",
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",

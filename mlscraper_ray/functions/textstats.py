@@ -2424,3 +2424,110 @@ LEFT JOIN topm t4 ON t4.doc_id = d.doc_id AND t4.k = 4
 LEFT JOIN dup5 d5 ON d5.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def doc_oov_rate(sf_dir: str, vocab_size: int = 256) -> pa.Table:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-V
+    vocabulary — the tokenizer-coverage signal a training pipeline
+    reads before fixing a vocab (docs with high OOV mass are garbage,
+    wrong-language, or will shatter into bytes): vocabulary = the
+    ``vocab_size`` most frequent whitespace tokens corpus-wide (ties
+    break lexicographically), per doc the token count, OOV occurrence
+    count and floor-milli OOV fraction. Empty docs carry no tokens
+    and are absent (matching the SQL words CTE).
+
+    Distributed plan: per-batch local (word, cnt) partials fold
+    through the coarse-bucket aggregate into the corpus count table
+    (the surprisal shape); each count block is cut to its LOCAL top-V
+    by (cnt desc, word asc) before the driver merges — after the
+    keyed aggregate every word lives in exactly one block, so the
+    global top-V is a subset of the union of local top-Vs (bounded:
+    V x n_blocks tiny rows). The V-word vocabulary broadcasts via
+    ``ray.put`` and scoring is one streaming pass — no further
+    shuffle, nothing driver-sided beyond the V-row merge.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    counts = bucketed_aggregate(
+        docs.map_batches(
+            lambda b: _local_word_counts(b["text"]), batch_format="pandas"
+        ),
+        ["word"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    def local_topv(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "word"], ascending=[False, True]
+        ).head(vocab_size)
+
+    merged = (
+        counts.map_batches(local_topv, batch_format="pandas").to_pandas()
+    )
+    if len(merged) == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_tokens", "n_oov", "oov_milli")
+            }
+        )
+    vocab = frozenset(
+        merged.sort_values(["cnt", "word"], ascending=[False, True])
+        .head(vocab_size)["word"]
+    )
+    v_ref = ray.put(vocab)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = cached_object(v_ref)
+        ids, nt, ov = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            ids.append(doc_id)
+            nt.append(len(toks))
+            ov.append(sum(1 for t in toks if t not in v))
+        n = pd.Series(nt, dtype="int64")
+        o = pd.Series(ov, dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": n,
+                "n_oov": o,
+                "oov_milli": (1000 * o) // n,
+            }
+        )
+
+    out = (
+        docs.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_oov_rate_sql(vocab_size: int = 256) -> str:
+    return rf"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+vocab AS (SELECT word FROM cnt ORDER BY c DESC, word LIMIT {vocab_size}),
+per AS (
+    SELECT doc_id, COUNT(*) AS n,
+           SUM(CASE WHEN word IN (SELECT word FROM vocab) THEN 0 ELSE 1 END)
+               AS oov
+    FROM words GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens, CAST(oov AS BIGINT) AS n_oov,
+       CAST((1000 * oov) // n AS BIGINT) AS oov_milli
+FROM per ORDER BY doc_id
+"""
+
+
+DOC_OOV_RATE_SQL = doc_oov_rate_sql()

@@ -74,6 +74,7 @@ def _oracle_names():
         "doc_quality_classifier",
         "doc_gopher_rules",
         "doc_repetition_stats",
+        "doc_oov_rate",
         "doc_langid",
         "doc_clean",
         "doc_pii_scrub",
@@ -3037,3 +3038,25 @@ class TestRepetitionStats:
         # via doc 1's top4: all count-1, lex-min "w v x y"? grams are
         # consecutive — just assert the column exists and is bounded
         assert 0 <= out.loc[1, "top4_milli"] <= 1000
+
+
+class TestOovRate:
+    def test_planted_vocab_boundary_tie(self, ray_session, tmp_path):
+        """V=2 vocabulary over counts a:3, b:2, c:2 — the boundary tie
+        between b and c breaks lexicographically (b in, c out), so
+        'a b c' carries exactly one OOV token."""
+        from mlscraper_ray.functions.textstats import doc_oov_rate
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a a a b", "b c c", "a b c"], pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = doc_oov_rate(str(tmp_path), vocab_size=2).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_oov"] == 0
+        assert out.loc[1, "n_oov"] == 2          # c c
+        assert out.loc[2, "n_oov"] == 1          # c
+        assert out.loc[2, "oov_milli"] == 333    # (1000*1)//3
