@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-V vocabulary (per-block top-V cut -> tiny driver merge
         # -> broadcast set -> one streaming pass)
         "doc_oov_rate": textstats.doc_oov_rate,
+        # collocation mining: top-k adjacent bigrams by integer Dice
+        # (one tokenize pass, sentinel-fused uni+bi counts, local
+        # top-k cuts; vocab-guarded broadcast vs 2-round hash join)
+        "bigram_dice_top": textstats.bigram_dice_top,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -628,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": textstats.GOPHER_RULES_SQL,
         "doc_repetition_stats": textstats.DOC_REPETITION_STATS_SQL,
         "doc_oov_rate": textstats.DOC_OOV_RATE_SQL,
+        "bigram_dice_top": textstats.BIGRAM_DICE_TOP_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),

@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "doc_gopher_rules",
         "doc_repetition_stats",
         "doc_oov_rate",
+        "bigram_dice_top",
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",

@@ -2531,3 +2531,189 @@ FROM per ORDER BY doc_id
 
 
 DOC_OOV_RATE_SQL = doc_oov_rate_sql()
+
+
+def bigram_dice_top(
+    sf_dir: str,
+    k: int = 100,
+    min_count: int = 3,
+    broadcast_limit: int = 2_000_000,
+) -> pa.Table:
+    """Corpus-level collocation mining: the top-``k`` adjacent-token
+    bigrams by Dice coefficient — ``dice_milli = (2000 * c_xy) //
+    (c_x + c_y)`` with corpus bigram count ``c_xy`` and unigram
+    counts ``c_x``/``c_y`` — the multi-word-expression detector a
+    tokenizer/vocab pipeline runs before choosing merges (Smadja-style
+    collocations; Dice over PMI keeps every count integer with no
+    overflow, and ranks identically for fixed c_xy). Bigrams below
+    ``min_count`` occurrences are noise-gated. Ordering is total:
+    (dice desc, w1 asc, w2 asc), LIMIT k.
+
+    Distributed plan: ONE tokenize pass emits bigram + sentinel
+    unigram count partials (the ``doc_bigram_surprisal`` trick) that
+    fold through the coarse-bucket aggregate. Under
+    ``broadcast_limit`` distinct words the unigram table broadcasts
+    as a dict and scoring + a local top-k cut run per count block
+    (the global top-k is a subset of the union of local top-ks since
+    each bigram lives in exactly one block after the keyed
+    aggregate); above it the bigram table meets the unigram table in
+    TWO partitioned hash-join rounds (crc32(w1) then crc32(w2) — see
+    joins.cogroup_join) before the same local cut. Driver work is
+    bounded by k x n_blocks tiny rows either way.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def local_both(batch: pd.DataFrame) -> pd.DataFrame:
+        w1s, w2s = [], []
+        for text in batch["text"]:
+            words = text.split()
+            w1s.extend(words[:-1])
+            w2s.extend(words[1:])
+        p = pd.DataFrame({"w1": w1s, "w2": w2s})
+        bi_part = (
+            p.groupby(["w1", "w2"], sort=False).size().rename("cnt").reset_index()
+        )
+        uni_part = _local_word_counts(batch["text"]).rename(columns={"word": "w1"})
+        uni_part["w2"] = ""
+        out = pd.concat(
+            [bi_part, uni_part[["w1", "w2", "cnt"]]], ignore_index=True
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    both = bucketed_aggregate(
+        docs.map_batches(local_both, batch_format="pandas"),
+        ["w1", "w2"],
+        {"cnt": ("cnt", "sum")},
+    ).materialize()
+    uni = both.map_batches(
+        lambda df: df[df["w2"] == ""][["w1", "cnt"]].rename(
+            columns={"w1": "word", "cnt": "c"}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    bi = both.map_batches(
+        lambda df: df[(df["w2"] != "") & (df["cnt"] >= min_count)],
+        batch_format="pandas",
+    ).materialize()
+
+    cols = ("w1", "w2", "c_xy", "c_x", "c_y", "dice_milli")
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([], pa.string() if c in ("w1", "w2") else pa.int64())
+                for c in cols
+            }
+        )
+
+    if bi.count() == 0:
+        return empty()
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["dice_milli", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+
+    if uni.count() <= broadcast_limit:
+        up = uni.to_pandas()
+        table = dict(zip(up["word"], up["c"].astype(int)))
+        t_ref = ray.put(table)
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            t = cached_object(t_ref)
+            cx = df["w1"].map(t).astype("int64")
+            cy = df["w2"].map(t).astype("int64")
+            out = pd.DataFrame(
+                {
+                    "w1": df["w1"].astype(str),
+                    "w2": df["w2"].astype(str),
+                    "c_xy": df["cnt"].astype("int64"),
+                    "c_x": cx,
+                    "c_y": cy,
+                }
+            )
+            out["dice_milli"] = (2000 * out["c_xy"]) // (cx + cy)
+            return cut(out)
+
+        merged = bi.map_batches(score, batch_format="pandas").to_pandas()
+    else:
+        from mlscraper_ray.functions.joins import cogroup_join
+
+        n = bi.count()
+        j1 = cogroup_join(
+            bi,
+            uni.map_batches(
+                lambda d: d.rename(columns={"word": "w1", "c": "c_x"}),
+                batch_format="pandas",
+            ),
+            "w1",
+            approx_rows=n,
+        )
+        j2 = cogroup_join(
+            j1,
+            uni.map_batches(
+                lambda d: d.rename(columns={"word": "w2", "c": "c_y"}),
+                batch_format="pandas",
+            ),
+            "w2",
+            approx_rows=n,
+        )
+
+        def score2(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "w1": df["w1"].astype(str),
+                    "w2": df["w2"].astype(str),
+                    "c_xy": df["cnt"].astype("int64"),
+                    "c_x": df["c_x"].astype("int64"),
+                    "c_y": df["c_y"].astype("int64"),
+                }
+            )
+            out["dice_milli"] = (2000 * out["c_xy"]) // (out["c_x"] + out["c_y"])
+            return cut(out)
+
+        merged = j2.map_batches(score2, batch_format="pandas").to_pandas()
+
+    if len(merged) == 0:
+        return empty()
+    merged = cut(merged).reset_index(drop=True)
+    return pa.Table.from_pandas(merged[list(cols)], preserve_index=False)
+
+
+def bigram_dice_top_sql(k: int = 100, min_count: int = 3) -> str:
+    return rf"""
+WITH d AS (
+    SELECT string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                                 i -> [tk[i], tk[i+1]])) AS pr
+    FROM d WHERE len(tk) >= 2
+),
+bc AS (
+    SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c_xy
+    FROM bg GROUP BY pr[1], pr[2]
+    HAVING COUNT(*) >= {min_count}
+),
+uc AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest(tk) AS word FROM d) GROUP BY word
+)
+SELECT bc.w1, bc.w2,
+       CAST(bc.c_xy AS BIGINT) AS c_xy,
+       CAST(u1.c AS BIGINT) AS c_x,
+       CAST(u2.c AS BIGINT) AS c_y,
+       CAST((2000 * bc.c_xy) // (u1.c + u2.c) AS BIGINT) AS dice_milli
+FROM bc JOIN uc u1 ON u1.word = bc.w1 JOIN uc u2 ON u2.word = bc.w2
+ORDER BY dice_milli DESC, bc.w1, bc.w2
+LIMIT {k}
+"""
+
+
+BIGRAM_DICE_TOP_SQL = bigram_dice_top_sql()

@@ -75,6 +75,7 @@ def _oracle_names():
         "doc_gopher_rules",
         "doc_repetition_stats",
         "doc_oov_rate",
+        "bigram_dice_top",
         "doc_langid",
         "doc_clean",
         "doc_pii_scrub",
@@ -3060,3 +3061,30 @@ class TestOovRate:
         assert out.loc[1, "n_oov"] == 2          # c c
         assert out.loc[2, "n_oov"] == 1          # c
         assert out.loc[2, "oov_milli"] == 333    # (1000*1)//3
+
+
+class TestBigramDice:
+    def test_planted_collocation(self, ray_session, tmp_path):
+        """'new york' in every doc is a perfect collocation (dice =
+        1000); singleton bigrams fall to the min_count gate; the two
+        join paths (broadcast vs partitioned hash join) agree."""
+        from mlscraper_ray.functions.textstats import bigram_dice_top
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["new york a", "new york b", "new york c"], pa.string()
+                ),
+                "source": pa.array(["s"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = bigram_dice_top(str(tmp_path), min_count=3).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["w1"], row["w2"]) == ("new", "york")
+        assert row["c_xy"] == 3 and row["c_x"] == 3 and row["c_y"] == 3
+        assert row["dice_milli"] == 1000
+        b = bigram_dice_top(str(tmp_path), min_count=3, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(out, b)
