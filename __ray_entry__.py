@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_10pct": textstats.sample_documents,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
+        # per-source quality-QUANTILE keep (FineWeb-style
+        # self-calibrating bottom-tail drop; same histogram+rank plan)
+        "source_quality_gate": textstats.source_quality_gate,
         # per-source chrome-gram boilerplate strip (CCNet host rule)
         "doc_strip_boilerplate": scrub.strip_boilerplate,
         # deterministic train/val/test split bookkeeping (data card)
@@ -593,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_collapse_repeats": scrub.COLLAPSE_REPEATS_SQL,
         "doc_sample_stratified": textstats.SAMPLE_STRATIFIED_SQL,
         "doc_length_outliers": textstats.doc_length_outliers_sql(),
+        "source_quality_gate": textstats.SOURCE_QUALITY_GATE_SQL,
         "doc_strip_boilerplate": scrub.strip_boilerplate_sql(),
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,

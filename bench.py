@@ -150,6 +150,8 @@ def run_bench() -> dict:
         "link_stats",
         "host_rank",
         "host_reciprocity",
+        "host_triangles",
+        "host_kcore",
         "robots_stats",
         "extract_main_content",
         "page_template_clusters",
@@ -200,6 +202,9 @@ def run_bench() -> dict:
         "doc_repetition_stats",
         "doc_oov_rate",
         "bigram_dice_top",
+        "doc_length_outliers",
+        "doc_strip_boilerplate",
+        "source_quality_gate",
         "doc_tfidf_top_terms",
         "doc_pii_scrub",
         "corpus_split",
@@ -225,6 +230,7 @@ def run_bench() -> dict:
         "embed_pq_codes",
         "embed_random_projection",
         "sessionize",
+        "events_session_paths",
         "events_decayed_value",
         "events_funnel",
         "events_retention",

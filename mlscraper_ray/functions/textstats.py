@@ -2717,3 +2717,134 @@ LIMIT {k}
 
 
 BIGRAM_DICE_TOP_SQL = bigram_dice_top_sql()
+
+
+def source_quality_gate(sf_dir: str, q_pct: int = 25) -> pa.Table:
+    """Per-source quality-quantile gate — the FineWeb-style
+    calibration step that drops each source's own worst tail instead
+    of applying one global threshold (a threshold fair to encyclopedia
+    text guts forum text; per-source quantiles self-calibrate): keep
+    every doc whose ``quality_x10`` (the :class:`QualityScorer`
+    composite) is >= its source's low-``q_pct`` percentile. The
+    percentile is exact-integer: the value at 0-indexed rank
+    ``(n-1) * q_pct // 100`` of the source's ascending score multiset
+    (the ``doc_length_outliers`` low-rank convention).
+
+    Distributed plan (100 TB-ready): quality scores are bounded
+    integers, so ONE (source, quality_x10) count-histogram shuffle
+    (tiny — sources x distinct scores) is pulled to the driver, the
+    cut read off cumulative counts there, and the keep flag is a
+    streaming broadcast-dict map — the same histogram+rank shape as
+    ``doc_length_outliers`` / ``event_value_percentiles``.
+
+    Returns (doc_id, source, quality_x10, cut, keep) ordered by
+    doc_id, keep as int64 0/1.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def scored(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _QUALITY(batch)  # row-aligned with the input batch
+        return pd.DataFrame(
+            {
+                "doc_id": q["doc_id"].astype("int64"),
+                "source": batch["source"].astype(str).values,
+                "quality_x10": q["quality_x10"].astype("int64"),
+            }
+        )
+
+    sds = ds.map_batches(scored, batch_format="pandas").materialize()
+
+    hist = bucketed_aggregate(
+        sds.map_batches(
+            lambda df: df.groupby(["source", "quality_x10"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["source", "quality_x10"],
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    if len(hist) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "quality_x10": pa.array([], pa.int64()),
+                "cut": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            }
+        )
+
+    cuts: dict[str, int] = {}
+    for src, grp in hist.groupby("source"):
+        vals = sorted(zip(grp["quality_x10"].astype(int), grp["cnt"].astype(int)))
+        n = sum(c for _, c in vals)
+        target = (n - 1) * q_pct // 100
+        seen = 0
+        for v, c in vals:
+            if seen + c > target:
+                cuts[str(src)] = v
+                break
+            seen += c
+    c_ref = ray.put(cuts)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ct = cached_object(c_ref)
+        out = df.copy()
+        out["cut"] = df["source"].map(ct).astype("int64")
+        out["keep"] = (df["quality_x10"] >= out["cut"]).astype("int64")
+        return out
+
+    out = (
+        sds.map_batches(classify, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(
+        out[["doc_id", "source", "quality_x10", "cut", "keep"]],
+        preserve_index=False,
+    )
+
+
+def source_quality_gate_sql(q_pct: int = 25) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS tk
+    FROM documents
+),
+q AS (
+    SELECT doc_id, source,
+           least(100, len(tk) // 2) * 4
+           + ((100 * length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')))
+              // greatest(1, length(text))) * 4
+           + least((100 * len(list_filter(tk,
+                        x -> list_contains({_sql_stopword_list('en')}, lower(x)))))
+                   // greatest(1, len(tk)), 40) * 5
+               AS quality_x10
+    FROM base
+),
+r AS (
+    SELECT source, quality_x10,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_x10) - 1 AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM q
+),
+cut AS (
+    SELECT source, quality_x10 AS cut FROM r WHERE rk = ((n - 1) * {q_pct}) // 100
+)
+SELECT q.doc_id, q.source, q.quality_x10, c.cut,
+       CAST(CASE WHEN q.quality_x10 >= c.cut THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM q JOIN cut c USING (source)
+ORDER BY q.doc_id
+"""
+
+
+SOURCE_QUALITY_GATE_SQL = source_quality_gate_sql()

@@ -76,6 +76,10 @@ def _oracle_names():
         "doc_repetition_stats",
         "doc_oov_rate",
         "bigram_dice_top",
+        "doc_length_outliers",
+        "doc_strip_boilerplate",
+        "source_quality_gate",
+        "events_session_paths",
         "doc_langid",
         "doc_clean",
         "doc_pii_scrub",
@@ -135,7 +139,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -163,6 +167,8 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "link_stats": lambda: truth_oracles.link_stats_truth_sql(0.001),
         "host_rank": lambda: truth_oracles.host_rank_truth_sql(0.001),
         "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.001),
+        "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.001),
+        "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),
