@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         streams,
         textstats,
+        tokenizer,
         urls,
         wet,
     )
@@ -439,6 +440,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM order up; same integer-log2 discipline + path choice)
         "doc_bigram_surprisal": textstats.doc_bigram_surprisal,
         "doc_bpe_token_stats": textstats.bpe_token_stats,
+        # TRAINED BPE: merge table learned from the corpus's top-V
+        # word histogram (Sennrich et al. 2016; chained-CTE oracle
+        # value-pins every merge step), then per-doc encoding with
+        # the learned merges (shared spaced-string replace semantics)
+        "tokenizer_bpe_train": tokenizer.tokenizer_bpe_train,
+        "doc_bpe_encode": tokenizer.doc_bpe_encode,
         # per-doc top-k keywords by integer tf-idf (count-guarded
         # broadcast df table vs bucketed join-back + doc-group cut)
         "doc_tfidf_top_terms": keywords.doc_tfidf_top_terms,
@@ -623,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
+        "tokenizer_bpe_train": _tokenizer_sql("train"),
+        "doc_bpe_encode": _tokenizer_sql("encode"),
         "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
         "source_datacard": textstats.SOURCE_DATACARD_SQL,
@@ -850,6 +859,15 @@ def _redirect_sql() -> str:
     from mlscraper_ray.functions.urls import url_redirect_resolve_sql
 
     return url_redirect_resolve_sql()
+
+
+def _tokenizer_sql(which: str) -> str:
+    from mlscraper_ray.functions.tokenizer import (
+        doc_bpe_encode_sql,
+        tokenizer_bpe_train_sql,
+    )
+
+    return tokenizer_bpe_train_sql() if which == "train" else doc_bpe_encode_sql()
 
 
 def _tfidf_sql() -> str:

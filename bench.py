@@ -193,6 +193,8 @@ def run_bench() -> dict:
         "source_distinct_hll",
         "source_token_cms",
         "doc_bpe_token_stats",
+        "tokenizer_bpe_train",
+        "doc_bpe_encode",
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",
         "doc_perplexity_buckets",

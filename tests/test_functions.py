@@ -60,6 +60,8 @@ def _oracle_names():
         "doc_perplexity_buckets",
         "doc_token_stats",
         "doc_bpe_token_stats",
+        "tokenizer_bpe_train",
+        "doc_bpe_encode",
         "doc_tfidf_top_terms",
         "source_token_totals",
         "source_datacard",
