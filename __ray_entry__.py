@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expansion as iterative Dataset rounds; generator-truth
         # constant table pins parse + graph + iteration)
         "link_distance_from_seeds": graphdist.link_distance_from_seeds,
+        # host-graph community detection by deterministic synchronous
+        # label propagation (self-inclusive vote, min-label ties,
+        # fixed rounds; generator-truth constant-table oracle) — just
+        # past the driver window, pinned by the in-repo rehearsal
+        "host_communities": pagerank.host_communities,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -754,6 +759,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.01),
         "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.01),
         "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.01),
+        "host_communities": lambda: truth_oracles.host_communities_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "host_reciprocity",
         "host_triangles",
         "host_kcore",
+        "host_communities",
         "robots_stats",
         "extract_main_content",
         "page_template_clusters",

@@ -1341,3 +1341,211 @@ def host_kcore(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
     out["coreness"] = out["coreness"].astype("int64")
     out = out.sort_values("host", ignore_index=True)
     return pa.Table.from_pandas(out[["host", "coreness"]], preserve_index=False)
+
+
+def _lpa_local(
+    pairs: list[tuple[str, str]], n_rounds: int
+) -> dict[str, str]:
+    """Reference synchronous label propagation (Raghavan et al. 2007,
+    made deterministic): labels start as the host's own name; each
+    round every host adopts the most frequent label among its own
+    current label plus its neighbors', ties to the lexicographically
+    smallest. Self-inclusion damps the classic bipartite two-label
+    oscillation; a FIXED round count keeps the output deterministic
+    either way. Driver fast path AND the definition the distributed
+    loop must agree with (path equality regression-tested)."""
+    from collections import Counter, defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {h: h for h in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for h, nbrs in adj.items():
+            cnt: Counter[str] = Counter()
+            cnt[label[h]] += 1
+            for nb in nbrs:
+                cnt[label[nb]] += 1
+            new[h] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        label = new
+    return label
+
+
+def host_communities_ds(
+    edges: ray.data.Dataset,
+    n_rounds: int = 8,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Host-graph community detection by synchronous label
+    propagation over the undirected distinct cross-host pair graph —
+    the mirror/link-farm/topic-cluster grouping signal next to
+    coreness and triangles (semantics in :func:`_lpa_local`).
+
+    Path choice by undirected-pair count (the kcore idiom): under
+    ``broadcast_limit`` the slim pair table is pulled once and
+    propagated driver-side; above it, each round runs distributed —
+    two ``cogroup_join`` label attachments (one per edge direction)
+    emit (host, neighbor_label) messages, the self-label rows union
+    in, one coarse-bucket (host, label) count aggregate, then a
+    host-bucketed argmax picks each host's new label. Every round
+    ships only slim host/label string rows; the label table is
+    host-cardinality (not edge- or page-cardinality), the same size
+    class the other host roll-ups shuffle.
+
+    Returns per-host rows (host, community); community is a host
+    name (the propagated label)."""
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    pairs = _distinct_host_pairs(edges).materialize()
+
+    def unordered(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "sh" not in df.columns:  # empty group block
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype=str), "hi": pd.Series(dtype=str)}
+            )
+        lo = df[["sh", "dh"]].min(axis=1)
+        hi = df[["sh", "dh"]].max(axis=1)
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    und = bucketed_aggregate(
+        pairs.map_batches(unordered, batch_format="pandas"),
+        ["lo", "hi"],
+        {"one": ("lo", "count")},
+    ).materialize()
+    n_und = und.count()
+
+    def rows_table(label: dict[str, str]) -> pa.Table:
+        hosts = sorted(label)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "community": pa.array([label[h] for h in hosts], pa.string()),
+            }
+        )
+
+    if n_und <= broadcast_limit:
+        pdf = und.to_pandas()
+        pair_list = list(zip(pdf["lo"], pdf["hi"])) if len(pdf) else []
+        return ray.data.from_arrow(rows_table(_lpa_local(pair_list, n_rounds)))
+
+    # distributed synchronous rounds
+    und = und.map_batches(
+        lambda df: df[["lo", "hi"]] if "lo" in df.columns else df,
+        batch_format="pandas",
+    ).materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "lo" not in df.columns:
+            return pd.DataFrame(
+                {"host": pd.Series(dtype=str), "label": pd.Series(dtype=str)}
+            )
+        h = pd.concat([df["lo"], df["hi"]], ignore_index=True)
+        return pd.DataFrame({"host": h, "label": h}).drop_duplicates()
+
+    labels = bucketed_aggregate(
+        und.map_batches(init_labels, batch_format="pandas"),
+        ["host", "label"],
+        {"one": ("host", "count")},
+    ).map_batches(
+        lambda df: df[["host", "label"]] if "host" in df.columns else df,
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(n_rounds):
+        # attach label(lo) -> message to hi, and label(hi) -> message to lo
+        left_lo = und.map_batches(
+            lambda df: df.rename(columns={"lo": "host", "hi": "other"})
+            if "lo" in df.columns else df,
+            batch_format="pandas",
+        )
+        msg_to_hi = cogroup_join(
+            left_lo, labels, "host", approx_rows=n_und
+        ).map_batches(
+            lambda df: pd.DataFrame({"host": df["other"], "label": df["label"]})
+            if "other" in df.columns
+            else pd.DataFrame(
+                {"host": pd.Series(dtype=str), "label": pd.Series(dtype=str)}
+            ),
+            batch_format="pandas",
+        )
+        left_hi = und.map_batches(
+            lambda df: df.rename(columns={"hi": "host", "lo": "other"})
+            if "hi" in df.columns else df,
+            batch_format="pandas",
+        )
+        msg_to_lo = cogroup_join(
+            left_hi, labels, "host", approx_rows=n_und
+        ).map_batches(
+            lambda df: pd.DataFrame({"host": df["other"], "label": df["label"]})
+            if "other" in df.columns
+            else pd.DataFrame(
+                {"host": pd.Series(dtype=str), "label": pd.Series(dtype=str)}
+            ),
+            batch_format="pandas",
+        )
+        votes = bucketed_aggregate(
+            msg_to_hi.union(msg_to_lo).union(labels),
+            ["host", "label"],
+            {"cnt": ("host", "count")},
+        )
+
+        def add_host_bucket(df: pd.DataFrame, n_buckets: int = 241) -> pd.DataFrame:
+            if df.empty or "host" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "host": pd.Series(dtype=str),
+                        "label": pd.Series(dtype=str),
+                        "cnt": pd.Series(dtype="int64"),
+                        "__hb": pd.Series(dtype="int32"),
+                    }
+                )
+            df = df[["host", "label", "cnt"]].copy()
+            df["__hb"] = (
+                pd.util.hash_pandas_object(df["host"], index=False) % n_buckets
+            ).astype("int32")
+            return df
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty or "host" not in g.columns:
+                return pd.DataFrame(
+                    {"host": pd.Series(dtype=str), "label": pd.Series(dtype=str)}
+                )
+            best = g.sort_values(
+                ["host", "cnt", "label"], ascending=[True, False, True]
+            ).drop_duplicates("host")
+            return best[["host", "label"]]
+
+        labels = coalesce_blocks(
+            votes.map_batches(add_host_bucket, batch_format="pandas")
+            .groupby("__hb")
+            .map_groups(pick, batch_format="pandas"),
+            max(n_und, 1),
+        ).materialize()
+
+    def to_out(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "host" not in df.columns:
+            return pd.DataFrame(
+                {"host": pd.Series(dtype=str), "community": pd.Series(dtype=str)}
+            )
+        return df.rename(columns={"label": "community"})[["host", "community"]]
+
+    return labels.map_batches(to_out, batch_format="pandas")
+
+
+def host_communities(
+    sf_dir: str, n_rounds: int = 8, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Driver-table wrapper: (host, community) sorted by host. Hosts
+    with no cross-host edges are absent (as in the other host ops)."""
+    _, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    out = host_communities_ds(
+        edges, n_rounds=n_rounds, broadcast_limit=broadcast_limit
+    ).to_pandas()
+    if out.empty:
+        return pa.table(
+            {"host": pa.array([], pa.string()), "community": pa.array([], pa.string())}
+        )
+    out = out.sort_values("host", ignore_index=True)
+    return pa.Table.from_pandas(out[["host", "community"]], preserve_index=False)

@@ -989,3 +989,54 @@ def host_kcore_truth_sql(sf: float) -> str:
         return values_sql(rows, ["host", "coreness"]) + ' ORDER BY "host"'
 
     return _cached(corpus_dir, "host_kcore", key, build)
+
+
+def host_communities_truth_sql(sf: float, n_rounds: int = 8) -> str:
+    """(host, community) recomputed from the generator's link records:
+    undirected cross-host edge set over EXISTING-page links, then the
+    deterministic synchronous label propagation (self-inclusive vote,
+    most-frequent label, lexicographic tie-break, fixed rounds) —
+    independent of the engine's parse/graph-assembly and of its
+    distributed join/argmax plumbing (which is what the pin targets;
+    the propagation rule itself is shared by definition)."""
+    from collections import Counter, defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        (f"lpa{n_rounds}" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        adj: dict = defaultdict(set)
+        for h in range(spec.n_hosts):
+            sh = spec.host(h)
+            for i in range(spec.n_pages(h)):
+                for t in corpusgen.page_links(spec, h, i):
+                    if t in urlset:
+                        dh = corpusgen.url_host(t)
+                        if dh != sh:
+                            adj[sh].add(dh)
+                            adj[dh].add(sh)
+        label = {h: h for h in adj}
+        for _ in range(n_rounds):
+            new = {}
+            for h, nbrs in adj.items():
+                cnt = Counter()
+                cnt[label[h]] += 1
+                for nb in nbrs:
+                    cnt[label[nb]] += 1
+                new[h] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            label = new
+        rows = [(h, label[h]) for h in sorted(label)]
+        return values_sql(rows, ["host", "community"]) + ' ORDER BY "host"'
+
+    return _cached(corpus_dir, "host_lpa", key, build)

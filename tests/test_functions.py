@@ -141,7 +141,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "host_communities", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -171,6 +171,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "host_reciprocity": lambda: truth_oracles.host_reciprocity_truth_sql(0.001),
         "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.001),
         "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.001),
+        "host_communities": lambda: truth_oracles.host_communities_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),
@@ -3096,3 +3097,43 @@ class TestBigramDice:
         assert row["dice_milli"] == 1000
         b = bigram_dice_top(str(tmp_path), min_count=3, broadcast_limit=0).to_pandas()
         pd.testing.assert_frame_equal(out, b)
+
+
+class TestHostCommunities:
+    def _edges(self, pairs):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"src": f"http://{a}/p", "dst": f"http://{b}/q"} for a, b in pairs]
+        )
+
+    def test_two_cliques_with_bridge(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_communities_ds
+
+        # two triangles joined by one bridge edge: LPA should settle
+        # each triangle on its own min-name label
+        left = [("a", "b"), ("a", "c"), ("b", "c")]
+        right = [("x", "y"), ("x", "z"), ("y", "z")]
+        bridge = [("c", "x")]
+        out = (
+            host_communities_ds(self._edges(left + right + bridge))
+            .to_pandas()
+            .set_index("host")["community"]
+            .to_dict()
+        )
+        assert out["a"] == out["b"] == out["c"]
+        assert out["x"] == out["y"] == out["z"]
+
+    def test_distributed_rounds_equal_driver_rounds(self, ray_session):
+        from mlscraper_ray.functions.pagerank import host_communities_ds
+
+        left = [("a", "b"), ("a", "c"), ("b", "c")]
+        right = [("x", "y"), ("x", "z"), ("y", "z")]
+        bridge = [("c", "x"), ("d", "a"), ("d", "b")]
+        fast = host_communities_ds(self._edges(left + right + bridge)).to_pandas()
+        slow = host_communities_ds(
+            self._edges(left + right + bridge), broadcast_limit=0
+        ).to_pandas()
+        assert fast.sort_values("host", ignore_index=True).equals(
+            slow.sort_values("host", ignore_index=True)
+        )
