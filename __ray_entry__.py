@@ -405,6 +405,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-sequence packing: exact global token offsets via a
         # distributed prefix sum in md5(doc_id) rank order
         "pack_sequences": packing.pack_sequences,
+        # overlapping token-window chunking (the retrieval/long-doc
+        # sibling of packing; per-chunk md5 value pins the content)
+        "doc_chunk_windows": packing.doc_chunk_windows,
+        # per-(host, path-template) URL census with the crawler-trap
+        # flag (digit/hex segments collapse to {n}/{h}; distinct-URL
+        # explosion per pattern = trap)
+        "url_pattern_stats": urls.url_pattern_stats,
         # per-source token-budget selection (distributed prefix sum:
         # rank-bucket partials + driver prefix over the tiny
         # sources x buckets table + boundary-bucket scan)
@@ -611,6 +618,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_gate": textstats.SOURCE_QUALITY_GATE_SQL,
         "doc_strip_boilerplate": scrub.strip_boilerplate_sql(),
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "doc_chunk_windows": packing.DOC_CHUNK_WINDOWS_SQL,
+        "url_pattern_stats": _url_pattern_sql(),
         "source_top_terms": packing.SOURCE_TOP_TERMS_SQL,
         "corpus_to_training": packing.corpus_to_training_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
@@ -865,6 +874,12 @@ def _redirect_sql() -> str:
     from mlscraper_ray.functions.urls import url_redirect_resolve_sql
 
     return url_redirect_resolve_sql()
+
+
+def _url_pattern_sql() -> str:
+    from mlscraper_ray.functions.urls import URL_PATTERN_STATS_SQL
+
+    return URL_PATTERN_STATS_SQL
 
 
 def _tokenizer_sql(which: str) -> str:

@@ -180,6 +180,7 @@ def run_bench() -> dict:
         "doc_scrub_dup_runs",
         "doc_collapse_repeats",
         "pack_sequences",
+        "doc_chunk_windows",
         "source_top_terms",
         "corpus_to_training",
         "corpus_curate",
@@ -213,6 +214,7 @@ def run_bench() -> dict:
         "corpus_split",
         "corpus_split_by_source",
         "url_canonical_dedup",
+        "url_pattern_stats",
         "url_redirect_resolve",
         "frontier_url_filter",
         "text_search_bm25",

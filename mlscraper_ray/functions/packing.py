@@ -361,3 +361,85 @@ ORDER BY source, rank
 
 
 SOURCE_TOP_TERMS_SQL = source_top_terms_sql()
+
+
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 96
+
+
+def doc_chunk_windows(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> pa.Table:
+    """Overlapping token-window chunking — the retrieval/long-doc
+    sibling of :func:`pack_sequences`: each document splits into
+    windows of ``window`` whitespace tokens starting every ``stride``
+    tokens (the last window is short). Emits (doc_id, chunk_id,
+    start_tok, n_toks, chunk_md5) per window, value-pinned down to the
+    md5 of each chunk's joined token text; empty docs carry no rows
+    (matching the SQL words CTE). Pure streaming map — chunk counts
+    and hashes are per-doc local, no shuffle anywhere."""
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, starts, ntoks, hashes = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            cid = 0
+            for s in range(0, n, stride):
+                k = min(window, n - s)
+                ids.append(doc_id)
+                cids.append(cid)
+                starts.append(s)
+                ntoks.append(k)
+                hashes.append(
+                    hashlib.md5(" ".join(toks[s : s + k]).encode()).hexdigest()
+                )
+                cid += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_id": pd.Series(cids, dtype="int64"),
+                "start_tok": pd.Series(starts, dtype="int64"),
+                "n_toks": pd.Series(ntoks, dtype="int64"),
+                "chunk_md5": pd.Series(hashes, dtype=str),
+            }
+        )
+
+    out = (
+        ds.map_batches(chunk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_chunk_windows_sql(
+    window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+),
+c AS (
+    SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, {stride})) AS s
+    FROM t
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id,
+       s AS start_tok,
+       least({window}, len(tk) - s) AS n_toks,
+       md5(array_to_string(tk[s + 1:s + least({window}, len(tk) - s)], ' '))
+           AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+DOC_CHUNK_WINDOWS_SQL = doc_chunk_windows_sql()

@@ -416,3 +416,168 @@ SELECT n.u AS doc_id,
 FROM nodes n LEFT JOIN fin f ON f.u = n.u
 ORDER BY doc_id
 """
+
+
+_TRAP_THRESHOLD = 64
+
+import re as _re
+
+_NUM_SEG = _re.compile(r"[0-9]+")
+_HEX_SEG = _re.compile(r"[0-9a-f]{8,}")
+
+
+def _path_pattern(path: str) -> str:
+    """URL path template: each segment that is all digits becomes
+    ``{n}``, a hex run of 8+ chars becomes ``{h}``, everything else
+    stays verbatim. The template is the crawler-trap / sitemap unit:
+    calendar pages, session ids and pagination all collapse onto one
+    pattern whose distinct-URL count explodes while real content
+    patterns stay bounded."""
+    out = []
+    for seg in path.split("/"):
+        if seg and _NUM_SEG.fullmatch(seg):
+            out.append("{n}")
+        elif seg and _HEX_SEG.fullmatch(seg):
+            out.append("{h}")
+        else:
+            out.append(seg)
+    return "/".join(out)
+
+
+class _PatternVariantStage:
+    """Synthesizes the deterministic per-doc URL mix (an id-keyed
+    article page, a two-variable pagination page, a hex session page —
+    the classic trap shape — and one static page per host) and
+    templates each path. A real deployment replaces this stage with
+    its frontier / access-log URL source."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        hosts, urls = [], []
+        for doc_id, source in zip(batch["doc_id"], batch["source"]):
+            host = f"{source}.example.com"
+            sess = hashlib.md5(str(doc_id).encode()).hexdigest()[:16]
+            paths = [
+                f"/article/{doc_id}",
+                f"/article/{doc_id}/comments/page/{doc_id % 7}",
+                f"/session/{sess}",
+                "/about",
+            ]
+            for p in paths:
+                hosts.append(host)
+                urls.append(f"https://{host}{p}")
+        pats = [_path_pattern(u.split(".example.com", 1)[1]) for u in urls]
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype=str),
+                "url": pd.Series(urls, dtype=str),
+                "pattern": pd.Series(pats, dtype=str),
+            }
+        )
+
+
+def url_pattern_stats_ds(
+    docs: ray.data.Dataset, trap_threshold: int = _TRAP_THRESHOLD
+) -> ray.data.Dataset:
+    """Per-(host, path-pattern) URL census over the synthesized URL
+    table: distinct-URL count, lexicographically first example, and
+    the trap flag (distinct count >= ``trap_threshold``) — the
+    frontier-admission signal that caps crawler traps (session ids,
+    infinite calendars) before they eat a host's fetch budget.
+
+    Two slim shuffles, both over (host, pattern[, url]) string rows:
+    one distinct pass (local pre-dedup per batch first), one count
+    aggregate — URL-cardinality work never reaches the driver."""
+    exploded = docs.map_batches(
+        _PatternVariantStage, batch_format="pandas", concurrency=(1, 8)
+    )
+    distinct = bucketed_aggregate(
+        exploded.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        ),
+        ["host", "pattern", "url"],
+        {"one": ("url", "count")},
+    )
+    stats = bucketed_aggregate(
+        distinct,
+        ["host", "pattern"],
+        {"n_urls": ("url", "count"), "example_url": ("url", "min")},
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "host" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype=str),
+                    "pattern": pd.Series(dtype=str),
+                    "n_urls": pd.Series(dtype="int64"),
+                    "example_url": pd.Series(dtype=str),
+                    "trap_suspect": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["n_urls"] = df["n_urls"].astype("int64")
+        df["trap_suspect"] = (df["n_urls"] >= trap_threshold).astype("int64")
+        return df[["host", "pattern", "n_urls", "example_url", "trap_suspect"]]
+
+    return stats.map_batches(flag, batch_format="pandas")
+
+
+def url_pattern_stats(
+    sf_dir: str, trap_threshold: int = _TRAP_THRESHOLD
+) -> pa.Table:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = (
+        url_pattern_stats_ds(docs, trap_threshold=trap_threshold)
+        .to_pandas()
+        .sort_values(["host", "pattern"], ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def url_pattern_stats_sql(trap_threshold: int = _TRAP_THRESHOLD) -> str:
+    return f"""
+WITH u AS (
+    SELECT source || '.example.com' AS host,
+           'https://' || source || '.example.com/article/' || doc_id AS url,
+           '/article/' || doc_id AS path
+    FROM documents
+    UNION ALL
+    SELECT source || '.example.com',
+           'https://' || source || '.example.com/article/' || doc_id
+               || '/comments/page/' || (doc_id % 7),
+           '/article/' || doc_id || '/comments/page/' || (doc_id % 7)
+    FROM documents
+    UNION ALL
+    SELECT source || '.example.com',
+           'https://' || source || '.example.com/session/'
+               || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+           '/session/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+    FROM documents
+    UNION ALL
+    SELECT source || '.example.com',
+           'https://' || source || '.example.com/about', '/about'
+    FROM documents
+),
+pat AS (
+    SELECT host, url,
+           array_to_string(list_transform(string_split(path, '/'),
+               x -> CASE WHEN x = '' THEN x
+                         WHEN regexp_full_match(x, '[0-9]+') THEN '{{n}}'
+                         WHEN regexp_full_match(x, '[0-9a-f]{{8,}}') THEN '{{h}}'
+                         ELSE x END), '/') AS pattern
+    FROM u
+)
+SELECT host, pattern, COUNT(DISTINCT url) AS n_urls,
+       MIN(url) AS example_url,
+       CAST(COUNT(DISTINCT url) >= {trap_threshold} AS BIGINT) AS trap_suspect
+FROM pat
+GROUP BY host, pattern
+ORDER BY host, pattern
+"""
+
+
+URL_PATTERN_STATS_SQL = url_pattern_stats_sql()

@@ -53,6 +53,8 @@ def _oracle_names():
         "doc_collapse_repeats",
         "doc_sample_stratified",
         "pack_sequences",
+        "doc_chunk_windows",
+        "url_pattern_stats",
         "source_top_terms",
         "corpus_to_training",
         "doc_unigram_surprisal",
