@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
+        # per-type hourly rate-spike detection over the dense hour
+        # series (integer 1.5x-recent-peak rule, full-lookback gate)
+        "events_rate_anomaly": streams.events_rate_anomaly,
         "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
@@ -698,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_query_similar_indexed": dedup.query_similar_indexed_sql(),
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
+        "events_rate_anomaly": streams.EVENTS_RATE_ANOMALY_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed
         # codec path is value-checked against SQL

@@ -235,6 +235,7 @@ def run_bench() -> dict:
         "embed_pq_codes",
         "embed_random_projection",
         "sessionize",
+        "events_rate_anomaly",
         "events_session_paths",
         "events_decayed_value",
         "events_funnel",

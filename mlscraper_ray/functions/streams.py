@@ -573,3 +573,147 @@ paths AS (
 )
 SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path ORDER BY path
 """
+
+
+SPIKE_MIN_COUNT = 10
+
+
+def events_rate_anomaly(sf_dir: str, min_count: int = SPIKE_MIN_COUNT) -> pa.Table:
+    """Per-type hourly rate-spike detection over the DENSE hour
+    series — the stream-monitoring operator next to the windowed
+    counts: every hour from each type's first to its last (missing
+    hours count 0), ``prev_max3`` = the max count over the up-to-3
+    preceding hours, and ``is_spike`` = 1 when the hour has a full
+    3-hour lookback, at least ``min_count`` events, and
+    ``2 * count >= 3 * prev_max3`` (count >= 1.5x the recent peak —
+    integer-exact, no float rate math).
+
+    One (event_type, hour) count shuffle (the hourly-counts plan);
+    densification + the rolling max run inside one type-bucketed
+    group (series length = covered hours, bounded by time range, not
+    event count)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"event_type": batch["event_type"], "h": hour})
+        g = t.group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return pa.table(
+            {"event_type": g["event_type"], "h": g["h"], "cnt": g["h_count"]}
+        )
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    n_buckets = 64
+
+    def add_tbucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=str),
+                    "h": pd.Series(dtype="datetime64[us]"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "__tb": pd.Series(dtype="int32"),
+                }
+            )
+        df = df.copy()
+        df["__tb"] = (
+            pd.util.hash_pandas_object(df["event_type"], index=False) % n_buckets
+        ).astype("int32")
+        return df
+
+    def detect(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "event_type": pd.Series(dtype=str),
+            "window_start": pd.Series(dtype="datetime64[us]"),
+            "n_events": pd.Series(dtype="int64"),
+            "prev_max3": pd.Series(dtype="int64"),
+            "is_spike": pd.Series(dtype="int64"),
+        }
+        if g.empty or "event_type" not in g.columns:
+            return pd.DataFrame(out_cols)
+        frames = []
+        for etype, grp in g.groupby("event_type", sort=False):
+            ser = (
+                grp.set_index("h")["cnt"]
+                .reindex(
+                    pd.date_range(grp["h"].min(), grp["h"].max(), freq="h"),
+                    fill_value=0,
+                )
+                .astype("int64")
+            )
+            pm = (
+                ser.shift(1)
+                .rolling(3, min_periods=1)
+                .max()
+                .fillna(0)
+                .astype("int64")
+            )
+            full = pd.Series(range(len(ser)), index=ser.index) >= 3
+            spike = (
+                full & (ser >= min_count) & (2 * ser >= 3 * pm)
+            ).astype("int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "window_start": ser.index,
+                        "n_events": ser.values,
+                        "prev_max3": pm.values,
+                        "is_spike": spike.values,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = (
+        counts.map_batches(add_tbucket, batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(detect, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_rate_anomaly_sql(min_count: int = SPIKE_MIN_COUNT) -> str:
+    return f"""
+WITH c AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+rng AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM c GROUP BY event_type),
+dense AS (
+    SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM rng
+),
+d AS (
+    SELECT dense.event_type, dense.h, COALESCE(c.cnt, 0) AS n_events
+    FROM dense LEFT JOIN c ON c.event_type = dense.event_type AND c.h = dense.h
+),
+w AS (
+    SELECT event_type, h, n_events,
+           MAX(n_events) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM d
+)
+SELECT event_type, h AS window_start,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(COALESCE(pm, 0) AS BIGINT) AS prev_max3,
+       CAST(CASE WHEN rn > 3 AND n_events >= {min_count}
+                  AND 2 * n_events >= 3 * COALESCE(pm, 0)
+             THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM w
+ORDER BY event_type, window_start
+"""
+
+
+EVENTS_RATE_ANOMALY_SQL = events_rate_anomaly_sql()

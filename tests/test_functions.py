@@ -124,6 +124,7 @@ def _oracle_names():
         "events_retention",
         "event_value_quantile_sketch",
         "hourly_event_counts",
+        "events_rate_anomaly",
         "sliding_window_counts",
         "multimodal_decode",
         "multimodal_resize",
@@ -3139,3 +3140,42 @@ class TestHostCommunities:
         assert fast.sort_values("host", ignore_index=True).equals(
             slow.sort_values("host", ignore_index=True)
         )
+
+
+class TestRateAnomaly:
+    def test_planted_spike_and_dense_gap(self, ray_session, tmp_path):
+        from mlscraper_ray.functions.streams import events_rate_anomaly
+
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        rows = []
+        eid = 0
+        # type "a": 3 quiet hours (2 events each), an EMPTY hour 3,
+        # then a 12-event burst in hour 4 -> spike (full lookback,
+        # >= min_count, 2*12 >= 3*max(2,2,0))
+        for h in (0, 1, 2):
+            for _ in range(2):
+                rows.append((eid, base + pd.Timedelta(hours=h), 1, "a")); eid += 1
+        for _ in range(12):
+            rows.append((eid, base + pd.Timedelta(hours=4), 1, "a")); eid += 1
+        # type "b": steady 12/hour -> never a spike (12*2 < 12*3)
+        for h in range(5):
+            for _ in range(12):
+                rows.append((eid, base + pd.Timedelta(hours=h), 2, "b")); eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_rate_anomaly(tmp_path.as_posix()).to_pandas()
+        a = out[out["event_type"] == "a"].reset_index(drop=True)
+        # dense series includes the EMPTY hour 3
+        assert list(a["n_events"]) == [2, 2, 2, 0, 12]
+        assert list(a["is_spike"]) == [0, 0, 0, 0, 1]
+        assert a.loc[4, "prev_max3"] == 2
+        b = out[out["event_type"] == "b"]
+        assert b["is_spike"].sum() == 0
