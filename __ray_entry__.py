@@ -517,6 +517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batched serving shape: one broadcast query MATRIX, one
         # matmul per batch for all queries
         "ann_cosine_multi_topk": similarity.cosine_multi_topk,
+        # per-label integer embedding centroids (class signatures)
+        "embed_label_centroids": similarity.embed_label_centroids,
+        # sampled k-NN label-consistency eval (embedding quality gate)
+        "embed_knn_label_eval": similarity.embed_knn_label_eval,
         "ann_ivf_topk": similarity.ivf_topk,
     }
 
@@ -687,6 +691,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": _winnow_pairs_sql(),
         "dedup_winnow_clusters": _winnow_clusters_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
+        "embed_label_centroids": similarity.embed_label_centroids_sql(),
+        "embed_knn_label_eval": similarity.embed_knn_label_eval_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
         "embed_pq_codes": similarity.embed_pq_codes_sql(),

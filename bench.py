@@ -234,6 +234,8 @@ def run_bench() -> dict:
         "embed_semdedup",
         "embed_pq_codes",
         "embed_random_projection",
+        "embed_label_centroids",
+        "embed_knn_label_eval",
         "sessionize",
         "events_rate_anomaly",
         "events_session_paths",

@@ -1882,3 +1882,200 @@ FROM scored
 WHERE score_x10k >= {threshold_x10k}
 ORDER BY score_x10k DESC, vec_id ASC
 """
+
+
+def embed_label_centroids(sf_dir: str, dim: int = 64) -> pa.Table:
+    """Per-label integer centroid over the quantized embedding space —
+    the class-signature table (domain drift, cluster sanity, seed
+    centroids for a supervised IVF): each coordinate quantizes by the
+    repo's floor(x*10000 + 0.5) rule, the centroid coordinate is the
+    FLOOR of the per-label mean (Python ``//``; the SQL mirrors with
+    FLOOR(SUM/COUNT), NOT integer ``//`` which truncates toward zero).
+
+    One streaming pass emits per-batch (label, dim) partial sums
+    (numpy einsum over the stacked batch); the coarse-bucket aggregate
+    folds them (labels x dim rows, corpus-size independent).
+
+    Returns (label, dim, n_vecs, centroid_q) ordered."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()])
+        q = np.floor(mat * 10000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_l, n_d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, n_d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(n_d, dtype=np.int64), n_l), pa.int64()),
+                "sum_q": pa.array(sums.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnts, n_d), pa.int64()),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"sum_q": ("sum_q", "sum"), "n_vecs": ("n_vecs", "sum")},
+    ).to_pandas()
+    if len(agg) == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in ("label", "dim", "n_vecs", "centroid_q")}
+        )
+    agg["centroid_q"] = agg["sum_q"].astype(int) // agg["n_vecs"].astype(int)
+    out = agg.sort_values(["label", "dim"], ignore_index=True)
+    out = out[["label", "dim", "n_vecs", "centroid_q"]].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_label_centroids_sql(dim: int = 64) -> str:
+    return f"""
+WITH q AS (
+    SELECT label, g.i AS dim,
+           CAST(FLOOR(CAST(e.embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE)
+                      * 10000 + 0.5) AS BIGINT) AS v
+    FROM embeddings e, generate_series(0, {dim - 1}) g(i)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS centroid_q
+FROM q GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+def embed_knn_label_eval(sf_dir: str, stride: int = 157, k: int = 5) -> pa.Table:
+    """Embedding-quality EVAL by sampled k-NN label consistency: every
+    vec with ``vec_id % stride == 0`` becomes a query (deterministic,
+    scale-proportional sample), its top-``k`` cosine neighbors
+    (excluding itself, the repo's integer score rule) vote on a label
+    (majority, ties to the smallest label), and the row records
+    whether the vote agrees with the query's own label — the standard
+    intrinsic eval before trusting an embedding column for semdedup /
+    clustering.
+
+    Same serving plan as :func:`cosine_multi_topk`: one broadcast of
+    the query matrix, one matmul per batch for all queries, (k+1)
+    partial rows per query per batch; the vote runs on the
+    queries x k final table.
+
+    Returns (query_id, true_label, pred_label, correct)."""
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(ids % stride == 0))
+
+    # the query sample is found DISTRIBUTED (one filtered column pass;
+    # only the ~n/stride sampled rows reach the driver)
+    t = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "label", "embedding"],
+            )
+            .map_batches(pick_queries, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    qids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    qlabels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    order = np.argsort(qids)
+    qids, qlabels = qids[order], qlabels[order]
+    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])[order]
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    state_ref = ray.put((qids, qmat))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qid_arr, qm = ray.get(state_ref)
+        ids, mat = _batch_matrix(batch)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        unit = mat / norms[:, None]
+        scores = np.floor((unit @ qm.T) * 10000 + 0.5).astype(np.int64)
+        out_q, out_v, out_l, out_s = [], [], [], []
+        for j, qid in enumerate(qid_arr):
+            col = scores[:, j]
+            keep = min(k + 1, len(ids))
+            idx = np.lexsort((ids, -col))[:keep]
+            out_q.append(np.full(keep, qid, dtype=np.int64))
+            out_v.append(ids[idx])
+            out_l.append(labels[idx])
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "nbr_label": pa.array(np.concatenate(out_l), pa.int64()),
+                "score_x10k": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != partials["query_id"]]
+    topk = (
+        partials.sort_values(
+            ["query_id", "score_x10k", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    votes = (
+        topk.groupby(["query_id", "nbr_label"], sort=False)
+        .size()
+        .rename("c")
+        .reset_index()
+        .sort_values(["query_id", "c", "nbr_label"], ascending=[True, False, True])
+        .drop_duplicates("query_id")
+        .set_index("query_id")["nbr_label"]
+    )
+    pred = votes.reindex(qids).astype("int64")
+    out = pd.DataFrame(
+        {
+            "query_id": pd.Series(qids, dtype="int64"),
+            "true_label": pd.Series(qlabels, dtype="int64"),
+            "pred_label": pred.values,
+            "correct": (pred.values == qlabels).astype("int64"),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_knn_label_eval_sql(stride: int = 157, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS true_label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % {stride} = 0
+),
+nn AS (
+    SELECT q.query_id, e.vec_id, e.label AS nbr_label,
+           CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+                      * 10000 + 0.5) AS BIGINT) AS s
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY s DESC, e.vec_id) <= {k}
+),
+votes AS (
+    SELECT query_id, nbr_label, COUNT(*) AS c FROM nn GROUP BY query_id, nbr_label
+),
+pred AS (
+    SELECT query_id, nbr_label AS pred_label FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, nbr_label) = 1
+)
+SELECT q.query_id, CAST(q.true_label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(q.true_label = p.pred_label AS BIGINT) AS correct
+FROM q JOIN pred p USING (query_id)
+ORDER BY q.query_id
+"""

@@ -107,6 +107,8 @@ def _oracle_names():
         "ann_cosine_topk",
         "ann_cosine_range",
         "ann_cosine_multi_topk",
+        "embed_label_centroids",
+        "embed_knn_label_eval",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
