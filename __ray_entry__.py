@@ -448,6 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textstats.fingerprints,
         # text analysis
         "doc_token_stats": textstats.doc_token_stats,
+        # per-doc sentence segmentation features (readability signals)
+        "doc_sentence_stats": textstats.doc_sentence_stats,
+        # per-source exact-dup census (data-card dedup row)
+        "source_dedup_report": textstats.source_dedup_report,
         # unigram-surprisal LM quality proxy (integer log2 via
         # bit_length -> hash-exact vs SQL; count-guarded join-back)
         "doc_unigram_surprisal": textstats.doc_unigram_surprisal,
@@ -647,6 +651,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": textstats.source_overlap_sql(),
         "corpus_dsir_select": curate.dsir_select_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
+        "doc_sentence_stats": textstats.DOC_SENTENCE_STATS_SQL,
+        "source_dedup_report": textstats.SOURCE_DEDUP_REPORT_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,

@@ -195,6 +195,8 @@ def run_bench() -> dict:
         "source_distinct_hll",
         "source_token_cms",
         "doc_bpe_token_stats",
+        "doc_sentence_stats",
+        "source_dedup_report",
         "tokenizer_bpe_train",
         "doc_bpe_encode",
         "doc_unigram_surprisal",

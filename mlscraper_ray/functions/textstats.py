@@ -2848,3 +2848,166 @@ ORDER BY q.doc_id
 
 
 SOURCE_QUALITY_GATE_SQL = source_quality_gate_sql()
+
+
+def source_dedup_report(sf_dir: str) -> pa.Table:
+    """Per-source exact-duplication census — the data-card row a
+    release writes next to the dedup manifest: how many of a source's
+    docs are byte-duplicates of an EARLIER doc (corpus-wide md5(text)
+    groups, keep-lowest-doc_id convention shared with dedup_exact),
+    plus the distinct-text count and the drop fraction in floor-milli.
+
+    One slim (h, doc_id, source) shuffle: per-batch md5 partials fold
+    through the coarse-bucket aggregate keyed by hash to find each
+    group's keeper, a second tiny aggregate rolls up per source —
+    text never leaves the tasks.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        return pd.DataFrame(
+            {
+                "h": [
+                    hashlib.md5((t or "").encode()).hexdigest()
+                    for t in batch["text"]
+                ],
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"].astype(str),
+            }
+        )
+
+    slim = ds.map_batches(hashed, batch_format="pandas")
+    keepers = bucketed_aggregate(
+        slim, ["h"], {"keep_id": ("doc_id", "min")}
+    )
+
+    # join the group keeper back onto the slim rows by hash bucket
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    joined = cogroup_join(slim, keepers, "h")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "source" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "n_dup_docs": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["dup"] = (df["doc_id"] != df["keep_id"]).astype("int64")
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), n_dup_docs=("dup", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            joined.map_batches(partial, batch_format="pandas"),
+            ["source"],
+            {"n_docs": ("n_docs", "sum"), "n_dup_docs": ("n_dup_docs", "sum")},
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dup_docs"] = out["n_dup_docs"].astype("int64")
+    out["n_kept"] = out["n_docs"] - out["n_dup_docs"]
+    out["dup_milli"] = (1000 * out["n_dup_docs"]) // out["n_docs"]
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "n_kept", "n_dup_docs", "dup_milli"]],
+        preserve_index=False,
+    )
+
+
+SOURCE_DEDUP_REPORT_SQL = """
+WITH k AS (
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+),
+d AS (
+    SELECT d.source, d.doc_id,
+           CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END AS dup
+    FROM documents d JOIN k ON md5(d.text) = k.h
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(COUNT(*) - SUM(dup) AS BIGINT) AS n_kept,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+       CAST((1000 * SUM(dup)) // COUNT(*) AS BIGINT) AS dup_milli
+FROM d GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_sentence_stats(sf_dir: str) -> pa.Table:
+    """Per-doc sentence segmentation features (the readability /
+    formatting signals next to the token stats): sentences are the
+    non-blank runs between ``[.!?]+`` punctuation, per-sentence token
+    counts come from whitespace-splitting each run. Emits n_sents,
+    the longest sentence's token count and the floor-x100 mean tokens
+    per sentence; docs with no sentences (empty/whitespace text)
+    carry 0/0/0. Pure streaming map, no shuffle.
+    """
+    import re as _re2
+
+    sent_re = _re2.compile(r"[.!?]+")
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, mx, mean = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sents = [s for s in sent_re.split(text or "") if s.strip()]
+            toks = [len(s.split()) for s in sents]
+            ids.append(doc_id)
+            ns.append(len(toks))
+            mx.append(max(toks) if toks else 0)
+            mean.append((100 * sum(toks)) // len(toks) if toks else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_sents": pd.Series(ns, dtype="int64"),
+                "max_sent_tokens": pd.Series(mx, dtype="int64"),
+                "mean_sent_tokens_x100": pd.Series(mean, dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_SENTENCE_STATS_SQL = r"""
+WITH s AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+    FROM documents
+),
+t AS (
+    SELECT doc_id, len(string_split_regex(trim(sent), '\s+')) AS nt
+    FROM s WHERE trim(sent) <> ''
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_sents, MAX(nt) AS max_sent_tokens,
+           (100 * SUM(nt)) // COUNT(*) AS mean_sent_tokens_x100
+    FROM t GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_sents, 0) AS BIGINT) AS n_sents,
+       CAST(COALESCE(a.max_sent_tokens, 0) AS BIGINT) AS max_sent_tokens,
+       CAST(COALESCE(a.mean_sent_tokens_x100, 0) AS BIGINT) AS mean_sent_tokens_x100
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -61,6 +61,8 @@ def _oracle_names():
         "doc_bigram_surprisal",
         "doc_perplexity_buckets",
         "doc_token_stats",
+        "doc_sentence_stats",
+        "source_dedup_report",
         "doc_bpe_token_stats",
         "tokenizer_bpe_train",
         "doc_bpe_encode",
