@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type hourly rate-spike detection over the dense hour
         # series (integer 1.5x-recent-peak rule, full-lookback gate)
         "events_rate_anomaly": streams.events_rate_anomaly,
+        # distinct co-occurring event-type pairs per session
+        "events_session_type_pairs": streams.session_type_pairs,
         "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
@@ -714,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "events_rate_anomaly": streams.EVENTS_RATE_ANOMALY_SQL,
+        "events_session_type_pairs": streams.SESSION_TYPE_PAIRS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed
         # codec path is value-checked against SQL

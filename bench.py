@@ -240,6 +240,7 @@ def run_bench() -> dict:
         "embed_knn_label_eval",
         "sessionize",
         "events_rate_anomaly",
+        "events_session_type_pairs",
         "events_session_paths",
         "events_decayed_value",
         "events_funnel",

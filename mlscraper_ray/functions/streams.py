@@ -717,3 +717,103 @@ ORDER BY event_type, window_start
 
 
 EVENTS_RATE_ANOMALY_SQL = events_rate_anomaly_sql()
+
+
+def session_type_pairs(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Co-occurring event-type pairs per session — the association
+    signal next to the path mining: sessions are the standard
+    gap-split (``sessionize`` semantics; tied timestamps share a
+    session regardless of tie order, so the assignment is
+    deterministic without an id tie-break), each session contributes
+    its DISTINCT unordered type pairs once, and the output counts
+    sessions per pair. Output is bounded by the type-pair cardinality,
+    never by event count.
+
+    One user-bucket shuffle does the sessionization + local pair
+    counts; a tiny coarse-bucket aggregate folds the per-bucket
+    partials."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        from itertools import combinations
+
+        if g.empty or "user_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "t1": pd.Series(dtype=str),
+                    "t2": pd.Series(dtype=str),
+                    "n_sessions": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        ns = (prev.isna() | ((g["ts"] - prev) > gap)).astype(int)
+        g = g.assign(__sid=ns.groupby(g["user_id"]).cumsum())
+        cnt: Counter[tuple[str, str]] = Counter()
+        for _, types in g.groupby(["user_id", "__sid"], sort=False)["event_type"]:
+            for a, b in combinations(sorted(set(types)), 2):
+                cnt[(a, b)] += 1
+        return pd.DataFrame(
+            {
+                "t1": [k[0] for k in cnt],
+                "t2": [k[1] for k in cnt],
+                "n_sessions": pd.Series(list(cnt.values()), dtype="int64"),
+            }
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"),
+            ["t1", "t2"],
+            {"n_sessions": ("n_sessions", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["t1", "t2"], ignore_index=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def session_type_pairs_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL {gap_minutes} MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+),
+s AS (
+    SELECT user_id, event_type,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+p AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+pr AS (
+    SELECT a.event_type AS t1, b.event_type AS t2
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+)
+SELECT t1, t2, COUNT(*) AS n_sessions
+FROM pr GROUP BY t1, t2
+ORDER BY t1, t2
+"""
+
+
+SESSION_TYPE_PAIRS_SQL = session_type_pairs_sql()

@@ -129,6 +129,7 @@ def _oracle_names():
         "event_value_quantile_sketch",
         "hourly_event_counts",
         "events_rate_anomaly",
+        "events_session_type_pairs",
         "sliding_window_counts",
         "multimodal_decode",
         "multimodal_resize",
