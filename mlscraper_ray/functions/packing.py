@@ -367,9 +367,9 @@ CHUNK_WINDOW = 128
 CHUNK_STRIDE = 96
 
 
-def doc_chunk_windows(
+def doc_chunk_windows_ds(
     sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Overlapping token-window chunking — the retrieval/long-doc
     sibling of :func:`pack_sequences`: each document splits into
     windows of ``window`` whitespace tokens starting every ``stride``
@@ -411,12 +411,63 @@ def doc_chunk_windows(
             }
         )
 
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+def doc_chunk_windows(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> pa.Table:
+    """Driver-table wrapper of :func:`doc_chunk_windows_ds`, ordered
+    by (doc_id, chunk_id)."""
     out = (
-        ds.map_batches(chunk, batch_format="pandas")
+        doc_chunk_windows_ds(sf_dir, window=window, stride=stride)
         .to_pandas()
         .sort_values(["doc_id", "chunk_id"], ignore_index=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def chunks_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    window_shards: int = 4,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> dict:
+    """Production sink twin of :func:`doc_chunk_windows`, RESUMABLE
+    (marker-last shard protocol, functions/sinks.py): the chunk rows
+    materialize once sharded by crc32(doc_id) (a doc's chunks share a
+    shard, so downstream per-doc reads stay single-shard), each shard
+    commits independently. Shard union == the oracle-checked contract
+    table (tested)."""
+    import zlib
+
+    from mlscraper_ray.functions.sinks import all_shards_done, run_resumable_shards
+    from mlscraper_ray.pipelines.crawl_pipeline import _pin_fsspec_http_stub
+
+    if all_shards_done(out_dir, n_shards):
+        return {"written": 0, "skipped": n_shards}
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = [zlib.crc32(str(d).encode()) % n_shards for d in df["doc_id"]]
+        return df
+
+    rows = (
+        doc_chunk_windows_ds(sf_dir, window=window, stride=stride)
+        .map_batches(add_shard, batch_format="pandas")
+        .materialize()
+    )
+    _pin_fsspec_http_stub()
+
+    def write_shard(s: int, dest: str) -> None:
+        rows.map_batches(
+            lambda df, s=s: df[df["shard"] == s].drop(columns=["shard"]),
+            batch_format="pandas",
+        ).write_parquet(dest)
+
+    return run_resumable_shards(out_dir, n_shards, window_shards, write_shard)
 
 
 def doc_chunk_windows_sql(

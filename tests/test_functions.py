@@ -3184,3 +3184,29 @@ class TestRateAnomaly:
         assert a.loc[4, "prev_max3"] == 2
         b = out[out["event_type"] == "b"]
         assert b["is_spike"].sum() == 0
+
+
+class TestChunkSink:
+    def test_chunk_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+
+        from mlscraper_ray.functions.packing import chunks_to_parquet, doc_chunk_windows
+
+        out_dir = str(tmp_path / "chunks_out")
+        r1 = chunks_to_parquet(SF_DIR, out_dir, n_shards=8, window_shards=2)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        got = pd.concat(frames, ignore_index=True).sort_values(
+            ["doc_id", "chunk_id"], ignore_index=True
+        )
+        want = doc_chunk_windows(SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+        r2 = chunks_to_parquet(SF_DIR, out_dir, n_shards=8, window_shards=2)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
+        r3 = chunks_to_parquet(SF_DIR, out_dir, n_shards=8, window_shards=2)
+        assert r3 == {"written": 1, "skipped": 7}
