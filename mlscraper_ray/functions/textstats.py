@@ -2883,7 +2883,9 @@ def source_dedup_report(sf_dir: str) -> pa.Table:
             }
         )
 
-    slim = ds.map_batches(hashed, batch_format="pandas")
+    # materialized once: the slim rows feed BOTH the keeper aggregate
+    # and the join-back (lazy would re-read + re-hash the text twice)
+    slim = ds.map_batches(hashed, batch_format="pandas").materialize()
     keepers = bucketed_aggregate(
         slim, ["h"], {"keep_id": ("doc_id", "min")}
     )
@@ -2891,7 +2893,7 @@ def source_dedup_report(sf_dir: str) -> pa.Table:
     # join the group keeper back onto the slim rows by hash bucket
     from mlscraper_ray.functions.joins import cogroup_join
 
-    joined = cogroup_join(slim, keepers, "h")
+    joined = cogroup_join(slim, keepers, "h", approx_rows=slim.count())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "source" not in df.columns:
