@@ -97,7 +97,15 @@ def bpe_merges(
     histogram. Returns [(left_sym, right_sym, pair_count), ...] in
     merge order. Ties in pair count break on (left asc, right asc)
     — mirrored exactly by the SQL oracle's ORDER BY."""
-    hist = _word_histogram(sf_dir, top_v)
+    return merges_from_histogram(_word_histogram(sf_dir, top_v), n_merges)
+
+
+def merges_from_histogram(
+    hist: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The pure merge loop over a (word, count) histogram — kept free
+    of Ray so the spaced-replace semantics are property-testable
+    against the SQL trainer on arbitrary histograms."""
     spaced: dict[str, int] = {_spaced(w): c for w, c in hist}
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):

@@ -3210,3 +3210,56 @@ class TestChunkSink:
         os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
         r3 = chunks_to_parquet(SF_DIR, out_dir, n_shards=8, window_shards=2)
         assert r3 == {"written": 1, "skipped": 7}
+
+
+class TestBpeProperty:
+    """Property: the pure Python merge loop (spaced-string replace)
+    and the chained-CTE SQL trainer agree on ARBITRARY word
+    histograms — including overlap-heavy words ('aaaa'), tie counts
+    and single-char words. Runs without Ray (the loop is factored
+    out of the distributed histogram pass)."""
+
+    @staticmethod
+    def _sql_merges(hist, n_merges):
+        import duckdb
+
+        from mlscraper_ray.functions.tokenizer import _merge_ctes, tokenizer_bpe_train_sql
+
+        con = duckdb.connect()
+        rows = []
+        for w, c in hist:
+            rows.extend([w] * c)
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        if rows:
+            con.executemany(
+                "INSERT INTO documents VALUES (?, ?)",
+                [(i, w) for i, w in enumerate(rows)],
+            )
+        sql = tokenizer_bpe_train_sql(n_merges=n_merges, top_v=10_000)
+        return [tuple(r) for r in con.execute(sql).fetchall()]
+
+    def test_random_histograms_match_sql(self):
+        import random
+
+        from mlscraper_ray.functions.tokenizer import merges_from_histogram
+
+        rng = random.Random(20260818)
+        alphabet = "ab c"  # tiny alphabet -> maximal tie/overlap stress
+        for trial in range(12):
+            n_words = rng.randint(1, 8)
+            hist = {}
+            for _ in range(n_words):
+                w = "".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 6))
+                )
+                hist[w] = hist.get(w, 0) + rng.randint(1, 5)
+            hist = sorted(hist.items())
+            n_merges = rng.randint(1, 4)
+            py = [
+                (i, l, r, c)
+                for i, (l, r, c) in enumerate(
+                    merges_from_histogram(hist, n_merges)
+                )
+            ]
+            sql = self._sql_merges(hist, n_merges)
+            assert py == sql, (trial, hist, n_merges, py, sql)
