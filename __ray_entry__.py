@@ -452,6 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": textstats.doc_token_stats,
         # per-doc sentence segmentation features (readability signals)
         "doc_sentence_stats": textstats.doc_sentence_stats,
+        # per-doc type-token ratio (lexical diversity gate)
+        "doc_ttr": textstats.doc_ttr,
+        # per-source log2 length histogram (data-card distribution)
+        "source_length_histogram": textstats.source_length_histogram,
         # per-source exact-dup census (data-card dedup row)
         "source_dedup_report": textstats.source_dedup_report,
         # unigram-surprisal LM quality proxy (integer log2 via
@@ -654,6 +658,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_select": curate.dsir_select_sql(),
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_sentence_stats": textstats.DOC_SENTENCE_STATS_SQL,
+        "doc_ttr": textstats.DOC_TTR_SQL,
+        "source_length_histogram": textstats.SOURCE_LENGTH_HISTOGRAM_SQL,
         "source_dedup_report": textstats.SOURCE_DEDUP_REPORT_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,

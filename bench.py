@@ -196,6 +196,8 @@ def run_bench() -> dict:
         "source_token_cms",
         "doc_bpe_token_stats",
         "doc_sentence_stats",
+        "doc_ttr",
+        "source_length_histogram",
         "source_dedup_report",
         "tokenizer_bpe_train",
         "doc_bpe_encode",

@@ -3013,3 +3013,109 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def doc_ttr(sf_dir: str) -> pa.Table:
+    """Per-doc type-token ratio (lexical diversity — low TTR flags
+    template/boilerplate text the repetition stats can miss):
+    distinct whitespace tokens / tokens, floor-milli. Empty docs
+    carry 0/0/0. Pure streaming map."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, nd = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = (text or "").split()
+            ids.append(doc_id)
+            nt.append(len(toks))
+            nd.append(len(set(toks)))
+        n = pd.Series(nt, dtype="int64")
+        d = pd.Series(nd, dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": n,
+                "n_types": d,
+                "ttr_milli": (1000 * d) // n.clip(lower=1),
+            }
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_TTR_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+       CAST((1000 * len(list_distinct(tk))) // greatest(len(tk), 1) AS BIGINT)
+           AS ttr_milli
+FROM t
+ORDER BY doc_id
+"""
+
+
+def source_length_histogram(sf_dir: str) -> pa.Table:
+    """Per-source log2-bucketed doc-length histogram — the data-card
+    length-distribution table (bucket = bit_length(n_tokens), i.e.
+    floor(log2)+1, computed INTEGER-exactly on both sides: Python
+    int.bit_length vs SQL length(bin(n)) — no float log2 boundary
+    hazard). One tiny (source, bucket) count shuffle."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = pd.DataFrame(
+            {
+                "source": batch["source"].astype(str),
+                "bucket": [
+                    len((t or "").split()).bit_length() for t in batch["text"]
+                ],
+            }
+        )
+        g = rows.groupby(["source", "bucket"], sort=False).size().rename("n_docs")
+        return g.reset_index().astype({"bucket": "int64", "n_docs": "int64"})
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "bucket"],
+            {"n_docs": ("n_docs", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["source", "bucket"], ignore_index=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SOURCE_LENGTH_HISTOGRAM_SQL = r"""
+WITH t AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+    FROM documents
+)
+SELECT source,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM t
+GROUP BY source, CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END
+ORDER BY source, bucket
+"""

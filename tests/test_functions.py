@@ -62,6 +62,8 @@ def _oracle_names():
         "doc_perplexity_buckets",
         "doc_token_stats",
         "doc_sentence_stats",
+        "doc_ttr",
+        "source_length_histogram",
         "source_dedup_report",
         "doc_bpe_token_stats",
         "tokenizer_bpe_train",
