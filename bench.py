@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "doc_sentence_stats",
         "doc_ttr",
         "source_length_histogram",
+        "source_token_drift",
         "source_dedup_report",
         "tokenizer_bpe_train",
         "doc_bpe_encode",

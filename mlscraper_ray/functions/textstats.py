@@ -3119,3 +3119,207 @@ FROM t
 GROUP BY source, CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END
 ORDER BY source, bucket
 """
+
+
+def source_token_drift(
+    sf_dir: str,
+    vocab_size: int = 64,
+    snapshot_mod: int = 7,
+    change_mod: int = 3,
+) -> pa.Table:
+    """Per-source token-distribution DRIFT between the current corpus
+    and the prior crawl snapshot — the recrawl/monitoring signal next
+    to the per-doc change labels (``corpus_snapshot_diff``): over the
+    source's top-``vocab_size`` current terms, drift_milli is the L1
+    distance between the two snapshots' floor-milli term distributions
+    (restricted to that vocab). The prior snapshot is the
+    deterministic stand-in of the snapshot-diff convention: docs with
+    ``doc_id % snapshot_mod == 0`` are absent from it (newly added),
+    and docs with ``doc_id % change_mod == 0`` appear there with every
+    3rd token (1-based) dropped — a REAL distribution edit, so drift
+    is non-vacuous by construction; a real deployment reads the prior
+    manifest instead. The mods are coprime with the corpus's
+    source = doc_id %% 20 assignment (7 and 3; 4 would empty src0's
+    prior entirely).
+
+    Scale shape: ONE tokenize pass emits BOTH sides' local (side,
+    source, word) count partials (side is computed per doc from its
+    id, html/text never leaves the task); one coarse-bucket aggregate
+    folds them; per-block top-V cuts on the current side bound the
+    driver merge at V x blocks rows (the ``doc_oov_rate`` subset-union
+    argument); one broadcast-vocab filter pass pulls only the
+    V x 2 x sources vocab rows for the driver's L1 fold.
+
+    Returns (source, n_vocab, n_cur_tokens, n_prior_tokens,
+    drift_milli) where the token totals count vocab terms only."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter[tuple[str, str, str]] = Counter()
+        for doc_id, source, text in zip(
+            batch["doc_id"], batch["source"], batch["text"]
+        ):
+            toks = (text or "").split()
+            src = str(source)
+            for t in toks:
+                c[("c", src, t)] += 1
+            if doc_id % snapshot_mod != 0:  # present in the prior
+                ptoks = (
+                    [t for i, t in enumerate(toks, 1) if i % 3 != 0]
+                    if doc_id % change_mod == 0  # drifted there
+                    else toks
+                )
+                for t in ptoks:
+                    c[("p", src, t)] += 1
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "side": [k[0] for k in keys],
+                "source": [k[1] for k in keys],
+                "word": [k[2] for k in keys],
+                "cnt": pd.Series([c[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    counts = bucketed_aggregate(
+        ds.map_batches(local_counts, batch_format="pandas"),
+        ["side", "source", "word"],
+        {"cnt": ("cnt", "sum")},
+    ).materialize()
+
+    def local_topv(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "side" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "word": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        cur = df[df["side"] == "c"]
+        return (
+            cur.sort_values(["source", "cnt", "word"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(vocab_size)[["source", "word", "cnt"]]
+        )
+
+    merged = counts.map_batches(local_topv, batch_format="pandas").to_pandas()
+    if len(merged) == 0:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                **{
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "n_vocab",
+                        "n_cur_tokens",
+                        "n_prior_tokens",
+                        "drift_milli",
+                    )
+                },
+            }
+        )
+    vocab = (
+        merged.sort_values(["source", "cnt", "word"], ascending=[True, False, True])
+        .groupby("source", sort=False)
+        .head(vocab_size)
+    )
+    vset = frozenset(zip(vocab["source"], vocab["word"]))
+    v_ref = ray.put(vset)
+
+    def vocab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["side", "source", "word", "cnt"]
+        if df.empty or "side" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "side": pd.Series(dtype=str),
+                    "source": pd.Series(dtype=str),
+                    "word": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        v = cached_object(v_ref)
+        keep = [
+            (s, w) in v for s, w in zip(df["source"], df["word"])
+        ]
+        return df.loc[keep, cols]
+
+    rows = counts.map_batches(vocab_rows, batch_format="pandas").to_pandas()
+    out_rows = []
+    for src, grp in rows.groupby("source"):
+        piv = grp.pivot_table(
+            index="word", columns="side", values="cnt", aggfunc="sum", fill_value=0
+        )
+        cur = piv["c"].astype(int) if "c" in piv else pd.Series(0, index=piv.index)
+        pri = piv["p"].astype(int) if "p" in piv else pd.Series(0, index=piv.index)
+        tc, tp = int(cur.sum()), int(pri.sum())
+        p = (1000 * cur) // max(tc, 1)
+        q = (1000 * pri) // max(tp, 1)
+        out_rows.append(
+            (str(src), len(piv), tc, tp, int((p - q).abs().sum()))
+        )
+    out_rows.sort()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in out_rows], pa.string()),
+            "n_vocab": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_cur_tokens": pa.array([r[2] for r in out_rows], pa.int64()),
+            "n_prior_tokens": pa.array([r[3] for r in out_rows], pa.int64()),
+            "drift_milli": pa.array([r[4] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+def source_token_drift_sql(
+    vocab_size: int = 64, snapshot_mod: int = 7, change_mod: int = 3
+) -> str:
+    return rf"""
+WITH cur AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+pri AS (
+    SELECT source,
+           unnest(CASE WHEN doc_id % {change_mod} = 0
+                       THEN list_filter(string_split_regex(trim(text), '\s+'),
+                                        (x, i) -> i % 3 != 0)
+                       ELSE string_split_regex(trim(text), '\s+') END) AS word
+    FROM documents WHERE trim(text) <> '' AND doc_id % {snapshot_mod} != 0
+),
+cc AS (SELECT source, word, COUNT(*) AS cnt FROM cur GROUP BY source, word),
+pc AS (SELECT source, word, COUNT(*) AS cnt FROM pri GROUP BY source, word),
+vocab AS (
+    SELECT source, word, cnt FROM cc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word)
+            <= {vocab_size}
+),
+j AS (
+    SELECT v.source, v.word, v.cnt AS c_cnt, COALESCE(pc.cnt, 0) AS p_cnt
+    FROM vocab v LEFT JOIN pc ON pc.source = v.source AND pc.word = v.word
+),
+tot AS (
+    SELECT source, SUM(c_cnt) AS tc, SUM(p_cnt) AS tp FROM j GROUP BY source
+)
+SELECT j.source,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(MAX(t.tc) AS BIGINT) AS n_cur_tokens,
+       CAST(MAX(t.tp) AS BIGINT) AS n_prior_tokens,
+       CAST(SUM(ABS((1000 * j.c_cnt) // greatest(t.tc, 1)
+                  - (1000 * j.p_cnt) // greatest(t.tp, 1))) AS BIGINT)
+           AS drift_milli
+FROM j JOIN tot t ON t.source = j.source
+GROUP BY j.source
+ORDER BY j.source
+"""
+
+
+SOURCE_TOKEN_DRIFT_SQL = source_token_drift_sql()
