@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-pins every merge step), then per-doc encoding with
         # the learned merges (shared spaced-string replace semantics)
         "tokenizer_bpe_train": tokenizer.tokenizer_bpe_train,
+        "tokenizer_bpe_vocab": tokenizer.tokenizer_bpe_vocab,
         "doc_bpe_encode": tokenizer.doc_bpe_encode,
         # per-doc top-k keywords by integer tf-idf (count-guarded
         # broadcast df table vs bucketed join-back + doc-group cut)
@@ -670,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_bpe_token_stats": textstats.BPE_TOKEN_STATS_SQL,
         "tokenizer_bpe_train": _tokenizer_sql("train"),
+        "tokenizer_bpe_vocab": _tokenizer_sql("vocab"),
         "doc_bpe_encode": _tokenizer_sql("encode"),
         "doc_tfidf_top_terms": _tfidf_sql(),
         "source_token_totals": textstats.SOURCE_TOKEN_TOTALS_SQL,
@@ -917,7 +919,13 @@ def _tokenizer_sql(which: str) -> str:
         tokenizer_bpe_train_sql,
     )
 
-    return tokenizer_bpe_train_sql() if which == "train" else doc_bpe_encode_sql()
+    if which == "train":
+        return tokenizer_bpe_train_sql()
+    if which == "vocab":
+        from mlscraper_ray.functions.tokenizer import tokenizer_bpe_vocab_sql
+
+        return tokenizer_bpe_vocab_sql()
+    return doc_bpe_encode_sql()
 
 
 def _tfidf_sql() -> str:

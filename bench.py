@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "source_token_drift",
         "source_dedup_report",
         "tokenizer_bpe_train",
+        "tokenizer_bpe_vocab",
         "doc_bpe_encode",
         "doc_unigram_surprisal",
         "doc_bigram_surprisal",

@@ -276,3 +276,45 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def tokenizer_bpe_vocab(
+    sf_dir: str, n_merges: int = N_MERGES, top_v: int = TOP_V
+) -> pa.Table:
+    """The trained tokenizer's SYMBOL VOCABULARY: after applying the
+    learned merges to the top-V word histogram, every surviving
+    symbol with its corpus-weighted occurrence count — the table a
+    release ships next to the merge list (vocab coverage, id
+    assignment). Derived from the same histogram the trainer uses, so
+    the whole family (merges, vocab, per-doc encoding) is mutually
+    consistent and SQL-oracled end to end.
+
+    Returns (symbol, n_occurrences) ordered by symbol."""
+    hist = _word_histogram(sf_dir, top_v)
+    merges = merges_from_histogram(hist, n_merges)
+    reps = [(f" {l} {r} ", f" {l}{r} ") for l, r, _ in merges]
+    counts: Counter[str] = Counter()
+    for w, c in hist:
+        s = _spaced(w)
+        for pat, rep in reps:
+            s = s.replace(pat, rep)
+        for sym in s.split():
+            counts[sym] += c
+    syms = sorted(counts)
+    return pa.table(
+        {
+            "symbol": pa.array(syms, pa.string()),
+            "n_occurrences": pa.array([counts[s] for s in syms], pa.int64()),
+        }
+    )
+
+
+def tokenizer_bpe_vocab_sql(n_merges: int = N_MERGES, top_v: int = TOP_V) -> str:
+    return f"""WITH {_merge_ctes(n_merges, top_v)}
+SELECT sym AS symbol, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (
+    SELECT cnt, unnest(string_split(trim(s), ' ')) AS sym FROM w{n_merges}
+)
+GROUP BY sym
+ORDER BY symbol
+"""

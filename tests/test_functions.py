@@ -68,6 +68,7 @@ def _oracle_names():
         "source_dedup_report",
         "doc_bpe_token_stats",
         "tokenizer_bpe_train",
+        "tokenizer_bpe_vocab",
         "doc_bpe_encode",
         "doc_tfidf_top_terms",
         "source_token_totals",
