@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_anomaly": streams.events_rate_anomaly,
         # distinct co-occurring event-type pairs per session
         "events_session_type_pairs": streams.session_type_pairs,
+        # JSON-props payload aggregation (semi-structured extraction)
+        "events_props_stats": streams.events_props_stats,
         "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
@@ -729,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
         "events_rate_anomaly": streams.EVENTS_RATE_ANOMALY_SQL,
         "events_session_type_pairs": streams.SESSION_TYPE_PAIRS_SQL,
+        "events_props_stats": streams.EVENTS_PROPS_STATS_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed
         # codec path is value-checked against SQL

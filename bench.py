@@ -245,6 +245,7 @@ def run_bench() -> dict:
         "sessionize",
         "events_rate_anomaly",
         "events_session_type_pairs",
+        "events_props_stats",
         "events_session_paths",
         "events_decayed_value",
         "events_funnel",

@@ -817,3 +817,110 @@ ORDER BY t1, t2
 
 
 SESSION_TYPE_PAIRS_SQL = session_type_pairs_sql()
+
+
+def events_props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured payload aggregation — the JSON-props capability
+    every event pipeline needs (the ``props`` column is a JSON object;
+    real logs carry nested payloads): parse ``$.k`` per event and roll
+    up per event_type the count, sum/min/max and the EXACT distinct-k
+    count. Parsing happens inside the batch map (the string-kernel hot
+    path, like tokenization); distinct-k folds as (type, k) partials —
+    bounded by the value domain, not the event count — then a tiny
+    per-type aggregate. Events with no parseable ``k`` count into
+    n_missing and are excluded from the numeric rolls."""
+    import json
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple[str, int], list] = {}
+        missing: dict[str, int] = {}
+        for etype, props in zip(batch["event_type"], batch["props"]):
+            et = str(etype)
+            k = None
+            try:
+                v = json.loads(props or "")
+                if isinstance(v, dict) and isinstance(v.get("k"), int):
+                    k = v["k"]
+            except (ValueError, TypeError):
+                pass
+            if k is None:
+                missing[et] = missing.get(et, 0) + 1
+                continue
+            cur = rows.get((et, k))
+            if cur is None:
+                rows[(et, k)] = [1, k]
+            else:
+                cur[0] += 1
+        out = pd.DataFrame(
+            {
+                "event_type": [k[0] for k in rows] + list(missing),
+                "k": pd.Series(
+                    [k[1] for k in rows] + [-1] * len(missing), dtype="int64"
+                ),
+                "n": pd.Series(
+                    [v[0] for v in rows.values()] + list(missing.values()),
+                    dtype="int64",
+                ),
+            }
+        )
+        return out
+
+    # (type, k) partials: k's domain bounds this table, not event count
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "k"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    out_rows = []
+    for et, grp in agg.groupby("event_type"):
+        ks = grp[grp["k"] >= 0]
+        n_missing = int(grp.loc[grp["k"] < 0, "n"].sum())
+        n = int(ks["n"].sum())
+        if n:
+            out_rows.append(
+                (
+                    str(et),
+                    n,
+                    n_missing,
+                    int((ks["k"] * ks["n"]).sum()),
+                    int(ks["k"].min()),
+                    int(ks["k"].max()),
+                    int(len(ks)),
+                )
+            )
+        else:
+            out_rows.append((str(et), 0, n_missing, 0, 0, 0, 0))
+    out_rows.sort()
+    cols = ["n_events", "n_missing", "sum_k", "min_k", "max_k", "n_distinct_k"]
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+            **{
+                c: pa.array([r[i + 1] for r in out_rows], pa.int64())
+                for i, c in enumerate(cols)
+            },
+        }
+    )
+
+
+EVENTS_PROPS_STATS_SQL = """
+WITH p AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_events,
+       CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_missing,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k,
+       CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -134,6 +134,7 @@ def _oracle_names():
         "hourly_event_counts",
         "events_rate_anomaly",
         "events_session_type_pairs",
+        "events_props_stats",
         "sliding_window_counts",
         "multimodal_decode",
         "multimodal_resize",
