@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         streams,
         textstats,
         tokenizer,
+        topics,
         urls,
         wet,
     )
@@ -535,6 +536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_multi_topk": similarity.cosine_multi_topk,
         # per-label integer embedding centroids (class signatures)
         "embed_label_centroids": similarity.embed_label_centroids,
+        # embedding-free topic clustering: hashed bag-of-words integer
+        # features + the integer-exact iterative k-means (full
+        # chained-CTE oracle re-derives features AND every iteration)
+        "doc_topic_clusters": topics.doc_topic_clusters,
         # sampled k-NN label-consistency eval (embedding quality gate)
         "embed_knn_label_eval": similarity.embed_knn_label_eval,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -714,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_clusters": _winnow_clusters_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_label_centroids": similarity.embed_label_centroids_sql(),
+        "doc_topic_clusters": _topics_sql(),
         "embed_knn_label_eval": similarity.embed_knn_label_eval_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -914,6 +920,12 @@ def _url_pattern_sql() -> str:
     from mlscraper_ray.functions.urls import URL_PATTERN_STATS_SQL
 
     return URL_PATTERN_STATS_SQL
+
+
+def _topics_sql() -> str:
+    from mlscraper_ray.functions.topics import doc_topic_clusters_sql
+
+    return doc_topic_clusters_sql()
 
 
 def _tokenizer_sql(which: str) -> str:

@@ -241,6 +241,7 @@ def run_bench() -> dict:
         "embed_pq_codes",
         "embed_random_projection",
         "embed_label_centroids",
+        "doc_topic_clusters",
         "embed_knn_label_eval",
         "sessionize",
         "events_rate_anomaly",
