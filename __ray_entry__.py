@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # features + the integer-exact iterative k-means (full
         # chained-CTE oracle re-derives features AND every iteration)
         "doc_topic_clusters": topics.doc_topic_clusters,
+        # cluster-balanced quota sampling over the trained topics
+        "corpus_cluster_sample": topics.corpus_cluster_sample,
         # sampled k-NN label-consistency eval (embedding quality gate)
         "embed_knn_label_eval": similarity.embed_knn_label_eval,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -720,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_label_centroids": similarity.embed_label_centroids_sql(),
         "doc_topic_clusters": _topics_sql(),
+        "corpus_cluster_sample": _topics_sample_sql(),
         "embed_knn_label_eval": similarity.embed_knn_label_eval_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
@@ -926,6 +929,12 @@ def _topics_sql() -> str:
     from mlscraper_ray.functions.topics import doc_topic_clusters_sql
 
     return doc_topic_clusters_sql()
+
+
+def _topics_sample_sql() -> str:
+    from mlscraper_ray.functions.topics import corpus_cluster_sample_sql
+
+    return corpus_cluster_sample_sql()
 
 
 def _tokenizer_sql(which: str) -> str:

@@ -242,6 +242,7 @@ def run_bench() -> dict:
         "embed_random_projection",
         "embed_label_centroids",
         "doc_topic_clusters",
+        "corpus_cluster_sample",
         "embed_knn_label_eval",
         "sessionize",
         "events_rate_anomaly",

@@ -185,3 +185,89 @@ SELECT vec_id AS doc_id, c AS cluster, d2 AS dist2 FROM (
 ORDER BY doc_id"""
     )
     return "".join(parts)
+
+
+def corpus_cluster_sample(
+    sf_dir: str,
+    per_cluster: int = 32,
+    n_clusters: int = TOPIC_CLUSTERS,
+    n_iters: int = TOPIC_ITERS,
+    dim: int = TOPIC_DIM,
+) -> pa.Table:
+    """Cluster-balanced corpus sampling — the diversity-preserving
+    selector topic clusters exist for (cluster-then-sample curation:
+    a uniform sample over a skewed corpus oversamples the dominant
+    template; quota-per-topic keeps the tail): per topic cluster keep
+    the ``per_cluster`` docs with the smallest md5(doc_id) rank
+    (seedless, rerun-stable — the repo's sampling convention). Emits
+    (doc_id, cluster, keep) for every doc.
+
+    One streaming assignment pass over the trained centroids (the
+    ``doc_topic_clusters`` plan) plus a per-cluster rank cut — the
+    cut folds as per-batch partial top-``per_cluster`` rows per
+    cluster (bounded: k x per_cluster leave each task), so nothing
+    corpus-sized reaches the driver; the keep flag broadcasts back as
+    a tiny id set."""
+    assigned = doc_topic_clusters(
+        sf_dir, n_clusters=n_clusters, n_iters=n_iters, dim=dim
+    )
+    ds = ray.data.from_arrow(assigned)
+
+    def partial_cut(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch.copy()
+        df["rk"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        return (
+            df.sort_values(["cluster", "rk", "doc_id"])
+            .groupby("cluster", sort=False)
+            .head(per_cluster)[["doc_id", "cluster", "rk"]]
+        )
+
+    cut = (
+        ds.map_batches(partial_cut, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["cluster", "rk", "doc_id"])
+        .groupby("cluster", sort=False)
+        .head(per_cluster)
+    )
+    keep_ids = frozenset(cut["doc_id"])
+    k_ref = ray.put(keep_ids)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        k = cached_object(k_ref)
+        out = batch[["doc_id", "cluster"]].copy()
+        out["keep"] = [int(d in k) for d in batch["doc_id"]]
+        return out
+
+    out = (
+        ds.map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int32")
+    out["keep"] = out["keep"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def corpus_cluster_sample_sql(
+    per_cluster: int = 32,
+    n_clusters: int = TOPIC_CLUSTERS,
+    n_iters: int = TOPIC_ITERS,
+    dim: int = TOPIC_DIM,
+) -> str:
+    base = doc_topic_clusters_sql(n_clusters=n_clusters, n_iters=n_iters, dim=dim)
+    return f"""WITH assigned AS MATERIALIZED (
+{base}
+)
+SELECT doc_id, cluster,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY cluster
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              <= {per_cluster} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assigned
+ORDER BY doc_id
+"""

@@ -115,6 +115,7 @@ def _oracle_names():
         "ann_cosine_multi_topk",
         "embed_label_centroids",
         "doc_topic_clusters",
+        "corpus_cluster_sample",
         "embed_knn_label_eval",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
