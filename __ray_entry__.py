@@ -369,6 +369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_type_pairs": streams.session_type_pairs,
         # JSON-props payload aggregation (semi-structured extraction)
         "events_props_stats": streams.events_props_stats,
+        # first-order in-session type transition matrix
+        "events_markov_transitions": streams.events_markov_transitions,
+        # per-user lifetime roll-up (cohort/LTV base table)
+        "events_user_lifetime": streams.events_user_lifetime_stats,
         "sliding_window_counts": streams.sliding_window_counts,
         "top_event_per_user": streams.top_event_per_user,
         "embed_neardup_pairs": similarity.embedding_neardup_pairs,
@@ -741,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_anomaly": streams.EVENTS_RATE_ANOMALY_SQL,
         "events_session_type_pairs": streams.SESSION_TYPE_PAIRS_SQL,
         "events_props_stats": streams.EVENTS_PROPS_STATS_SQL,
+        "events_markov_transitions": streams.EVENTS_MARKOV_TRANSITIONS_SQL,
+        "events_user_lifetime": streams.EVENTS_USER_LIFETIME_SQL,
         "sliding_window_counts": streams.sliding_window_counts_sql(),
         # multimodal decode stub is md5-derived, so even the stubbed
         # codec path is value-checked against SQL

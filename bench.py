@@ -248,6 +248,8 @@ def run_bench() -> dict:
         "events_rate_anomaly",
         "events_session_type_pairs",
         "events_props_stats",
+        "events_markov_transitions",
+        "events_user_lifetime",
         "events_session_paths",
         "events_decayed_value",
         "events_funnel",

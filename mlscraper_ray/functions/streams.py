@@ -924,3 +924,219 @@ FROM p
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_markov_transitions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """First-order event-type transition counts WITHIN sessions — the
+    full Markov matrix next to the top-path mining: consecutive event
+    pairs in (ts, event_id) order (the session_paths tie-break),
+    sessions split by the standard gap rule. Output is bounded by the
+    type-pair cardinality.
+
+    One user-bucket shuffle does sessionization + local transition
+    counts; a tiny coarse-bucket aggregate folds the partials."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "user_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "t_from": pd.Series(dtype=str),
+                    "t_to": pd.Series(dtype=str),
+                    "n_transitions": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev_ts = g.groupby("user_id")["ts"].shift()
+        ns = (prev_ts.isna() | ((g["ts"] - prev_ts) > gap)).astype(int)
+        # two-column groupby, NOT a concatenated string key: pandas
+        # Series string concat silently DROPS null chars, so any
+        # separator-based key collides across (user, sid) boundaries
+        g = g.assign(__sid=ns.groupby(g["user_id"]).cumsum())
+        nxt = g.groupby(["user_id", "__sid"], sort=False)["event_type"].shift(-1)
+        pairs = pd.DataFrame({"t_from": g["event_type"], "t_to": nxt}).dropna()
+        if pairs.empty:
+            return pd.DataFrame(
+                {
+                    "t_from": pd.Series(dtype=str),
+                    "t_to": pd.Series(dtype=str),
+                    "n_transitions": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            pairs.groupby(["t_from", "t_to"], sort=False)
+            .size()
+            .rename("n_transitions")
+            .reset_index()
+        )
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return out
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"),
+            ["t_from", "t_to"],
+            {"n_transitions": ("n_transitions", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["t_from", "t_to"], ignore_index=True)
+    )
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_markov_transitions_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {gap_minutes} MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+tr AS (
+    SELECT event_type AS t_from,
+           LEAD(event_type) OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS t_to
+    FROM s
+)
+SELECT t_from, t_to, COUNT(*) AS n_transitions
+FROM tr WHERE t_to IS NOT NULL
+GROUP BY t_from, t_to
+ORDER BY t_from, t_to
+"""
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = events_markov_transitions_sql()
+
+
+def events_user_lifetime_stats(sf_dir: str) -> pa.Table:
+    """Per-user lifetime roll-up — the cohort/LTV base table: first
+    and last event time, span in hours (floor), distinct active days,
+    event count and milli-exact value total. Pure partial-aggregate
+    fold; distinct days fold as (user, day) partials first (bounded
+    by users x active days)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_pandas(),
+                "ts": batch["ts"].to_pandas(),
+                # pc.round like hourly_event_counts — the established
+                # value-milli pairing with the SQL ROUND
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))),
+                    pa.int64(),
+                ).to_pandas(),
+            }
+        )
+        df["day"] = df["ts"].dt.floor("D")
+        g = df.groupby(["user_id", "day"], sort=False).agg(
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value_milli=("value_milli", "sum"),
+        )
+        return g.reset_index()
+
+    per_day = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day"],
+        {
+            "first_ts": ("first_ts", "min"),
+            "last_ts": ("last_ts", "max"),
+            "n_events": ("n_events", "sum"),
+            "sum_value_milli": ("sum_value_milli", "sum"),
+        },
+    )
+
+    def fold_user(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "first_ts": pd.Series(dtype="datetime64[us]"),
+                    "last_ts": pd.Series(dtype="datetime64[us]"),
+                    "n_active_days": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "sum_value_milli": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby("user_id", sort=False).agg(
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
+            n_active_days=("day", "size"),
+            n_events=("n_events", "sum"),
+            sum_value_milli=("sum_value_milli", "sum"),
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            per_day.map_batches(fold_user, batch_format="pandas"),
+            ["user_id"],
+            {
+                "first_ts": ("first_ts", "min"),
+                "last_ts": ("last_ts", "max"),
+                "n_active_days": ("n_active_days", "sum"),
+                "n_events": ("n_events", "sum"),
+                "sum_value_milli": ("sum_value_milli", "sum"),
+            },
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    out["span_hours"] = (
+        (out["last_ts"] - out["first_ts"]).dt.total_seconds() // 3600
+    ).astype("int64")
+    for c in ("n_active_days", "n_events", "sum_value_milli"):
+        out[c] = out[c].astype("int64")
+    out["first_ts"] = out["first_ts"].astype("datetime64[us]")
+    out["last_ts"] = out["last_ts"].astype("datetime64[us]")
+    cols = [
+        "user_id",
+        "first_ts",
+        "last_ts",
+        "span_hours",
+        "n_active_days",
+        "n_events",
+        "sum_value_milli",
+    ]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+EVENTS_USER_LIFETIME_SQL = """
+SELECT user_id,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(FLOOR(date_diff('second', MIN(ts), MAX(ts)) / 3600.0) AS BIGINT)
+           AS span_hours,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -137,6 +137,8 @@ def _oracle_names():
         "events_rate_anomaly",
         "events_session_type_pairs",
         "events_props_stats",
+        "events_markov_transitions",
+        "events_user_lifetime",
         "sliding_window_counts",
         "multimodal_decode",
         "multimodal_resize",
