@@ -548,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_cluster_sample": topics.corpus_cluster_sample,
         # sampled k-NN label-consistency eval (embedding quality gate)
         "embed_knn_label_eval": similarity.embed_knn_label_eval,
+        # cosine decile histogram over consecutive-id pairs (the
+        # near-dup threshold calibration table)
+        "embed_pair_histogram": similarity.embed_pair_distance_histogram,
         "ann_ivf_topk": similarity.ivf_topk,
     }
 
@@ -728,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_topic_clusters": _topics_sql(),
         "corpus_cluster_sample": _topics_sample_sql(),
         "embed_knn_label_eval": similarity.embed_knn_label_eval_sql(),
+        "embed_pair_histogram": similarity.embed_pair_distance_histogram_sql(),
         "embed_kmeans_int": similarity.embed_kmeans_int_sql(),
         "embed_semdedup": similarity.embed_semdedup_sql(),
         "embed_pq_codes": similarity.embed_pq_codes_sql(),

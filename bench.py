@@ -244,6 +244,7 @@ def run_bench() -> dict:
         "doc_topic_clusters",
         "corpus_cluster_sample",
         "embed_knn_label_eval",
+        "embed_pair_histogram",
         "sessionize",
         "events_rate_anomaly",
         "events_session_type_pairs",

@@ -2079,3 +2079,106 @@ SELECT q.query_id, CAST(q.true_label AS BIGINT) AS true_label,
 FROM q JOIN pred p USING (query_id)
 ORDER BY q.query_id
 """
+
+
+def embed_pair_distance_histogram(sf_dir: str) -> pa.Table:
+    """Cosine-score decile histogram over all CONSECUTIVE-ID vector
+    pairs (2k, 2k+1) — the embedding-space calibration table read
+    before choosing a near-dup threshold (ids carry no semantics, so
+    consecutive pairing is an unbiased corpus-wide sample at half the
+    corpus cardinality, with no sampling parameter to tune). Scores
+    use the repo's floor(cos*10000 + 0.5) rule; bucket = score_x10k
+    floor-divided into deciles of [-10000, 10000] (clamped at the top
+    so +1.0 lands in bucket 19).
+
+    Scale shape: one slim shuffle — each vector ships once as a
+    (pair_id, side, v) row into a pair-hashed bucket (the cogroup
+    idiom); per-bucket work is a vectorized dot per pair; only the
+    20-row histogram leaves."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    n_buckets = 64
+
+    def to_sides(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        keep = np.ones(len(ids), dtype=bool)
+        pair = ids // 2
+        side = (ids % 2).astype(np.int64)
+        import zlib
+
+        pb = np.array(
+            [zlib.crc32(str(p).encode()) % n_buckets for p in pair], dtype=np.int32
+        )
+        return pd.DataFrame(
+            {
+                "pair": pair[keep],
+                "side": side[keep],
+                "v": [row.tolist() for row in mat[keep]],
+                "__pb": pb[keep],
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "pair" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "n_pairs": pd.Series(dtype="int64"),
+                }
+            )
+        counts: dict[int, int] = {}
+        by_pair: dict[int, dict[int, np.ndarray]] = {}
+        for pair, side, v in zip(g["pair"], g["side"], g["v"]):
+            by_pair.setdefault(int(pair), {})[int(side)] = np.asarray(
+                v, dtype=np.float64
+            )
+        for sides in by_pair.values():
+            if 0 not in sides or 1 not in sides:
+                continue  # odd corpus tail: unpaired last id
+            a, b = sides[0], sides[1]
+            na = max(float(np.linalg.norm(a)), 1e-12)
+            nb = max(float(np.linalg.norm(b)), 1e-12)
+            s = int(np.floor(float(a @ b) / (na * nb) * 10000 + 0.5))
+            bucket = min((s + 10000) // 1000, 19)
+            counts[bucket] = counts.get(bucket, 0) + 1
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(list(counts.keys()), dtype="int64"),
+                "n_pairs": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(to_sides, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(score_bucket, batch_format="pandas"),
+            ["bucket"],
+            {"n_pairs": ("n_pairs", "sum")},
+        )
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_pair_distance_histogram_sql() -> str:
+    return """
+WITH p AS (
+    SELECT a.vec_id // 2 AS pair,
+           CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      * 10000 + 0.5) AS BIGINT) AS s
+    FROM embeddings a JOIN embeddings b
+      ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 2 = 0
+)
+SELECT least((s + 10000) // 1000, 19) AS bucket, COUNT(*) AS n_pairs
+FROM p GROUP BY least((s + 10000) // 1000, 19)
+ORDER BY bucket
+"""

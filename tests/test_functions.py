@@ -117,6 +117,7 @@ def _oracle_names():
         "doc_topic_clusters",
         "corpus_cluster_sample",
         "embed_knn_label_eval",
+        "embed_pair_histogram",
         "ann_ivf_topk",
         "ann_ivf_trained_topk",
         "ann_ivf_pq_topk",
