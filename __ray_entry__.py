@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path, pinned against the generator's synthesis-time policy)
         "robots_stats": crawl_pipeline.robots_stats_query,
         "crawl_counter_totals": crawl_pipeline.crawl_counter_totals_query,
+        # depth census over the crawl output (frontier-shape signal)
+        "crawl_depth_histogram": crawl_pipeline.crawl_depth_histogram_query,
         # ---- tier 2: new in round 5 ------------------------------
         # IVFADC (Jegou et al. 2011): kmeans-int coarse probe + PQ
         # asymmetric integer distance rank + exact re-rank of top
@@ -809,6 +811,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.01),
         "robots_stats": lambda: truth_oracles.robots_stats_truth_sql(0.01),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.01),
+        "crawl_depth_histogram": lambda: truth_oracles.crawl_depth_histogram_truth_sql(0.01),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.01),
         "link_hits": lambda: truth_oracles.hits_truth_sql(0.01),
         "link_distance_from_seeds": lambda: truth_oracles.link_distance_truth_sql(0.01),

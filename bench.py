@@ -154,6 +154,7 @@ def run_bench() -> dict:
         "host_kcore",
         "host_communities",
         "robots_stats",
+        "crawl_depth_histogram",
         "extract_main_content",
         "page_template_clusters",
         "page_profile",

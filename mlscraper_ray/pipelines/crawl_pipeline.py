@@ -591,3 +591,53 @@ def extract_from_warc_query(sf_dir: str) -> pa.Table:
     )
     out = extracted.to_pandas().sort_values("url", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def crawl_depth_histogram_query(sf_dir: str) -> pa.Table:
+    """Depth census over the crawl's own output partitions: (depth,
+    n_urls, n_hosts) — how far from the seeds the fetch budget
+    reached, the frontier-shape diagnostic next to the per-round
+    metrics. Two slim shuffles — per-batch (depth, count) partials and
+    a (depth, host) distinct pass — nothing URL-sized aggregates on
+    one task (depth cardinality is tiny, so a naive groupby(depth)
+    would melt one worker at scale). Value-pinned by the oracle
+    crawler's fetch log (truth_oracles.crawl_depth_histogram_truth_sql)."""
+    import pandas as pd
+
+    from mlscraper_ray.frontier.crawler import crawl_order_dataset
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    out_dir = _plain_crawl_artifacts(sf_dir)
+    ds = crawl_order_dataset(out_dir).materialize()
+
+    url_counts = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby("depth", sort=False)
+            .size()
+            .rename("n_urls")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["depth"],
+        {"n_urls": ("n_urls", "sum")},
+    ).to_pandas()
+
+    host_counts = bucketed_aggregate(
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df[["depth", "host"]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            ["depth", "host"],
+            {"one": ("host", "count")},
+        ),
+        ["depth"],
+        {"n_hosts": ("host", "count")},
+    ).to_pandas()
+
+    out = url_counts.merge(host_counts[["depth", "n_hosts"]], on="depth").sort_values(
+        "depth", ignore_index=True
+    )
+    for c in ("depth", "n_urls", "n_hosts"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["depth", "n_urls", "n_hosts"]], preserve_index=False)

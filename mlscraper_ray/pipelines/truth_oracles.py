@@ -1040,3 +1040,35 @@ def host_communities_truth_sql(sf: float, n_rounds: int = 8) -> str:
         return values_sql(rows, ["host", "community"]) + ' ORDER BY "host"'
 
     return _cached(corpus_dir, "host_lpa", key, build)
+
+
+def crawl_depth_histogram_truth_sql(sf: float) -> str:
+    """(depth, n_urls, n_hosts) from the oracle crawler's fetch log,
+    same config as crawl_order_query — pins the distributed depth
+    census one aggregate above the per-round metrics."""
+    from collections import defaultdict
+
+    from mlscraper_ray.frontier import oracle as oracle_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf, crawl_config_for
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    cfg = crawl_config_for(spec, {}, tokens_per_round=8, max_rounds=40)
+    key = hashlib.md5(
+        ("depthhist" + json.dumps(cfg.to_dict(), sort_keys=True) + _source_digest(oracle_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        fetches, _, _, _ = oracle_mod.oracle_crawl(corpus_dir, cfg)
+        per: dict = defaultdict(lambda: {"n": 0, "hosts": set()})
+        for _rnd, depth, host, _url in fetches:
+            p = per[depth]
+            p["n"] += 1
+            p["hosts"].add(host)
+        rows = [
+            (d, per[d]["n"], len(per[d]["hosts"])) for d in sorted(per)
+        ]
+        return (
+            values_sql(rows, ["depth", "n_urls", "n_hosts"]) + ' ORDER BY "depth"'
+        )
+
+    return _cached(corpus_dir, "crawl_depthhist", key, build)

@@ -159,7 +159,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "host_communities", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "crawl_depth_histogram", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "host_communities", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -180,6 +180,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "crawl_order_tiered_recrawl": lambda: truth_oracles.crawl_order_tiered_truth_sql(0.001, recrawl=True),
         "crawl_metrics": lambda: truth_oracles.crawl_metrics_truth_sql(0.001),
         "crawl_counter_totals": lambda: truth_oracles.crawl_counter_totals_truth_sql(0.001),
+        "crawl_depth_histogram": lambda: truth_oracles.crawl_depth_histogram_truth_sql(0.001),
         "robots_stats": lambda: truth_oracles.robots_stats_truth_sql(0.001),
         "page_rank": lambda: truth_oracles.pagerank_truth_sql(0.001),
         "link_distance_from_seeds": lambda: truth_oracles.link_distance_truth_sql(0.001),
