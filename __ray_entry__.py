@@ -468,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source token-distribution drift vs the prior snapshot
         # (L1 over the top-V vocab, floor-milli; recrawl monitoring)
         "source_token_drift": textstats.source_token_drift,
+        # per-source char-class fingerprint (encoding/format drift)
+        "source_char_classes": textstats.source_char_class_profile,
         # per-source exact-dup census (data-card dedup row)
         "source_dedup_report": textstats.source_dedup_report,
         # unigram-surprisal LM quality proxy (integer log2 via
@@ -683,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ttr": textstats.DOC_TTR_SQL,
         "source_length_histogram": textstats.SOURCE_LENGTH_HISTOGRAM_SQL,
         "source_token_drift": textstats.SOURCE_TOKEN_DRIFT_SQL,
+        "source_char_classes": textstats.SOURCE_CHAR_CLASS_SQL,
         "source_dedup_report": textstats.SOURCE_DEDUP_REPORT_SQL,
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,

@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "doc_ttr",
         "source_length_histogram",
         "source_token_drift",
+        "source_char_classes",
         "source_dedup_report",
         "tokenizer_bpe_train",
         "tokenizer_bpe_vocab",

@@ -3323,3 +3323,96 @@ ORDER BY j.source
 
 
 SOURCE_TOKEN_DRIFT_SQL = source_token_drift_sql()
+
+
+def source_char_class_profile(sf_dir: str) -> pa.Table:
+    """Per-source character-class profile — the encoding/format
+    fingerprint on the data card (a source whose digit or symbol mass
+    jumps between snapshots changed its template or its encoding):
+    total chars plus floor-milli fractions of letters, digits,
+    whitespace and everything else, computed over the concatenated
+    source text. Integer-exact: per-batch class COUNTS fold through
+    one tiny (source) aggregate; fractions divide once at the end.
+    ASCII classes ([a-zA-Z], [0-9], [\\t\\n\\f\\r ]) so the Python and
+    SQL sides count identically with no unicode-category drift."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    letter_re = re.compile(r"[a-zA-Z]")
+    digit_re = re.compile(r"[0-9]")
+    space_re = re.compile(r"[\t\n\f\r ]")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list[int]] = {}
+        for source, text in zip(batch["source"], batch["text"]):
+            t = text or ""
+            r = rows.setdefault(str(source), [0, 0, 0, 0])
+            r[0] += len(t)
+            r[1] += len(letter_re.findall(t))
+            r[2] += len(digit_re.findall(t))
+            r[3] += len(space_re.findall(t))
+        return pd.DataFrame(
+            {
+                "source": list(rows),
+                "n_chars": pd.Series([r[0] for r in rows.values()], dtype="int64"),
+                "n_letters": pd.Series([r[1] for r in rows.values()], dtype="int64"),
+                "n_digits": pd.Series([r[2] for r in rows.values()], dtype="int64"),
+                "n_spaces": pd.Series([r[3] for r in rows.values()], dtype="int64"),
+            }
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source"],
+            {
+                "n_chars": ("n_chars", "sum"),
+                "n_letters": ("n_letters", "sum"),
+                "n_digits": ("n_digits", "sum"),
+                "n_spaces": ("n_spaces", "sum"),
+            },
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    for c in ("n_chars", "n_letters", "n_digits", "n_spaces"):
+        out[c] = out[c].astype("int64")
+    denom = out["n_chars"].clip(lower=1)
+    out["letter_milli"] = (1000 * out["n_letters"]) // denom
+    out["digit_milli"] = (1000 * out["n_digits"]) // denom
+    out["space_milli"] = (1000 * out["n_spaces"]) // denom
+    out["other_milli"] = (
+        1000
+        * (out["n_chars"] - out["n_letters"] - out["n_digits"] - out["n_spaces"])
+    ) // denom
+    cols = [
+        "source",
+        "n_chars",
+        "letter_milli",
+        "digit_milli",
+        "space_milli",
+        "other_milli",
+    ]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+SOURCE_CHAR_CLASS_SQL = r"""
+WITH c AS (
+    SELECT source,
+           SUM(length(text)) AS n_chars,
+           SUM(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g'))) AS n_letters,
+           SUM(length(regexp_replace(text, '[^0-9]+', '', 'g'))) AS n_digits,
+           SUM(length(regexp_replace(text, '[^\t\n\f\r ]+', '', 'g'))) AS n_spaces
+    FROM documents GROUP BY source
+)
+SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((1000 * n_letters) // greatest(n_chars, 1) AS BIGINT) AS letter_milli,
+       CAST((1000 * n_digits) // greatest(n_chars, 1) AS BIGINT) AS digit_milli,
+       CAST((1000 * n_spaces) // greatest(n_chars, 1) AS BIGINT) AS space_milli,
+       CAST((1000 * (n_chars - n_letters - n_digits - n_spaces))
+            // greatest(n_chars, 1) AS BIGINT) AS other_milli
+FROM c
+ORDER BY source
+"""

@@ -65,6 +65,7 @@ def _oracle_names():
         "doc_ttr",
         "source_length_histogram",
         "source_token_drift",
+        "source_char_classes",
         "source_dedup_report",
         "doc_bpe_token_stats",
         "tokenizer_bpe_train",
