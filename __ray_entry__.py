@@ -223,8 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path, pinned against the generator's synthesis-time policy)
         "robots_stats": crawl_pipeline.robots_stats_query,
         "crawl_counter_totals": crawl_pipeline.crawl_counter_totals_query,
-        # depth census over the crawl output (frontier-shape signal)
-        "crawl_depth_histogram": crawl_pipeline.crawl_depth_histogram_query,
         # ---- tier 2: new in round 5 ------------------------------
         # IVFADC (Jegou et al. 2011): kmeans-int coarse probe + PQ
         # asymmetric integer distance rank + exact re-rank of top
@@ -356,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
+        # depth census over the crawl output (frontier-shape signal;
+        # past the driver window, pinned by the in-repo truth oracle)
+        "crawl_depth_histogram": crawl_pipeline.crawl_depth_histogram_query,
         "extract_all": crawl_pipeline.extract_all_query,
         "extract_from_warc": crawl_pipeline.extract_from_warc_query,
         "warc_roundtrip": _warc_roundtrip,
