@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_char_classes": textstats.source_char_class_profile,
         # per-source exact-dup census (data-card dedup row)
         "source_dedup_report": textstats.source_dedup_report,
+        # per-source NEAR-dup census (verified minhash pairs rolled up)
+        "source_neardup_report": dedup.source_neardup_report,
         # unigram-surprisal LM quality proxy (integer log2 via
         # bit_length -> hash-exact vs SQL; count-guarded join-back)
         "doc_unigram_surprisal": textstats.doc_unigram_surprisal,
@@ -688,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_drift": textstats.SOURCE_TOKEN_DRIFT_SQL,
         "source_char_classes": textstats.SOURCE_CHAR_CLASS_SQL,
         "source_dedup_report": textstats.SOURCE_DEDUP_REPORT_SQL,
+        "source_neardup_report": _source_neardup_sql(),
         "doc_unigram_surprisal": textstats.DOC_UNIGRAM_SURPRISAL_SQL,
         "doc_perplexity_buckets": textstats.DOC_PERPLEXITY_BUCKETS_SQL,
         "doc_bigram_surprisal": textstats.DOC_BIGRAM_SURPRISAL_SQL,
@@ -898,6 +901,12 @@ def _winnow_clusters_sql() -> str:
     from mlscraper_ray.functions.components import winnow_clusters_sql
 
     return winnow_clusters_sql()
+
+
+def _source_neardup_sql() -> str:
+    from mlscraper_ray.functions.dedup import source_neardup_report_sql
+
+    return source_neardup_report_sql()
 
 
 def _minhash_incremental_sql() -> str:

@@ -202,6 +202,7 @@ def run_bench() -> dict:
         "source_token_drift",
         "source_char_classes",
         "source_dedup_report",
+        "source_neardup_report",
         "tokenizer_bpe_train",
         "tokenizer_bpe_vocab",
         "doc_bpe_encode",

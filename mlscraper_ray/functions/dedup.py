@@ -2327,3 +2327,137 @@ def winnow_neardup_pairs(
         )
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True).astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_neardup_report(
+    sf_dir: str,
+    threshold_pct: int = 70,
+    broadcast_limit: int = 100_000,
+    max_bucket_docs: int | None = 1024,
+) -> pa.Table:
+    """Per-source NEAR-dup census — the data-card row next to the
+    exact-dup report: how many of a source's docs participate in at
+    least one verified cross-corpus near-dup pair (the
+    :func:`minhash_verified_pairs` output), plus the floor-milli
+    fraction. The oracle recomputes the pair set with the exhaustive
+    exact-Jaccard join, so this census inherits the recall pin.
+
+    Scale shape: the pair Dataset reduces to slim distinct doc_id
+    rows; one cogroup join attaches each doc's source; two tiny
+    aggregates roll up per source."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    pairs = minhash_verified_pairs(
+        sf_dir,
+        threshold_pct=threshold_pct,
+        broadcast_limit=broadcast_limit,
+        max_bucket_docs=max_bucket_docs,
+    )
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_a" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {
+                "doc_id": pd.concat(
+                    [df["doc_a"], df["doc_b"]], ignore_index=True
+                ).astype("int64")
+            }
+        ).drop_duplicates()
+
+    involved = bucketed_aggregate(
+        pairs.map_batches(endpoints, batch_format="pandas"),
+        ["doc_id"],
+        {"one": ("doc_id", "count")},
+    ).map_batches(
+        lambda df: df[["doc_id"]].assign(nd=1)
+        if "doc_id" in df.columns
+        else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "nd": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    joined = cogroup_join(docs, involved, "doc_id", how="left", approx_rows=docs.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "source" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "n_neardup_docs": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["nd"] = df["nd"].fillna(0).astype("int64")
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), n_neardup_docs=("nd", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            joined.map_batches(partial, batch_format="pandas"),
+            ["source"],
+            {"n_docs": ("n_docs", "sum"), "n_neardup_docs": ("n_neardup_docs", "sum")},
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_neardup_docs"] = out["n_neardup_docs"].astype("int64")
+    out["neardup_milli"] = (1000 * out["n_neardup_docs"]) // out["n_docs"].clip(lower=1)
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "n_neardup_docs", "neardup_milli"]],
+        preserve_index=False,
+    )
+
+
+def source_neardup_report_sql(threshold_pct: int = 70) -> str:
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+prs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE (100 * i) // (ca.n + cb.n - i) >= {threshold_pct}
+),
+inv AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs
+    )
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neardup_docs,
+       CAST((1000 * SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+            // greatest(COUNT(*), 1) AS BIGINT) AS neardup_milli
+FROM documents d LEFT JOIN inv ON inv.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""

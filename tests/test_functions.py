@@ -67,6 +67,7 @@ def _oracle_names():
         "source_token_drift",
         "source_char_classes",
         "source_dedup_report",
+        "source_neardup_report",
         "doc_bpe_token_stats",
         "tokenizer_bpe_train",
         "tokenizer_bpe_vocab",
