@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
+        # diurnal hour-of-day load profile (folds across days)
+        "events_hour_of_day": streams.events_hour_of_day_profile,
+        # per-type log2 value histogram (distribution data card)
+        "event_value_histogram": streams.event_value_histogram,
         # per-type hourly rate-spike detection over the dense hour
         # series (integer 1.5x-recent-peak rule, full-lookback gate)
         "events_rate_anomaly": streams.events_rate_anomaly,
@@ -755,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_query_similar_indexed": dedup.query_similar_indexed_sql(),
         "event_value_quantile_sketch": aggregates.event_value_quantile_sketch_sql(),
         "hourly_event_counts": streams.HOURLY_EVENT_COUNTS_SQL,
+        "events_hour_of_day": streams.EVENTS_HOUR_OF_DAY_SQL,
+        "event_value_histogram": streams.EVENT_VALUE_HISTOGRAM_SQL,
         "events_rate_anomaly": streams.EVENTS_RATE_ANOMALY_SQL,
         "events_session_type_pairs": streams.SESSION_TYPE_PAIRS_SQL,
         "events_props_stats": streams.EVENTS_PROPS_STATS_SQL,

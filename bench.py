@@ -250,6 +250,8 @@ def run_bench() -> dict:
         "embed_pair_histogram",
         "sessionize",
         "events_rate_anomaly",
+        "events_hour_of_day",
+        "event_value_histogram",
         "events_session_type_pairs",
         "events_props_stats",
         "events_markov_transitions",

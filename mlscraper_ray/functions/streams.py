@@ -1140,3 +1140,119 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_hour_of_day_profile(sf_dir: str) -> pa.Table:
+    """Diurnal seasonality profile: per (event_type, hour-of-day 0-23)
+    the event count and milli-exact value sum — the load-shape table
+    capacity planning and anomaly baselines read (distinct from the
+    hourly timeline: this folds ACROSS days). Pure partial-aggregate
+    fold over a 24 x types output."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hod = pc.hour(batch["ts"])
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_of_day": pc.cast(hod, pa.int64()),
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["event_type", "hour_of_day"]).aggregate(
+            [("value_milli", "sum"), ("hour_of_day", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour_of_day": g["hour_of_day"],
+                "sum_value_milli": g["value_milli_sum"],
+                "n_events": g["hour_of_day_count"],
+            }
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour_of_day"],
+            {
+                "sum_value_milli": ("sum_value_milli", "sum"),
+                "n_events": ("n_events", "sum"),
+            },
+        )
+        .to_pandas()
+        .sort_values(["event_type", "hour_of_day"], ignore_index=True)
+    )
+    for c in ("hour_of_day", "sum_value_milli", "n_events"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_HOUR_OF_DAY_SQL = """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, EXTRACT(hour FROM ts)
+ORDER BY event_type, hour_of_day
+"""
+
+
+def event_value_histogram(sf_dir: str) -> pa.Table:
+    """Per-type log2-bucketed VALUE histogram (bucket =
+    bit_length(value_milli), 0 for non-positive) — the distribution
+    table next to the exact percentiles, integer-exact on both sides
+    (int.bit_length vs length(bin(n)); no float log2 boundary
+    hazard). One tiny (type, bucket) count shuffle."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vm = (
+            pc.cast(
+                pc.round(pc.multiply(pa.Array.from_pandas(batch["value"]), pa.scalar(1000.0))),
+                pa.int64(),
+            )
+            .to_pandas()
+            .astype("int64")
+        )
+        rows = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(str),
+                "bucket": [int(v).bit_length() if v > 0 else 0 for v in vm],
+            }
+        )
+        g = rows.groupby(["event_type", "bucket"], sort=False).size().rename("n_events")
+        return g.reset_index().astype({"bucket": "int64", "n_events": "int64"})
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "bucket"],
+            {"n_events": ("n_events", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bucket"], ignore_index=True)
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENT_VALUE_HISTOGRAM_SQL = """
+WITH v AS (
+    SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS vm FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN vm <= 0 THEN 0 ELSE length(bin(vm)) END AS BIGINT) AS bucket,
+       COUNT(*) AS n_events
+FROM v
+GROUP BY event_type, CASE WHEN vm <= 0 THEN 0 ELSE length(bin(vm)) END
+ORDER BY event_type, bucket
+"""

@@ -137,6 +137,8 @@ def _oracle_names():
         "events_retention",
         "event_value_quantile_sketch",
         "hourly_event_counts",
+        "events_hour_of_day",
+        "event_value_histogram",
         "events_rate_anomaly",
         "events_session_type_pairs",
         "events_props_stats",
