@@ -444,6 +444,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": aggregates.top_users_by_value,
         "event_value_percentiles": aggregates.event_value_percentiles,
         "order_lineitem_revenue": joins.order_lineitem_revenue,
+        # part-catalog revenue roll-up (closes part-table coverage)
+        "part_brand_revenue": joins.part_brand_revenue,
+        # supplier roll-up with region/nation names (closes supplier)
+        "supplier_nation_summary": joins.supplier_nation_summary,
         "customers_without_orders": joins.customers_without_orders,
         # interval range join (time-bucket partitioning + boundary
         # replication)
@@ -648,6 +652,8 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": aggregates.TOP_USERS_BY_VALUE_SQL,
         "event_value_percentiles": aggregates.EVENT_VALUE_PERCENTILES_SQL,
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
+        "part_brand_revenue": joins.PART_BRAND_REVENUE_SQL,
+        "supplier_nation_summary": joins.SUPPLIER_NATION_SUMMARY_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,

@@ -139,6 +139,8 @@ def run_bench() -> dict:
     table_ops = [
         "q1_pricing_summary",
         "order_lineitem_revenue",
+        "part_brand_revenue",
+        "supplier_nation_summary",
         "revenue_by_nation",
         "events_asof_join",
         "events_range_join",

@@ -656,3 +656,231 @@ SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
 FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY purchase_id
 """
+
+
+def part_brand_revenue(sf_dir: str, broadcast_limit: int = 50_000_000) -> pa.Table:
+    """Per-(brand, type) part revenue — the catalog roll-up that
+    closes the part-table coverage (no operator touched it): lineitem
+    joins part on partkey, discounted revenue computed in the
+    integer-cents chain ``cents(extendedprice) * (100 -
+    pct(discount)) // 100`` per line (each float quantized ONCE, then
+    pure int math — the repo's cross-engine-exact money discipline).
+
+    The part side is a dimension table (catalog-sized, not
+    fact-sized): under ``broadcast_limit`` rows its partkey ->
+    (brand, type) map broadcasts via ray.put and the join is one
+    streaming pass over lineitem; above it the cogroup join takes
+    over (same output, tested-equal path choice as everywhere else)."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type"],
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        dpct = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "rev_cents": (cents * (100 - dpct)) // 100,
+            }
+        )
+
+    rev = li.map_batches(rev_rows, batch_format="pandas")
+
+    n_parts = parts.count()
+    if n_parts <= broadcast_limit:
+        pdf = parts.to_pandas()
+        pmap = {
+            int(k): (b, t)
+            for k, b, t in zip(pdf["p_partkey"], pdf["p_brand"], pdf["p_type"])
+        }
+        m_ref = ray.put(pmap)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            from mlscraper_ray.functions.broadcast import cached_object
+
+            m = cached_object(m_ref)
+            bt = [m[int(k)] for k in df["l_partkey"]]
+            return pd.DataFrame(
+                {
+                    "p_brand": [x[0] for x in bt],
+                    "p_type": [x[1] for x in bt],
+                    "rev_cents": df["rev_cents"],
+                }
+            )
+
+        attached = rev.map_batches(attach, batch_format="pandas")
+    else:
+        joined = cogroup_join(
+            rev.map_batches(
+                lambda df: df.rename(columns={"l_partkey": "p_partkey"}),
+                batch_format="pandas",
+            ),
+            parts,
+            "p_partkey",
+            approx_rows=n_parts,
+        )
+        attached = joined.map_batches(
+            lambda df: df[["p_brand", "p_type", "rev_cents"]]
+            if "p_brand" in df.columns
+            else pd.DataFrame(
+                {
+                    "p_brand": pd.Series(dtype=str),
+                    "p_type": pd.Series(dtype=str),
+                    "rev_cents": pd.Series(dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "p_type"], sort=False).agg(
+            revenue_cents=("rev_cents", "sum"), n_lineitems=("rev_cents", "size")
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            attached.map_batches(partial, batch_format="pandas"),
+            ["p_brand", "p_type"],
+            {
+                "revenue_cents": ("revenue_cents", "sum"),
+                "n_lineitems": ("n_lineitems", "sum"),
+            },
+        )
+        .to_pandas()
+        .sort_values(["p_brand", "p_type"], ignore_index=True)
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_lineitems"] = out["n_lineitems"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+PART_BRAND_REVENUE_SQL = """
+SELECT p_brand, p_type,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY p_brand, p_type
+"""
+
+
+def supplier_nation_summary(sf_dir: str) -> pa.Table:
+    """Per-(region, nation) supplier roll-up — closes the
+    supplier-table coverage: supplier counts, account-balance cents
+    total, and each nation's top-balance supplier name (ties to the
+    lexicographically smallest name). nation and region are tiny
+    dimensions: both broadcast; one streaming pass + one tiny
+    aggregate."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    reg = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    nmap = {
+        int(k): (str(n), int(r))
+        for k, n, r in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+    }
+    rmap = {int(k): str(n) for k, n in zip(reg["r_regionkey"], reg["r_name"])}
+    m_ref = ray.put((nmap, rmap))
+
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        nm, rm = cached_object(m_ref)
+        nn = [nm[int(k)] for k in df["s_nationkey"]]
+        rows = pd.DataFrame(
+            {
+                "r_name": [rm[x[1]] for x in nn],
+                "n_name": [x[0] for x in nn],
+                "s_name": df["s_name"].astype(str),
+                "bal_cents": (df["s_acctbal"] * 100).round().astype("int64"),
+            }
+        )
+        g = (
+            rows.sort_values(["bal_cents", "s_name"], ascending=[False, True])
+            .groupby(["r_name", "n_name"], sort=False)
+            .agg(
+                n_suppliers=("s_name", "size"),
+                sum_bal_cents=("bal_cents", "sum"),
+                top_bal_cents=("bal_cents", "max"),
+                top_supplier=("s_name", "first"),
+            )
+        )
+        return g.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # merge partials: counts/sums add; the top supplier re-picks
+        # by (bal desc, name asc) across partial winners
+        g = df.groupby(["r_name", "n_name"], sort=False)
+        agg = g.agg(
+            n_suppliers=("n_suppliers", "sum"), sum_bal_cents=("sum_bal_cents", "sum")
+        ).reset_index()
+        top = (
+            df.sort_values(
+                ["top_bal_cents", "top_supplier"], ascending=[False, True]
+            )
+            .groupby(["r_name", "n_name"], sort=False)
+            .head(1)[["r_name", "n_name", "top_bal_cents", "top_supplier"]]
+        )
+        return agg.merge(top, on=["r_name", "n_name"])
+
+    parts_ds = bucketed_aggregate(
+        sup.map_batches(partial, batch_format="pandas"),
+        ["r_name", "n_name"],
+        {
+            "n_suppliers": ("n_suppliers", "sum"),
+            "sum_bal_cents": ("sum_bal_cents", "sum"),
+            "top_bal_cents": ("top_bal_cents", "max"),
+        },
+    ).to_pandas()
+    # winner names: a second slim pass keeps only per-batch winners,
+    # final pick on the tiny (region, nation) table
+    winners = (
+        sup.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .pipe(fold)[["r_name", "n_name", "top_supplier", "top_bal_cents"]]
+    )
+    out = parts_ds.merge(
+        winners[["r_name", "n_name", "top_supplier"]], on=["r_name", "n_name"]
+    ).sort_values(["r_name", "n_name"], ignore_index=True)
+    for c in ("n_suppliers", "sum_bal_cents", "top_bal_cents"):
+        out[c] = out[c].astype("int64")
+    cols = ["r_name", "n_name", "n_suppliers", "sum_bal_cents", "top_bal_cents", "top_supplier"]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+SUPPLIER_NATION_SUMMARY_SQL = """
+WITH s AS (
+    SELECT r_name, n_name, s_name,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name, n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+       CAST(MAX(bal_cents) AS BIGINT) AS top_bal_cents,
+       MIN(s_name) FILTER (WHERE bal_cents = (
+           SELECT MAX(s2.bal_cents) FROM s s2
+           WHERE s2.r_name = s.r_name AND s2.n_name = s.n_name))
+           AS top_supplier
+FROM s
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""

@@ -32,6 +32,8 @@ def _oracle_names():
         "top_users_by_value",
         "event_value_percentiles",
         "order_lineitem_revenue",
+        "part_brand_revenue",
+        "supplier_nation_summary",
         "customers_without_orders",
         "events_asof_join",
         "events_range_join",
