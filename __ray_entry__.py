@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": joins.part_brand_revenue,
         # supplier roll-up with region/nation names (closes supplier)
         "supplier_nation_summary": joins.supplier_nation_summary,
+        # pure predicate-pushdown scan: zero-shuffle filtered revenue
+        "q6_discount_revenue": aggregates.q6_discount_revenue,
+        # segment semi-join + fact-fact cogroup + blockwise top-k
+        "q3_shipping_priority": joins.q3_shipping_priority,
+        # EXISTS semi-join via bucketed-distinct key set (never broadcast)
+        "orders_with_returns": joins.orders_with_returns_by_priority,
         "customers_without_orders": joins.customers_without_orders,
         # interval range join (time-bucket partitioning + boundary
         # replication)
@@ -654,6 +660,9 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_revenue": joins.ORDER_LINEITEM_REVENUE_SQL,
         "part_brand_revenue": joins.PART_BRAND_REVENUE_SQL,
         "supplier_nation_summary": joins.SUPPLIER_NATION_SUMMARY_SQL,
+        "q6_discount_revenue": aggregates.Q6_DISCOUNT_REVENUE_SQL,
+        "q3_shipping_priority": joins.q3_shipping_priority_sql(),
+        "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,

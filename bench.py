@@ -141,6 +141,9 @@ def run_bench() -> dict:
         "order_lineitem_revenue",
         "part_brand_revenue",
         "supplier_nation_summary",
+        "q6_discount_revenue",
+        "q3_shipping_priority",
+        "orders_with_returns",
         "revenue_by_nation",
         "events_asof_join",
         "events_range_join",

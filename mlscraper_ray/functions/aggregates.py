@@ -476,3 +476,71 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def q6_discount_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-flavored forecast-revenue-change scan: lineitems
+    shipped in 1996 with discount in the 5-7% band and quantity
+    under 24; revenue delta = sum(extendedprice * discount).
+
+    The cheapest possible distributed shape: column-pruned scan (3
+    value columns + shipdate), per-batch vectorized filter, one-row
+    integer partial per batch, one tiny driver fold — zero shuffles.
+    Money follows the repo's cent-exact discipline: each float is
+    quantized ONCE (extendedprice to cents, discount to integer
+    percent), then the per-line product ``cents * dpct // 100`` is
+    pure int64, so the sum hash-matches DuckDB regardless of
+    summation order.  At 100 TB this is the canonical
+    "predicate-pushdown + partial aggregate" probe: bytes leaving
+    storage are 4 columns, bytes leaving each task are 16."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dpct = _cents(batch["l_discount"])  # discount as integer percent
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi),
+                ),
+                pc.and_(pc.greater_equal(dpct, pa.scalar(5)), pc.less_equal(dpct, pa.scalar(7))),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        kept = batch.filter(mask)
+        kd = _cents(kept["l_discount"])
+        rev = pc.divide(pc.multiply(_cents(kept["l_extendedprice"]), kd), pa.scalar(100))
+        return pa.table(
+            {
+                "revenue_cents": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n_lines": pa.array([kept.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pa.table(
+        {
+            "revenue_cents": pa.array([int(parts["revenue_cents"].sum())], pa.int64()),
+            "n_lines": pa.array([int(parts["n_lines"].sum())], pa.int64()),
+        }
+    )
+    return out
+
+
+Q6_DISCOUNT_REVENUE_SQL = """
+SELECT CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) // 100) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""

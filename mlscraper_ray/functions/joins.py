@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -883,4 +884,190 @@ SELECT r_name, n_name,
 FROM s
 GROUP BY r_name, n_name
 ORDER BY r_name, n_name
+"""
+
+
+def q3_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> pa.Table:
+    """TPC-H-Q3-flavored shipping-priority report: revenue of
+    not-yet-shipped lineitems (l_shipdate > cutoff) for orders placed
+    before the cutoff by customers in one market segment; top-``k``
+    orders by revenue.
+
+    Distributed shape: the segment's custkey set is a slim one-column
+    pre-pass broadcast via ``ray.put`` (semi-join, no shuffle — the
+    set is segment-sized, ~1/5 of customers; at a scale where even
+    that breaks the broadcast budget the cogroup path below takes
+    over unchanged); the orders x lineitem side is the real fact-fact
+    cogroup join (one shuffle on orderkey). The final top-k never
+    materializes the aggregate: each output block keeps its local
+    (revenue desc, date, key) top-k and the driver folds ~k x
+    n_blocks rows. Money is the integer-cents chain throughout."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    cut = pd.Timestamp(cutoff)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = set()
+    for b in cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df.loc[df["c_mktsegment"] == segment, "c_custkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pandas"):
+        keys.update(int(x) for x in b["c_custkey"])
+    keys_ref = ray.put(keys)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        ks = cached_object(keys_ref)
+        m = (df["o_orderdate"] < cut) & df["o_custkey"].map(lambda c: int(c) in ks)
+        out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        return out
+
+    o_kept = orders.map_batches(keep_orders, batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        dpct = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "rev_cents": (cents * (100 - dpct)) // 100,
+            }
+        )
+
+    rev = li.map_batches(li_rev, batch_format="pandas")
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    joined = cogroup_join(rev, o_kept, "o_orderkey", approx_rows=n_orders)
+
+    agg = bucketed_aggregate(
+        joined.map_batches(
+            lambda df: df.groupby(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )
+            .agg(revenue_cents=("rev_cents", "sum"))
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue_cents": ("revenue_cents", "sum")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+        ).head(k)
+
+    parts = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(
+            ["revenue_cents", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            ignore_index=True,
+        )
+        .head(k)[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents"]]
+        .reset_index(drop=True)
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q3_shipping_priority_sql(
+    segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> str:
+    return f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+            AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate  > TIMESTAMP '{cutoff}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
+LIMIT {k}
+"""
+
+
+def orders_with_returns_by_priority(sf_dir: str) -> pa.Table:
+    """Semi-join exemplar (TPC-H-Q4 shape): count orders per
+    o_orderpriority having AT LEAST ONE returned lineitem
+    (l_returnflag = 'R').
+
+    The EXISTS side never ships full lineitem rows: a slim one-column
+    pass emits each returned orderkey once per batch, a bucketed
+    distinct collapses them (one shuffle of slim keys), and the
+    orders side cogroup-joins against that distinct key set (second
+    shuffle) — the fact-fact semi-join pattern that works when the
+    matching-key set is itself fact-sized and can never broadcast.
+    Priority counts then fold partial-first into a 5-row table."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def returned_keys(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df.loc[df["l_returnflag"] == "R", "l_orderkey"].astype("int64").unique()
+        return pd.DataFrame({"o_orderkey": ks})
+
+    rk = li.map_batches(returned_keys, batch_format="pandas").map_batches(
+        lambda df: df.assign(one=np.int64(1)), batch_format="pandas"
+    )
+    distinct = bucketed_aggregate(rk, ["o_orderkey"], {"one": ("one", "max")}).map_batches(
+        lambda df: df[["o_orderkey"]], batch_format="pandas"
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    joined = cogroup_join(orders, distinct, "o_orderkey", approx_rows=n_orders)
+
+    parts = joined.map_batches(
+        lambda df: df.groupby("o_orderpriority", sort=False)
+        .size()
+        .rename("n_orders")
+        .reset_index(),
+        batch_format="pandas",
+    )
+    out = (
+        bucketed_aggregate(parts, ["o_orderpriority"], {"n_orders": ("n_orders", "sum")})
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORDERS_WITH_RETURNS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """

@@ -34,6 +34,9 @@ def _oracle_names():
         "order_lineitem_revenue",
         "part_brand_revenue",
         "supplier_nation_summary",
+        "q6_discount_revenue",
+        "q3_shipping_priority",
+        "orders_with_returns",
         "customers_without_orders",
         "events_asof_join",
         "events_range_join",
