@@ -538,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scrub: count + redact emails/phones/IPs, pure streaming
         "doc_pii_scrub": textstats.pii_scrub,
         "doc_sample_10pct": textstats.sample_documents,
+        # exact fixed-SIZE sample: k-smallest md5 rank, k-bounded fold
+        "doc_sample_fixed_k": textstats.sample_fixed_k,
+        # integer Flesch-style readability (words/sentences/vowel runs)
+        "doc_readability": textstats.doc_readability,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -735,6 +739,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
+        "doc_sample_fixed_k": textstats.sample_fixed_k_sql(),
+        "doc_readability": textstats.DOC_READABILITY_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

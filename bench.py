@@ -142,6 +142,8 @@ def run_bench() -> dict:
         "part_brand_revenue",
         "supplier_nation_summary",
         "q6_discount_revenue",
+        "doc_sample_fixed_k",
+        "doc_readability",
         "q3_shipping_priority",
         "orders_with_returns",
         "revenue_by_nation",

@@ -3416,3 +3416,103 @@ SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
 FROM c
 ORDER BY source
 """
+
+
+def sample_fixed_k(sf_dir: str, k: int = 100) -> pa.Table:
+    """Exact fixed-SIZE uniform sample (k rows, not a rate): the k
+    docs with the smallest md5(doc_id) rank — seedless, rerun- and
+    worker-count-stable, and a true distributed top-k: every batch
+    keeps only its local k smallest (rank, doc_id) rows, so the
+    driver folds at most k x n_blocks slim rows no matter the corpus
+    size. The companion to :func:`sample_documents` (rate-based) for
+    the "give me exactly 10k eval docs" ask; at 100 TB the fold is
+    k-bounded while a rate sample's size drifts with the corpus."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rk"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+        return df.sort_values(["rk", "doc_id"]).head(k)
+
+    parts = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["rk", "doc_id"])
+        .head(k)[["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sample_fixed_k_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars
+      FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {k})
+ORDER BY doc_id
+"""
+
+
+def doc_readability(sf_dir: str) -> pa.Table:
+    """Per-doc Flesch-reading-ease-style readability in EXACT integer
+    fixed point — the classic pretraining quality signal next to the
+    Gopher rules: words = ``[A-Za-z]+`` runs, sentences = ``[.!?]+``
+    runs (floor 1), syllables approximated as vowel-group runs
+    (``[aeiouyAEIOUY]+``, the standard cheap proxy). Score:
+
+        fre_x1000 = 206835 - 1015*floor(W*1000/S)/1000
+                           - 84600*floor(Syl*1000/W)/1000
+
+    evaluated with integer floor division at each step so the Ray and
+    SQL sides agree bit-for-bit (every numerator is non-negative, so
+    ``//`` truncation == floor on both engines). Pure streaming
+    map — vectorized pandas ``str.count`` per batch, zero shuffles."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].str.count(r"[A-Za-z]+").astype("int64")
+        s = df["text"].str.count(r"[.!?]+").astype("int64").clip(lower=1)
+        syl = df["text"].str.count(r"[aeiouyAEIOUY]+").astype("int64")
+        wps = w * 1000 // s
+        spw = (syl * 1000 // w.where(w > 0, 1)).where(w > 0, 0)
+        fre = 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_words": w,
+                "n_sentences": s,
+                "n_syllables": syl,
+                "fre_x1000": fre.astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206835
+       - (1015 * (n_words * 1000 // n_sentences)) // 1000
+       - (84600 * (CASE WHEN n_words > 0
+                        THEN n_syllables * 1000 // n_words ELSE 0 END)) // 1000
+         AS fre_x1000
+FROM c
+ORDER BY doc_id
+"""

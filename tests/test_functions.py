@@ -57,6 +57,8 @@ def _oracle_names():
         "doc_scrub_dup_runs",
         "doc_collapse_repeats",
         "doc_sample_stratified",
+        "doc_sample_fixed_k",
+        "doc_readability",
         "pack_sequences",
         "doc_chunk_windows",
         "url_pattern_stats",
