@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         # stream-shaped
         "sessionize": streams.sessionize,
+        # last-touch attribution (user-bucketed carry-forward window)
+        "events_attribution": streams.events_attribution,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -771,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_codes": similarity.embed_pq_codes_sql(),
         "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
+        "events_attribution": streams.EVENTS_ATTRIBUTION_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "supplier_nation_summary",
         "q6_discount_revenue",
         "doc_sample_fixed_k",
+        "events_attribution",
         "doc_readability",
         "q3_shipping_priority",
         "orders_with_returns",

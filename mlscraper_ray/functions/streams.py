@@ -1256,3 +1256,81 @@ FROM v
 GROUP BY event_type, CASE WHEN vm <= 0 THEN 0 ELSE length(bin(vm)) END
 ORDER BY event_type, bucket
 """
+
+
+def events_attribution(sf_dir: str) -> pa.Table:
+    """Last-touch attribution: each ``purchase`` event is attributed
+    to the most recent PRIOR event of any other type by the same
+    user (the marketing-attribution primitive). Partitioned by
+    user-hash bucket (one shuffle); inside a bucket the whole
+    computation is two vectorized passes over the (user, ts,
+    event_id)-sorted frame — mask non-purchase rows' own ids, ffill
+    within user, read the carried value on purchase rows (purchase
+    rows never carry a value, so the carry is strictly-prior by
+    construction, matching the oracle's ``ROWS ... 1 PRECEDING``
+    IGNORE NULLS window). Purchases with no prior touch drop out.
+    Gap is exact integer microseconds."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        non = g["event_type"] != "purchase"
+        g["__src_id"] = g["event_id"].where(non)
+        g["__src_ts"] = g["ts"].where(non)
+        g["__src_type"] = g["event_type"].where(non)
+        carried = g.groupby("user_id")[["__src_id", "__src_ts", "__src_type"]].ffill()
+        p = g.loc[(~non) & carried["__src_id"].notna()]
+        c = carried.loc[p.index]
+        # pin the unit before viewing as int64 (parquet ts is us; an
+        # ns-viewed frame would be 1000x off)
+        gap = (
+            p["ts"].astype("datetime64[us]").astype("int64")
+            - c["__src_ts"].astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype("int64"),
+                "user_id": p["user_id"].astype("int64"),
+                "src_event_id": c["__src_id"].astype("int64"),
+                "src_event_type": c["__src_type"].astype(str),
+                "gap_us": gap.astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(ts := ts, event_id := event_id,
+                                          et := event_type) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM events
+)
+SELECT event_id, user_id,
+       prior.event_id AS src_event_id,
+       prior.et AS src_event_type,
+       date_diff('microsecond', prior.ts, ts) AS gap_us
+FROM e
+WHERE event_type = 'purchase' AND prior IS NOT NULL
+ORDER BY event_id
+"""

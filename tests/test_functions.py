@@ -58,6 +58,7 @@ def _oracle_names():
         "doc_collapse_repeats",
         "doc_sample_stratified",
         "doc_sample_fixed_k",
+        "events_attribution",
         "doc_readability",
         "pack_sequences",
         "doc_chunk_windows",
