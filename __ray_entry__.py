@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup threshold calibration table)
         "embed_pair_histogram": similarity.embed_pair_distance_histogram,
         "ann_ivf_topk": similarity.ivf_topk,
+        # exact kNN GRAPH over all vectors (bucket-pair blocked matmul)
+        "embed_knn_graph": similarity.embed_knn_graph,
     }
 
 
@@ -702,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dedup_canonical": _components_sql("canonical"),
         "embed_neardup_pairs": similarity.embedding_neardup_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
+        "embed_knn_graph": similarity.embed_knn_graph_sql(),
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),

@@ -144,6 +144,7 @@ def run_bench() -> dict:
         "q6_discount_revenue",
         "doc_sample_fixed_k",
         "events_attribution",
+        "embed_knn_graph",
         "doc_readability",
         "q3_shipping_priority",
         "orders_with_returns",

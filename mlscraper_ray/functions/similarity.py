@@ -2182,3 +2182,142 @@ SELECT least((s + 10000) // 1000, 19) AS bucket, COUNT(*) AS n_pairs
 FROM p GROUP BY least((s + 10000) // 1000, 19)
 ORDER BY bucket
 """
+
+
+def embed_knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> pa.Table:
+    """EXACT k-nearest-neighbor GRAPH over the whole embedding table
+    (top-k cosine neighbors for EVERY vector, not just a query set) —
+    the substrate for SemDeDup-style clustering, label propagation
+    and graph-based diversity sampling.
+
+    Distributed shape is the classic blocked all-pairs product:
+    vectors hash into ``n_buckets`` buckets by vec_id; every ordered
+    bucket pair (sb, db) forms one group holding bucket sb in the
+    src role and bucket db in the dst role (each vector ships into
+    2B groups — the O(N*B) replication that buys O((N/B)^2)-sized
+    blocks; production sizes B ~ sqrt(N*dim/block_budget)). Inside a
+    group: one unit-normalized matmul, per-src partial top-k on the
+    fixed-point score floor(cos*10000 + 0.5) (the explicit
+    half-up rule shared with the SQL mirror — np.round's
+    half-to-even is NOT it). Per-group top-k is lossless: dst
+    buckets partition the candidate space, so the global top-k is a
+    merge of per-group top-ks — the second (slim, N*B*k-row) shuffle
+    folds them per src. Ties at the k boundary break by dst id
+    ascending, both sides."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    B = n_buckets
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        b = np.abs(ids.astype(np.int64)) % B
+        gs, roles, out_ids, rows = [], [], [], []
+        for other in range(B):
+            # src role: this vector's bucket pairs with dst bucket `other`
+            gs.append(b * B + other)
+            # dst role: src bucket `other` pairs with this vector's bucket
+            gs.append(np.full(len(ids), other, dtype=np.int64) * B + b)
+            for role in ("s", "d"):
+                roles.extend([role] * len(ids))
+                out_ids.append(ids)
+                rows.append(unit)
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(gs), pa.int64()),
+                "role": pa.array(roles, pa.string()),
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "unit": pa.array(list(np.concatenate(rows))),
+            }
+        )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "score_x10k": pd.Series(dtype="int64"),
+            }
+        )
+        if df.empty or "role" not in df.columns:
+            return empty
+        s = df[df["role"] == "s"]
+        d = df[df["role"] == "d"]
+        if s.empty or d.empty:
+            return empty
+        sid = s["vec_id"].to_numpy(dtype=np.int64)
+        did = d["vec_id"].to_numpy(dtype=np.int64)
+        sm = np.stack(s["unit"].to_numpy())
+        dm = np.stack(d["unit"].to_numpy())
+        scores = np.floor((sm @ dm.T) * 10000 + 0.5).astype(np.int64)
+        keep = min(k + 1, len(did))  # +1 absorbs the self column if present
+        rows = []
+        for i in range(len(sid)):
+            col = scores[i]
+            idx = np.lexsort((did, -col))[:keep]
+            idx = idx[did[idx] != sid[i]][:k]
+            rows.append(
+                pd.DataFrame(
+                    {"src": sid[i], "dst": did[idx], "score_x10k": col[idx]}
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    partials = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+    def add_src_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "score_x10k": pd.Series(dtype="int64"),
+                    "__sb": pd.Series(dtype="int64"),
+                }
+            )
+        return df.assign(__sb=df["src"].abs() % 64)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "score_x10k": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            df.sort_values(["src", "score_x10k", "dst"], ascending=[True, False, True])
+            .groupby("src", sort=False)
+            .head(k)
+        )
+        return out[["src", "dst", "score_x10k"]]
+
+    out = (
+        partials.map_batches(add_src_bucket, batch_format="pandas")
+        .groupby("__sb")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["src", "score_x10k", "dst"], ascending=[True, False, True], ignore_index=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embed_knn_graph_sql(k: int = 5) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       CAST(FLOOR(list_cosine_similarity(a.e, b.e) * 10000 + 0.5) AS BIGINT)
+         AS score_x10k
+FROM v a JOIN v b ON a.vec_id <> b.vec_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY score_x10k DESC, b.vec_id) <= {k}
+ORDER BY src, score_x10k DESC, dst
+"""

@@ -59,6 +59,7 @@ def _oracle_names():
         "doc_sample_stratified",
         "doc_sample_fixed_k",
         "events_attribution",
+        "embed_knn_graph",
         "doc_readability",
         "pack_sequences",
         "doc_chunk_windows",
@@ -645,6 +646,30 @@ class TestSimilarityCrafted:
         df = df[df["vec_id"] != 0].sort_values(["s", "vec_id"], ascending=[False, True]).head(10)
         assert out["vec_id"].tolist() == df["vec_id"].tolist()
         assert out["score_x10k"].tolist() == df["s"].tolist()
+
+    def test_knn_graph_bucket_count_invariant_and_symmetric_top1(self, ray_session):
+        from mlscraper_ray.functions.similarity import embed_knn_graph
+
+        a = embed_knn_graph(SF_DIR, k=3, n_buckets=2).to_pandas()
+        b = embed_knn_graph(SF_DIR, k=3, n_buckets=5).to_pandas()
+        # blocked product is exact: bucket count must not change output
+        pd.testing.assert_frame_equal(a, b)
+        # non-vacuity: every vector gets exactly k neighbors, none itself
+        assert (a.groupby("src").size() == 3).all()
+        assert (a["src"] != a["dst"]).all()
+        # per-src rows are the src's global top-k: spot-check src 0
+        # against the brute-force slice computed the same fixed-point way
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        ids = np.array(t["vec_id"].to_pylist())
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q = unit[ids.tolist().index(0)]
+        s = np.floor(unit @ q * 10000 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"dst": ids, "s": s})
+        df = df[df["dst"] != 0].sort_values(["s", "dst"], ascending=[False, True]).head(3)
+        got = a[a["src"] == 0]
+        assert got["dst"].tolist() == df["dst"].tolist()
+        assert got["score_x10k"].tolist() == df["s"].tolist()
 
     def test_ivf_recall_against_bruteforce(self, ray_session):
         from mlscraper_ray.functions.similarity import cosine_topk, ivf_topk
