@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ivf_topk,
         # exact kNN GRAPH over all vectors (bucket-pair blocked matmul)
         "embed_knn_graph": similarity.embed_knn_graph,
+        # mutual-kNN edges -> connected components (hub-safe clusters)
+        "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters,
     }
 
 
@@ -705,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_pairs": similarity.embedding_neardup_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "embed_knn_graph": similarity.embed_knn_graph_sql(),
+        "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters_sql(),
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),

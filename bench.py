@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "doc_sample_fixed_k",
         "events_attribution",
         "embed_knn_graph",
+        "embed_mutual_knn_clusters",
         "doc_readability",
         "q3_shipping_priority",
         "orders_with_returns",

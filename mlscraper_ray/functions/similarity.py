@@ -2184,7 +2184,7 @@ ORDER BY bucket
 """
 
 
-def embed_knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> pa.Table:
+def embed_knn_graph_ds(sf_dir: str, k: int = 5, n_buckets: int = 4) -> ray.data.Dataset:
     """EXACT k-nearest-neighbor GRAPH over the whole embedding table
     (top-k cosine neighbors for EVERY vector, not just a query set) —
     the substrate for SemDeDup-style clustering, label propagation
@@ -2298,10 +2298,18 @@ def embed_knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> pa.Table:
         )
         return out[["src", "dst", "score_x10k"]]
 
-    out = (
+    return (
         partials.map_batches(add_src_bucket, batch_format="pandas")
         .groupby("__sb")
         .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def embed_knn_graph(sf_dir: str, k: int = 5, n_buckets: int = 4) -> pa.Table:
+    """Driver-table wrapper over :func:`embed_knn_graph_ds` (the
+    Dataset stays distributed until the contract pull)."""
+    out = (
+        embed_knn_graph_ds(sf_dir, k=k, n_buckets=n_buckets)
         .to_pandas()
         .sort_values(["src", "score_x10k", "dst"], ascending=[True, False, True], ignore_index=True)
     )
@@ -2320,4 +2328,118 @@ FROM v a JOIN v b ON a.vec_id <> b.vec_id
 QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY score_x10k DESC, b.vec_id) <= {k}
 ORDER BY src, score_x10k DESC, dst
+"""
+
+
+def embed_mutual_knn_clusters(sf_dir: str, k: int = 2, n_buckets: int = 4) -> pa.Table:
+    """Mutual-kNN clustering: an edge survives only when BOTH
+    endpoints rank each other in their top-k (the standard trick
+    that kills hub vectors' star edges), then connected components
+    label the clusters — the diversity/near-dup grouping built on
+    the exact :func:`embed_knn_graph_ds`. Every vector gets a row;
+    singletons label themselves. Default k=2: at this corpus's
+    embedding geometry the k=5 mutual graph percolates into one
+    giant component (measured 498/500 docs), while k=2 yields the
+    informative regime (93 multi-member clusters, max size 12).
+
+    Distributed shape: kNN partials (bucket-pair blocked) -> one
+    slim (lo, hi, dirbit) shuffle where mutuality is literally
+    ``sum(dirbit) == 3`` per unordered pair (1 for the src<dst
+    direction, 2 for the reverse; each directed edge exists at most
+    once) -> min-label components (count-guarded union-find vs
+    distributed propagation) -> a final min fold unions the
+    singleton self-labels. Nothing driver-sized anywhere before the
+    contract pull."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.components import connected_components
+
+    g = embed_knn_graph_ds(sf_dir, k=k, n_buckets=n_buckets)
+
+    def dir_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                    "dirbit": pd.Series(dtype="int64"),
+                }
+            )
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        return pd.DataFrame(
+            {
+                "lo": lo.astype("int64"),
+                "hi": hi.astype("int64"),
+                "dirbit": np.where(df["src"] < df["dst"], 1, 2).astype("int64"),
+            }
+        )
+
+    pairs = bucketed_aggregate(
+        g.map_batches(dir_rows, batch_format="pandas"),
+        ["lo", "hi"],
+        {"dirs": ("dirbit", "sum")},
+    )
+
+    def mutual_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "dirs" not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+        m = df[df["dirs"] == 3]
+        return pd.DataFrame({"u": m["lo"].astype("int64"), "v": m["hi"].astype("int64")})
+
+    edges = pairs.map_batches(mutual_edges, batch_format="pandas").materialize()
+    n_edges = edges.count()
+
+    import pyarrow.compute as pc
+
+    ids = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+    selfrows = ids.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["vec_id"], pa.int64()),
+                "label": pc.cast(t["vec_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if n_edges:
+        labelled = connected_components(edges, approx_edges=n_edges).union(selfrows)
+    else:
+        labelled = selfrows
+    out = (
+        bucketed_aggregate(labelled, ["node"], {"cluster_id": ("label", "min")})
+        .to_pandas()
+        .rename(columns={"node": "vec_id"})
+        .sort_values("vec_id", ignore_index=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out[["vec_id", "cluster_id"]], preserve_index=False)
+
+
+def embed_mutual_knn_clusters_sql(k: int = 2) -> str:
+    return f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+knn AS MATERIALIZED (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST(FLOOR(list_cosine_similarity(a.e, b.e) * 10000 + 0.5) AS BIGINT)
+             AS score_x10k
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY score_x10k DESC, b.vec_id) <= {k}
+),
+mutual AS (
+    SELECT a.src AS u, a.dst AS v
+    FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+),
+edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+clusters AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+FROM embeddings emb LEFT JOIN clusters c USING (vec_id)
+ORDER BY emb.vec_id
 """

@@ -60,6 +60,7 @@ def _oracle_names():
         "doc_sample_fixed_k",
         "events_attribution",
         "embed_knn_graph",
+        "embed_mutual_knn_clusters",
         "doc_readability",
         "pack_sequences",
         "doc_chunk_windows",
