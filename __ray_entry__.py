@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term shards only, per-doc position-set intersection) — the
         # positional sibling of text_search_bm25_indexed
         "text_search_phrase_indexed": search.phrase_indexed_topk,
+        # NEAR/4 proximity over the same positional payload
+        "text_search_near": search.near_topk,
+        "text_search_near_indexed": search.near_indexed_topk,
         # MOSS similarity join: pairs sharing >= t winnowing
         # fingerprints (the inverted-index pair plan over the ~2/(w+1)
         # selected-fp mass instead of the full gram set)
@@ -759,6 +762,8 @@ def oracle_sql() -> dict[str, str]:
         # the full-scan phrase oracle already emits matches only, so
         # the indexed serving path shares it verbatim
         "text_search_phrase_indexed": search.phrase_topk_sql(),
+        "text_search_near": search.near_topk_sql(),
+        "text_search_near_indexed": search.near_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "frontier_url_filter": _frontier_filter_sql(),
         "url_redirect_resolve": _redirect_sql(),

@@ -145,6 +145,8 @@ def run_bench() -> dict:
         "doc_sample_fixed_k",
         "events_attribution",
         "embed_knn_graph",
+        "text_search_near",
+        "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "doc_readability",
         "q3_shipping_priority",

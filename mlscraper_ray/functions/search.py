@@ -713,3 +713,181 @@ def phrase_indexed_topk(
     index_dir = _index_cache_dir(sf_dir, prefix="phrase_index")
     phrase_index_to_parquet(sf_dir, index_dir)
     return phrase_query_index(index_dir, phrase, k)
+
+
+DEFAULT_NEAR = ("scan", "sort")
+
+
+def _near_doc_stats(pa_pos: np.ndarray, pb_pos: np.ndarray, window: int) -> tuple[int, int]:
+    """(n_near, min_dist) for one doc: pairs of positions within
+    ``window`` and the global minimum |pa - pb|. Vectorized: one
+    searchsorted pair per side."""
+    lo = np.searchsorted(pb_pos, pa_pos - window, side="left")
+    hi = np.searchsorted(pb_pos, pa_pos + window, side="right")
+    n_near = int((hi - lo).sum())
+    idx = np.clip(np.searchsorted(pb_pos, pa_pos), 1, len(pb_pos) - 1) if len(pb_pos) > 1 else np.zeros(len(pa_pos), dtype=np.int64)
+    cand = np.minimum(
+        np.abs(pa_pos - pb_pos[idx - 1] if len(pb_pos) > 1 else pa_pos - pb_pos[0]),
+        np.abs(pb_pos[np.minimum(idx, len(pb_pos) - 1)] - pa_pos),
+    )
+    return n_near, int(cand.min())
+
+
+def near_topk(
+    sf_dir: str,
+    terms: tuple[str, str] = DEFAULT_NEAR,
+    window: int = 4,
+    k: int = 10,
+) -> pa.Table:
+    """Proximity (NEAR/``window``) search: docs where the two query
+    terms co-occur within ``window`` token positions, ranked by the
+    number of such co-occurring position pairs — the classic NEAR
+    operator the positional payload buys beyond bag-of-words BM25
+    and beyond exact-phrase adjacency.
+
+    Returns (doc_id, n_near, min_dist, n_tokens) for docs with at
+    least one within-window pair, ORDER BY n_near DESC, doc_id
+    LIMIT k. Same zero-shuffle plan as :func:`bm25_topk`: one
+    tokenize pass per batch, flat position arrays + per-candidate-doc
+    searchsorted windows, per-batch partial top-k, driver merges
+    k x n_blocks rows."""
+    ta, tb = terms
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.asarray([w for ws in toks for w in ws], dtype=object)
+        ends = np.cumsum(lens)
+        fa = np.flatnonzero(flat == ta)
+        fb = np.flatnonzero(flat == tb)
+        rows = []
+        if len(fa) and len(fb):
+            da = np.searchsorted(ends, fa, side="right")
+            db = np.searchsorted(ends, fb, side="right")
+            common = np.intersect1d(np.unique(da), np.unique(db))
+            ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            for d in common:
+                pa_pos = fa[da == d]
+                pb_pos = fb[db == d]
+                n_near, min_dist = _near_doc_stats(pa_pos, pb_pos, window)
+                if n_near > 0:
+                    rows.append((int(ids[d]), n_near, min_dist, int(lens[d])))
+        df = pd.DataFrame(rows, columns=["doc_id", "n_near", "min_dist", "n_tokens"]).astype("int64")
+        order = np.lexsort((df["doc_id"].to_numpy(), -df["n_near"].to_numpy()))[:k]
+        return df.iloc[order]
+
+    parts = ds.map_batches(score_topk, batch_format="pandas").to_pandas()
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("doc_id", "n_near", "min_dist", "n_tokens")}
+    )
+    if len(parts) == 0:
+        return empty
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["n_near"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def near_topk_sql(
+    terms: tuple[str, str] = DEFAULT_NEAR, window: int = 4, k: int = 10
+) -> str:
+    ta, tb = terms
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[\\t\\n\\f\\r ]+'), x -> x <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS p, w[i] AS term, CAST(len(w) AS BIGINT) AS n_tokens
+    FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)
+    WHERE w[i] IN ('{ta}', '{tb}')
+),
+paired AS (
+    SELECT a.doc_id,
+           CAST(COUNT(*) FILTER (WHERE ABS(a.p - b.p) <= {window}) AS BIGINT) AS n_near,
+           CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS min_dist,
+           ANY_VALUE(a.n_tokens) AS n_tokens
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.term = '{ta}' AND b.term = '{tb}'
+    GROUP BY a.doc_id
+)
+SELECT doc_id, n_near, min_dist, n_tokens
+FROM paired WHERE n_near > 0
+ORDER BY n_near DESC, doc_id
+LIMIT {k}
+"""
+
+
+def near_indexed_topk(
+    sf_dir: str,
+    terms: tuple[str, str] = DEFAULT_NEAR,
+    window: int = 4,
+    k: int = 10,
+) -> pa.Table:
+    """NEAR query served FROM THE PERSISTED POSITIONAL INDEX (built/
+    cached by :func:`phrase_index_to_parquet` — one index serves
+    phrase AND proximity): read only the two probed terms' shards
+    with the term filter pushed into the scan, co-locate each
+    candidate doc's two position lists in one crc32(doc_id) bucket
+    round, then the same searchsorted window count as the full-scan
+    :func:`near_topk` (tested equal)."""
+    import json
+    import zlib
+
+    import pyarrow.compute as pc
+
+    index_dir = _index_cache_dir(sf_dir, prefix="phrase_index")
+    phrase_index_to_parquet(sf_dir, index_dir)
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    ta, tb = terms
+    shard_ids = sorted({zlib.crc32(t.encode()) % meta["n_shards"] for t in terms})
+    paths = [
+        os.path.join(index_dir, f"shard={s:04d}", "postings.parquet") for s in shard_ids
+    ]
+    post = ray.data.read_parquet(
+        paths,
+        columns=["term", "doc_id", "positions", "n_tokens"],
+        filter=pc.field("term").isin(list(terms)),
+    ).materialize()
+
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("doc_id", "n_near", "min_dist", "n_tokens")}
+    )
+    if post.count() == 0:
+        return empty
+
+    n_buckets = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = [zlib.crc32(str(d).encode()) % n_buckets for d in df["doc_id"]]
+        return df
+
+    def count_near(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, r in g.groupby("doc_id", sort=False):
+            by_term = {t: np.asarray(ps, dtype=np.int64) for t, ps in zip(r["term"], r["positions"])}
+            if ta not in by_term or tb not in by_term:
+                continue
+            n_near, min_dist = _near_doc_stats(by_term[ta], by_term[tb], window)
+            if n_near > 0:
+                rows.append((int(doc_id), n_near, min_dist, int(r["n_tokens"].iloc[0])))
+        df = pd.DataFrame(rows, columns=["doc_id", "n_near", "min_dist", "n_tokens"]).astype("int64")
+        order = np.lexsort((df["doc_id"].to_numpy(), -df["n_near"].to_numpy()))[:k]
+        return df.iloc[order]
+
+    parts = (
+        post.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(count_near, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return empty
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["n_near"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -60,6 +60,8 @@ def _oracle_names():
         "doc_sample_fixed_k",
         "events_attribution",
         "embed_knn_graph",
+        "text_search_near",
+        "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "doc_readability",
         "pack_sequences",
