@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.incremental_dedup,
         "dedup_simhash_pairs": lambda sf: _simhash_pairs(sf),
         "doc_simhash": dedup.simhash_table,
+        # simhash components: the third fingerprint family's clusters
+        "dedup_simhash_clusters": components.simhash_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
@@ -652,6 +654,7 @@ def _simhash_pairs(sf_dir: str):
 def oracle_sql() -> dict[str, str]:
     from mlscraper_ray.functions import (
         aggregates,
+        components,
         curate,
         dedup,
         joins,
@@ -700,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_to_training": packing.corpus_to_training_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_simhash": _simhash_table_sql(),
+        "dedup_simhash_clusters": components.simhash_clusters_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),

@@ -182,6 +182,7 @@ def run_bench() -> dict:
         "neardup_clusters",
         "corpus_dedup_canonical",
         "dedup_simhash_pairs",
+        "dedup_simhash_clusters",
         "doc_simhash",
         "dedup_ngram_jaccard",
         "dedup_containment",

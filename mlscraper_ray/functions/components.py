@@ -399,3 +399,60 @@ clusters AS (
 )
 SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
 """
+
+
+def simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Cluster assignment for every document with at least one
+    simhash near-duplicate (Hamming <= ``max_hamming``):
+    ``(doc_id, cluster_id)``, cluster_id = the component minimum —
+    the simhash-family twin of :func:`neardup_clusters` (minhash) and
+    :func:`winnow_clusters` (winnowing), so all three fingerprint
+    families expose the same dedup-manifest surface. Pairs come from
+    the banded simhash plan (coarse-bucketed, recall-complete by
+    pigeonhole); the verified pair set is near-dup-sized, so the
+    count-guarded components fold applies unchanged."""
+    from mlscraper_ray.functions.dedup import simhash_neardup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = simhash_neardup_pairs(docs, max_hamming=max_hamming)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pc.cast(pairs["doc_a"], pa.int64()),
+                "v": pc.cast(pairs["doc_b"], pa.int64()),
+            }
+        )
+    )
+    labels = connected_components(edges, approx_edges=pairs.num_rows)
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.sort_values("doc_id", ignore_index=True).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def simhash_clusters_sql() -> str:
+    from mlscraper_ray.functions.dedup import SIMHASH_PAIRS_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({SIMHASH_PAIRS_SQL.rstrip()}) __sh),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+clusters AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""

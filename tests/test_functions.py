@@ -52,6 +52,7 @@ def _oracle_names():
         "dedup_containment",
         "doc_dup_span_stats",
         "dedup_simhash_pairs",
+        "dedup_simhash_clusters",
         "doc_simhash",
         "dedup_segments",
         "doc_scrub_dup_runs",
