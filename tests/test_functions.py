@@ -1534,6 +1534,32 @@ class TestIncrementalDedup:
         assert out.loc[out["doc_id"] == 3, "n_new"].iloc[0] == 1
 
 
+class TestNearDocStats:
+    def test_matches_bruteforce_on_random_position_sets(self):
+        """Property: the searchsorted window count and nearest-gap
+        minimum equal the O(n*m) brute force on arbitrary sorted
+        position arrays (the kernel both text_search_near paths
+        share)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mlscraper_ray.functions.search import _near_doc_stats
+
+        pos = st.lists(st.integers(0, 60), min_size=1, max_size=12, unique=True)
+
+        @settings(max_examples=200, deadline=None)
+        @given(pos, pos, st.integers(1, 8))
+        def check(a, b, w):
+            pa_pos = np.array(sorted(a), dtype=np.int64)
+            pb_pos = np.array(sorted(b), dtype=np.int64)
+            n_near, min_dist = _near_doc_stats(pa_pos, pb_pos, w)
+            diffs = np.abs(pa_pos[:, None] - pb_pos[None, :])
+            assert n_near == int((diffs <= w).sum())
+            assert min_dist == int(diffs.min())
+
+        check()
+
+
 class TestBM25Search:
     def test_ranking_semantics_on_crafted_corpus(self, ray_session, tmp_path):
         """Rank order must follow BM25 intuition: matching a RARE term
