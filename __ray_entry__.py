@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenize pass + per-batch partial top-k, no shuffle
         "text_search_bm25": search.bm25_topk,
         "ann_cosine_topk": similarity.cosine_topk,
+        # filtered ANN: metadata predicate pushed into the scan
+        "ann_cosine_filtered_topk": similarity.cosine_filtered_topk,
         # batched serving shape: one broadcast query MATRIX, one
         # matmul per batch for all queries
         "ann_cosine_multi_topk": similarity.cosine_multi_topk,
@@ -772,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_url_filter": _frontier_filter_sql(),
         "url_redirect_resolve": _redirect_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_cosine_filtered_topk": similarity.cosine_filtered_topk_sql(),
         "ann_cosine_range": similarity.cosine_range_sql(),
         "dedup_query_similar": _query_similar_sql(),
         "doc_winnow_fingerprints": _winnow_sql(),

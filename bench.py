@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "doc_sample_fixed_k",
         "events_attribution",
         "embed_knn_graph",
+        "ann_cosine_filtered_topk",
         "text_search_near",
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",

@@ -2443,3 +2443,63 @@ SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
 FROM embeddings emb LEFT JOIN clusters c USING (vec_id)
 ORDER BY emb.vec_id
 """
+
+
+def cosine_filtered_topk(
+    sf_dir: str, query_vec_id: int = 0, label: int = 1, k: int = 10
+) -> pa.Table:
+    """FILTERED similarity search: top-k cosine neighbors of a stored
+    vector AMONG vectors carrying a metadata label — the
+    filtered-ANN serving shape (search only the 'lang=de' / 'safe'
+    slice). The predicate is pushed into the parquet scan
+    (row-group pruning; only matching rows ever enter the object
+    store), then the same broadcast-query partial-top-k plan as
+    :func:`cosine_topk` with the explicit floor(x*10000 + 0.5)
+    fixed-point rule shared with the SQL mirror."""
+    import pyarrow.compute as pc
+
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        scores = np.floor((mat @ qv) / norms * 10000 + 0.5).astype(np.int64)
+        keep = min(k + 1, len(ids))
+        idx = np.lexsort((ids, -scores))[:keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "score_x10k": pa.array(scores[idx]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("label") == label,
+    )
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != query_vec_id]
+    out = partials.sort_values(
+        ["score_x10k", "vec_id"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    out = out.astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def cosine_filtered_topk_sql(query_vec_id: int = 0, label: int = 1, k: int = 10) -> str:
+    return f"""
+SELECT e.vec_id,
+       CAST(FLOOR(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = {query_vec_id})
+       ) * 10000 + 0.5) AS BIGINT) AS score_x10k
+FROM embeddings e
+WHERE e.label = {label} AND e.vec_id != {query_vec_id}
+ORDER BY score_x10k DESC, vec_id ASC
+LIMIT {k}
+"""
