@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_multi_topk": similarity.cosine_multi_topk,
         # per-label integer embedding centroids (class signatures)
         "embed_label_centroids": similarity.embed_label_centroids,
+        # farthest-from-centroid tail: the mislabeled-vector screen
+        "embed_outliers": similarity.embed_outliers,
         # embedding-free topic clustering: hashed bag-of-words integer
         # features + the integer-exact iterative k-means (full
         # chained-CTE oracle re-derives features AND every iteration)
@@ -782,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_clusters": _winnow_clusters_sql(),
         "ann_cosine_multi_topk": similarity.cosine_multi_topk_sql(),
         "embed_label_centroids": similarity.embed_label_centroids_sql(),
+        "embed_outliers": similarity.embed_outliers_sql(),
         "doc_topic_clusters": _topics_sql(),
         "corpus_cluster_sample": _topics_sample_sql(),
         "embed_knn_label_eval": similarity.embed_knn_label_eval_sql(),

@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "events_attribution",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
+        "embed_outliers",
         "text_search_near",
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",

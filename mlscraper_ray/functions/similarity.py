@@ -2503,3 +2503,83 @@ WHERE e.label = {label} AND e.vec_id != {query_vec_id}
 ORDER BY score_x10k DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def embed_outliers(sf_dir: str, top_n: int = 20) -> pa.Table:
+    """Embedding OUTLIER gate: the ``top_n`` vectors farthest from
+    their own label's centroid, per label — the mislabeled/garbage-
+    vector screen run before trusting an embedding column (the
+    distance tail is where encoder failures and label noise live).
+
+    Exact integer end to end: coordinates quantize by the repo's
+    floor(x*10000 + 0.5) rule, the per-label centroid is the
+    floored mean (the :func:`embed_label_centroids` fold — labels x
+    dim partials, corpus-size independent), and the distance is the
+    int64 sum of squared coordinate gaps (bounded ~1e13 for 64 dims,
+    far under 2^63). Pass 2 broadcasts the tiny centroid matrix and
+    keeps a per-batch per-label top-``top_n`` so the driver folds
+    labels x top_n x n_blocks slim rows.
+
+    Returns (label, vec_id, dist2_q) ORDER BY label, dist2_q DESC,
+    vec_id."""
+    cent = embed_label_centroids(sf_dir).to_pandas()
+    by_label: dict[int, np.ndarray] = {}
+    for lab, grp in cent.groupby("label"):
+        by_label[int(lab)] = grp.sort_values("dim")["centroid_q"].to_numpy(np.int64)
+    c_ref = ray.put(by_label)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label", "embedding"]
+    )
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        cm = cached_object(c_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()])
+        q = np.floor(mat * 10000 + 0.5).astype(np.int64)
+        cents = np.stack([cm[int(l)] for l in labels])
+        d2 = ((q - cents) ** 2).sum(axis=1)
+        df = pd.DataFrame({"label": labels, "vec_id": ids, "dist2_q": d2})
+        return (
+            df.sort_values(["label", "dist2_q", "vec_id"], ascending=[True, False, True])
+            .groupby("label", sort=False)
+            .head(top_n)
+        )
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["label", "dist2_q", "vec_id"], ascending=[True, False, True])
+        .groupby("label", sort=False)
+        .head(top_n)
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out[["label", "vec_id", "dist2_q"]], preserve_index=False)
+
+
+def embed_outliers_sql(top_n: int = 20, dim: int = 64) -> str:
+    return f"""
+WITH q AS MATERIALIZED (
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, g.i AS dim,
+           CAST(FLOOR(CAST(e.embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE)
+                      * 10000 + 0.5) AS BIGINT) AS v
+    FROM embeddings e, generate_series(0, {dim - 1}) g(i)
+),
+cent AS (
+    SELECT label, dim, CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS c
+    FROM q GROUP BY label, dim
+),
+dist AS (
+    SELECT q.label, q.vec_id, SUM((q.v - cent.c) * (q.v - cent.c)) AS dist2_q
+    FROM q JOIN cent USING (label, dim)
+    GROUP BY q.label, q.vec_id
+)
+SELECT label, vec_id, CAST(dist2_q AS BIGINT) AS dist2_q
+FROM dist
+QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+                           ORDER BY dist2_q DESC, vec_id) <= {top_n}
+ORDER BY label, dist2_q DESC, vec_id
+"""
