@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_fixed_k": textstats.sample_fixed_k,
         # integer Flesch-style readability (words/sentences/vowel runs)
         "doc_readability": textstats.doc_readability,
+        # floor-log2 char entropy (compression-ratio proxy gate)
+        "doc_char_entropy": textstats.doc_char_entropy,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -760,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_sample_fixed_k": textstats.sample_fixed_k_sql(),
         "doc_readability": textstats.DOC_READABILITY_SQL,
+        "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "doc_readability",
+        "doc_char_entropy",
         "q3_shipping_priority",
         "orders_with_returns",
         "revenue_by_nation",

@@ -3516,3 +3516,70 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM c
 ORDER BY doc_id
 """
+
+
+def doc_char_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc character-distribution entropy in the repo's INTEGER
+    floor-log2 discipline — the cheap compression-ratio proxy that
+    flags low-entropy spam (repeated chars, padding) and high-entropy
+    garbage (binary spills) without running a compressor:
+
+        ent_int = n*floor(log2 n) - sum_c k_c*floor(log2 k_c)
+
+    (k_c = count of codepoint c, n = doc length; the exact-integer
+    shape of n*H under floor-log2, 0 for single-char docs).
+    ``ent_milli_per_char = ent_int*1000 // n`` normalizes for
+    gating. floor(log2 x) is ``bit_length - 1`` / ``bin()`` digits
+    on the two sides — no float log2 boundary hazard (the
+    surprisal-family idiom). Pure streaming map, zero shuffles;
+    per-doc counting is one numpy unique over the utf-32 view."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        L = lambda x: int(x).bit_length() - 1  # noqa: E731
+        ns, es, ms = [], [], []
+        for t in df["text"].fillna(""):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cp)
+            if n == 0:
+                ns.append(0); es.append(0); ms.append(0)
+                continue
+            _, counts = np.unique(cp, return_counts=True)
+            s = int(sum(int(k) * L(k) for k in counts))
+            e = n * L(n) - s
+            ns.append(n); es.append(e); ms.append(e * 1000 // n)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_cp": pd.Series(ns, index=df.index, dtype="int64"),
+                "ent_int": pd.Series(es, index=df.index, dtype="int64"),
+                "ent_milli_per_char": pd.Series(ms, index=df.index, dtype="int64"),
+            }
+        )
+
+    out = ds.map_batches(ent, batch_format="pandas").to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+ent AS (
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_cp,
+           CAST(SUM(k * (length(ltrim(bin(CAST(k AS BIGINT)), '0')) - 1)) AS BIGINT) AS s
+    FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n_cp, 0) AS n_cp,
+       COALESCE(e.n_cp * (length(ltrim(bin(e.n_cp), '0')) - 1) - e.s, 0) AS ent_int,
+       COALESCE((e.n_cp * (length(ltrim(bin(e.n_cp), '0')) - 1) - e.s) * 1000 // e.n_cp, 0)
+         AS ent_milli_per_char
+FROM documents d LEFT JOIN ent e USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -67,6 +67,7 @@ def _oracle_names():
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "doc_readability",
+        "doc_char_entropy",
         "pack_sequences",
         "doc_chunk_windows",
         "url_pattern_stats",
