@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": joins.q3_shipping_priority,
         # EXISTS semi-join via bucketed-distinct key set (never broadcast)
         "orders_with_returns": joins.orders_with_returns_by_priority,
+        # RFM segment matrix (per-customer fold -> fixed-band roll-up)
+        "customer_rfm_segments": aggregates.customer_rfm_segments,
         "customers_without_orders": joins.customers_without_orders,
         # interval range join (time-bucket partitioning + boundary
         # replication)
@@ -547,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_10pct": textstats.sample_documents,
         # exact fixed-SIZE sample: k-smallest md5 rank, k-bounded fold
         "doc_sample_fixed_k": textstats.sample_fixed_k,
+        # weighted fixed-size sample (integer md5 // weight priority)
+        "doc_sample_weighted_k": textstats.sample_weighted_k,
         # integer Flesch-style readability (words/sentences/vowel runs)
         "doc_readability": textstats.doc_readability,
         # floor-log2 char entropy (compression-ratio proxy gate)
@@ -685,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_discount_revenue": aggregates.Q6_DISCOUNT_REVENUE_SQL,
         "q3_shipping_priority": joins.q3_shipping_priority_sql(),
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
+        "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,
@@ -761,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": textstats.pii_scrub_sql(),
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_sample_fixed_k": textstats.sample_fixed_k_sql(),
+        "doc_sample_weighted_k": textstats.sample_weighted_k_sql(),
         "doc_readability": textstats.DOC_READABILITY_SQL,
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
         "corpus_split": textstats.corpus_split_sql(),

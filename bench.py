@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "supplier_nation_summary",
         "q6_discount_revenue",
         "doc_sample_fixed_k",
+        "doc_sample_weighted_k",
         "events_attribution",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
@@ -154,6 +155,7 @@ def run_bench() -> dict:
         "doc_char_entropy",
         "q3_shipping_priority",
         "orders_with_returns",
+        "customer_rfm_segments",
         "revenue_by_nation",
         "events_asof_join",
         "events_range_join",

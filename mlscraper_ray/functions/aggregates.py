@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -543,4 +544,82 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
   AND l_quantity < 24
+"""
+
+
+def customer_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM-style customer segmentation over orders: per customer the
+    recency (year of last order), frequency (order count) and
+    monetary total fold FIRST in the custkey-bucketed aggregate (one
+    shuffle of per-batch partials — max/sum/count all merge
+    associatively), then customers map into fixed (recency-year,
+    frequency-band) segments and a second TINY aggregate emits the
+    segment matrix (years x 4 bands rows). Fixed band edges — not
+    data-dependent quantiles — keep the segmentation stable across
+    snapshots (and SQL-mirrorable without ntile drift)."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "last_ts": df["o_orderdate"],
+                "n_orders": np.int64(1),
+                "cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+        g = df.groupby("o_custkey", sort=False).agg(
+            last_ts=("last_ts", "max"), n_orders=("n_orders", "sum"), cents=("cents", "sum")
+        )
+        return g.reset_index()
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"last_ts": ("last_ts", "max"), "n_orders": ("n_orders", "sum"), "cents": ("cents", "sum")},
+    )
+
+    def to_segment(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.to_datetime(df["last_ts"]).dt.year.astype("int64")
+        n = df["n_orders"].astype("int64")
+        band = np.select([n >= 10, n >= 5, n >= 2], ["10+", "5-9", "2-4"], default="1")
+        out = pd.DataFrame(
+            {"recency_year": yr, "freq_band": band, "cents": df["cents"].astype("int64")}
+        )
+        g = out.groupby(["recency_year", "freq_band"], sort=False).agg(
+            n_customers=("cents", "size"), monetary_cents=("cents", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            per_cust.map_batches(to_segment, batch_format="pandas"),
+            ["recency_year", "freq_band"],
+            {"n_customers": ("n_customers", "sum"), "monetary_cents": ("monetary_cents", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["recency_year", "freq_band"], ignore_index=True)
+    )
+    out = out.astype({"recency_year": "int64", "n_customers": "int64", "monetary_cents": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           YEAR(MAX(o_orderdate)) AS recency_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(recency_year AS BIGINT) AS recency_year,
+       CASE WHEN n >= 10 THEN '10+' WHEN n >= 5 THEN '5-9'
+            WHEN n >= 2 THEN '2-4' ELSE '1' END AS freq_band,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS monetary_cents
+FROM per_cust
+GROUP BY recency_year, freq_band
+ORDER BY recency_year, freq_band
 """

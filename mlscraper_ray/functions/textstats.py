@@ -3583,3 +3583,54 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN ent e USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def sample_weighted_k(sf_dir: str, k: int = 100) -> pa.Table:
+    """Deterministic WEIGHTED fixed-size sample: k docs chosen with
+    probability increasing in weight (= ``n_chars``), via the
+    integer priority ``md5_64(doc_id) // weight`` — heavier docs
+    draw proportionally smaller priorities, the k smallest
+    (priority, doc_id) win. Seedless and cluster-stable like
+    :func:`sample_fixed_k`, same k-bounded distributed top-k fold
+    (each batch contributes its local k smallest); the priority uses
+    PYTHON ints in the fold because the raw low-64 md5 exceeds
+    int64 (the UBIGINT the SQL side compares)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        pri = [
+            (
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") // int(w),
+                int(d),
+            )
+            for d, w in zip(df["doc_id"], df["n_chars"])
+        ]
+        keep = {d for _, d in sorted(pri)[:k]}
+        out = df[df["doc_id"].isin(keep)].copy()
+        out["__p"] = [p for p, d in pri if d in keep]
+        return out
+
+    parts = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    order = sorted(zip(parts["__p"], parts["doc_id"]))[:k]
+    keep = {d for _, d in order}
+    out = (
+        parts[parts["doc_id"].isin(keep)][["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id", ignore_index=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sample_weighted_k_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars
+      FROM documents
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) // n_chars, doc_id
+      LIMIT {k})
+ORDER BY doc_id
+"""

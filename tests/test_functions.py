@@ -37,6 +37,7 @@ def _oracle_names():
         "q6_discount_revenue",
         "q3_shipping_priority",
         "orders_with_returns",
+        "customer_rfm_segments",
         "customers_without_orders",
         "events_asof_join",
         "events_range_join",
@@ -59,6 +60,7 @@ def _oracle_names():
         "doc_collapse_repeats",
         "doc_sample_stratified",
         "doc_sample_fixed_k",
+        "doc_sample_weighted_k",
         "events_attribution",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
