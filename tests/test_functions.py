@@ -2367,6 +2367,32 @@ class TestCurateAndDecontaminateSinks:
         r3 = tfidf_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
 
+    def test_knn_graph_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
+        import glob
+
+        from mlscraper_ray.functions.similarity import embed_knn_graph, knn_graph_to_parquet
+
+        out_dir = str(tmp_path / "knn_out")
+        r1 = knn_graph_to_parquet(SF_DIR, out_dir, n_shards=8, window=2, k=3)
+        assert r1 == {"written": 8, "skipped": 0}
+        frames = [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+        ]
+        got = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["src", "score_x10k", "dst"], ascending=[True, False, True], ignore_index=True)
+            .astype("int64")
+        )
+        want = embed_knn_graph(SF_DIR, k=3).to_pandas()
+        pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+        r2 = knn_graph_to_parquet(SF_DIR, out_dir, n_shards=8, window=2, k=3)
+        assert r2 == {"written": 0, "skipped": 8}
+        os.remove(os.path.join(out_dir, "shard=0002", "_SUCCESS"))
+        r3 = knn_graph_to_parquet(SF_DIR, out_dir, n_shards=8, window=2, k=3)
+        assert r3 == {"written": 1, "skipped": 7}
+
     def test_decontaminate_sink_matches_contract_table_and_resumes(self, ray_session, tmp_path):
         import glob
 
