@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": streams.sessionize,
         # last-touch attribution (user-bucketed carry-forward window)
         "events_attribution": streams.events_attribution,
+        # exact windowed distinct (two-level slim-triple fold)
+        "hourly_distinct_users": streams.hourly_distinct_users,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -804,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_random_projection": similarity.embed_random_projection_sql(),
         "sessionize": streams.sessionize_sql(),
         "events_attribution": streams.EVENTS_ATTRIBUTION_SQL,
+        "hourly_distinct_users": streams.HOURLY_DISTINCT_USERS_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "doc_sample_fixed_k",
         "doc_sample_weighted_k",
         "events_attribution",
+        "hourly_distinct_users",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

@@ -1334,3 +1334,74 @@ FROM e
 WHERE event_type = 'purchase' AND prior IS NOT NULL
 ORDER BY event_id
 """
+
+
+def hourly_distinct_users(sf_dir: str) -> pa.Table:
+    """EXACT distinct users per tumbling 1-hour window per event_type
+    (the DAU/HAU primitive, exact flavor — :func:`source_distinct_hll`
+    is the sketch flavor). Two-level fold so nothing holds a user
+    set in memory: per-batch DISTINCT (type, window, user) rows (the
+    only rows that shuffle — slim and already-deduped within each
+    batch), one bucketed distinct collapse, then counting is a
+    second aggregate over (type, window). Both shuffles move at most
+    one row per (type, window, user) triple."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "user_id"]
+    )
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": hour,
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "window_start", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "user_id": g["user_id"],
+                "n_events": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    triples = bucketed_aggregate(
+        ds.map_batches(distinct_rows, batch_format="pyarrow"),
+        ["event_type", "window_start", "user_id"],
+        {"n_events": ("n_events", "sum")},
+    )
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n_users=("user_id", "size"), n_events=("n_events", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            triples.map_batches(count_users, batch_format="pandas"),
+            ["event_type", "window_start"],
+            {"n_users": ("n_users", "sum"), "n_events": ("n_events", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+HOURLY_DISTINCT_USERS_SQL = """
+SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""

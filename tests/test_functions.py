@@ -62,6 +62,7 @@ def _oracle_names():
         "doc_sample_fixed_k",
         "doc_sample_weighted_k",
         "events_attribution",
+        "hourly_distinct_users",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
