@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tokenizer,
         topics,
         urls,
+        validate,
         wet,
     )
     from mlscraper_ray.pipelines import crawl_pipeline
@@ -463,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": joins.orders_with_returns_by_priority,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
         "customer_rfm_segments": aggregates.customer_rfm_segments,
+        # Deequ-style constraint report (uniqueness, invariants,
+        # referential integrity; counters only, never rows)
+        "corpus_validate": validate.corpus_validate,
         "customers_without_orders": joins.customers_without_orders,
         # interval range join (time-bucket partitioning + boundary
         # replication)
@@ -676,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         streams,
         textstats,
+        validate,
         wet,
     )
 
@@ -692,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": joins.q3_shipping_priority_sql(),
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
+        "corpus_validate": validate.CORPUS_VALIDATE_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,
         "events_range_join": joins.RANGE_JOIN_EVENTS_SQL,

@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "q3_shipping_priority",
         "orders_with_returns",
         "customer_rfm_segments",
+        "corpus_validate",
         "revenue_by_nation",
         "events_asof_join",
         "events_range_join",

@@ -38,6 +38,7 @@ def _oracle_names():
         "q3_shipping_priority",
         "orders_with_returns",
         "customer_rfm_segments",
+        "corpus_validate",
         "customers_without_orders",
         "events_asof_join",
         "events_range_join",
@@ -1538,6 +1539,98 @@ class TestIncrementalDedup:
         assert out["doc_id"].tolist() == [3, 5]
         assert out.loc[out["doc_id"] == 5, "n_new"].iloc[0] == 3
         assert out.loc[out["doc_id"] == 3, "n_new"].iloc[0] == 1
+
+
+class TestCorpusValidate:
+    def test_detects_crafted_violations(self, ray_session, tmp_path):
+        """Every constraint check fires on a corpus with injected
+        defects (the clean-testdata registry row is all-zeros, so
+        detection must be pinned here)."""
+        import pyarrow.parquet as _pq
+
+        from mlscraper_ray.functions.validate import corpus_validate
+
+        d = str(tmp_path / "bad_sf")
+        os.makedirs(d)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 1, 2, 3], pa.int64()),      # dup id
+                    "text": pa.array(["abc", "abc", "  ", "xy"]),       # blank text
+                    "n_chars": pa.array([3, 3, 2, 99], pa.int64()),     # wrong len
+                    "lang": pa.array(["en"] * 4),
+                    "source": pa.array(["s"] * 4),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array([pd.Timestamp("2026-01-01")] * 2),
+                    "user_id": pa.array([1, 2], pa.int64()),
+                    "event_type": pa.array(["view", "view"]),
+                    "value": pa.array([-1.0, 2.0]),                     # negative
+                    "props": pa.array(['{"k": 1}', "{not json"]),       # bad json
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        _pq.write_table(
+            pa.table({"c_custkey": pa.array([10], pa.int64()),
+                      "c_name": pa.array(["c"]),
+                      "c_nationkey": pa.array([0], pa.int32()),
+                      "c_acctbal": pa.array([0.0]),
+                      "c_mktsegment": pa.array(["BUILDING"])}),
+            os.path.join(d, "customer.parquet"),
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([100, 101], pa.int64()),
+                    "o_custkey": pa.array([10, 99], pa.int64()),        # orphan cust
+                    "o_orderdate": pa.array([pd.Timestamp("2026-01-01")] * 2),
+                    "o_totalprice": pa.array([1.0, 2.0]),
+                    "o_orderstatus": pa.array(["O", "O"]),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 2),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([100, 777, 777], pa.int64()),  # 2 orphan rows
+                    "l_extendedprice": pa.array([1.0, 1.0, 1.0]),
+                    "l_discount": pa.array([0.0, 0.0, 0.0]),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array([[0.0] * 64, [0.0] * 3],
+                                          pa.list_(pa.float32())),       # wrong dim
+                    "label": pa.array([0, 0], pa.int32()),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+
+        rep = corpus_validate(d).to_pandas().set_index(["table_name", "check_name"])
+        v = rep["n_violations"]
+        assert v[("documents", "doc_id_unique")] == 1
+        assert v[("documents", "n_chars_matches_text")] == 1
+        assert v[("documents", "text_not_empty")] == 1
+        assert v[("events", "value_non_negative")] == 1
+        assert v[("events", "props_valid_json")] == 1
+        assert v[("orders", "custkey_in_customer")] == 1
+        assert v[("lineitem", "orderkey_in_orders")] == 2
+        assert v[("embeddings", "dim_is_64")] == 1
+        assert (rep["n_checked"] > 0).all()
 
 
 class TestNearDocStats:
