@@ -307,9 +307,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term shards only, per-doc position-set intersection) — the
         # positional sibling of text_search_bm25_indexed
         "text_search_phrase_indexed": search.phrase_indexed_topk,
-        # NEAR/4 proximity over the same positional payload
-        "text_search_near": search.near_topk,
-        "text_search_near_indexed": search.near_indexed_topk,
         # MOSS similarity join: pairs sharing >= t winnowing
         # fingerprints (the inverted-index pair plan over the ~2/(w+1)
         # selected-fp mass instead of the full gram set)
@@ -578,6 +575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical top-k search: integer fixed-point BM25, one
         # tokenize pass + per-batch partial top-k, no shuffle
         "text_search_bm25": search.bm25_topk,
+        # NEAR/4 proximity over the same positional payload
+        "text_search_near": search.near_topk,
+        "text_search_near_indexed": search.near_indexed_topk,
         "ann_cosine_topk": similarity.cosine_topk,
         # filtered ANN: metadata predicate pushed into the scan
         "ann_cosine_filtered_topk": similarity.cosine_filtered_topk,
