@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": streams.events_attribution,
         # exact windowed distinct (two-level slim-triple fold)
         "hourly_distinct_users": streams.hourly_distinct_users,
+        # session-level association lift (pairs + singles + total in
+        # one user-bucket pass)
+        "events_type_lift": streams.events_type_lift,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -813,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": streams.sessionize_sql(),
         "events_attribution": streams.EVENTS_ATTRIBUTION_SQL,
         "hourly_distinct_users": streams.HOURLY_DISTINCT_USERS_SQL,
+        "events_type_lift": streams.events_type_lift_sql(),
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

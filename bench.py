@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "doc_sample_weighted_k",
         "events_attribution",
         "hourly_distinct_users",
+        "events_type_lift",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

@@ -1405,3 +1405,123 @@ FROM events
 GROUP BY event_type, window_start
 ORDER BY event_type, window_start
 """
+
+
+def events_type_lift(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Association LIFT between event types at session granularity:
+    lift(a,b) = P(a,b) / (P(a)P(b)) over sessions, in exact integer
+    milli (``n_ab * n_sessions * 1000 // (n_a * n_b)``) — the
+    normalization that separates 'co-occurs because both are common'
+    from real association, computed on top of the
+    :func:`session_type_pairs` sessionization (same gap-split CTE on
+    the SQL side, so the two stay consistent).
+
+    One user-bucket shuffle computes per-bucket pair counts, per-type
+    session counts AND the bucket's session total (sessions never
+    straddle buckets — the shuffle key is the user); the driver folds
+    tagged partials bounded by the TYPE cardinality, not events."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        from itertools import combinations
+
+        empty = pd.DataFrame(
+            {
+                "t1": pd.Series(dtype=str),
+                "t2": pd.Series(dtype=str),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "user_id" not in g.columns:
+            return empty
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        ns = (prev.isna() | ((g["ts"] - prev) > gap)).astype(int)
+        g = g.assign(__sid=ns.groupby(g["user_id"]).cumsum())
+        pair_cnt: Counter = Counter()
+        single_cnt: Counter = Counter()
+        n_sessions = 0
+        for _, types in g.groupby(["user_id", "__sid"], sort=False)["event_type"]:
+            st = sorted(set(types))
+            n_sessions += 1
+            for t in st:
+                single_cnt[t] += 1
+            for a, b in combinations(st, 2):
+                pair_cnt[(a, b)] += 1
+        rows = [("", "", n_sessions)]
+        rows += [(t, "", n) for t, n in single_cnt.items()]
+        rows += [(a, b, n) for (a, b), n in pair_cnt.items()]
+        return pd.DataFrame(rows, columns=["t1", "t2", "n"]).astype({"n": "int64"})
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["t1", "t2"], as_index=False)["n"].sum()
+    n_total = int(agg.loc[(agg["t1"] == "") & (agg["t2"] == ""), "n"].sum())
+    singles = {
+        t: int(n)
+        for t, n in zip(agg.loc[(agg["t1"] != "") & (agg["t2"] == ""), "t1"],
+                        agg.loc[(agg["t1"] != "") & (agg["t2"] == ""), "n"])
+    }
+    pairs = agg[(agg["t1"] != "") & (agg["t2"] != "")].copy()
+    pairs["n_ab"] = pairs["n"].astype("int64")
+    pairs["lift_milli"] = [
+        n * n_total * 1000 // (singles[a] * singles[b])
+        for a, b, n in zip(pairs["t1"], pairs["t2"], pairs["n_ab"])
+    ]
+    out = (
+        pairs.rename(columns={"t1": "type_a", "t2": "type_b"})
+        [["type_a", "type_b", "n_ab", "lift_milli"]]
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+        .astype({"n_ab": "int64", "lift_milli": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_type_lift_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL {gap_minutes} MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+),
+s AS (
+    SELECT user_id, event_type,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+p AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+n_s AS (SELECT COUNT(DISTINCT (user_id, sid)) AS n FROM p),
+singles AS (SELECT event_type, COUNT(*) AS n_t FROM p GROUP BY event_type),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ab * (SELECT n FROM n_s) * 1000 // (sa.n_t * sb.n_t) AS BIGINT)
+         AS lift_milli
+FROM pairs JOIN singles sa ON sa.event_type = type_a
+           JOIN singles sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""

@@ -64,6 +64,7 @@ def _oracle_names():
         "doc_sample_weighted_k",
         "events_attribution",
         "hourly_distinct_users",
+        "events_type_lift",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
