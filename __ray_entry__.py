@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": joins.orders_with_returns_by_priority,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
         "customer_rfm_segments": aggregates.customer_rfm_segments,
+        # monthly revenue series + MoM delta (calendar-bounded fold)
+        "orders_monthly_revenue": aggregates.orders_monthly_revenue,
         # Deequ-style constraint report (uniqueness, invariants,
         # referential integrity; counters only, never rows)
         "corpus_validate": validate.corpus_validate,
@@ -700,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": joins.q3_shipping_priority_sql(),
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
+        "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,
         "corpus_validate": validate.CORPUS_VALIDATE_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,

@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "q3_shipping_priority",
         "orders_with_returns",
         "customer_rfm_segments",
+        "orders_monthly_revenue",
         "corpus_validate",
         "revenue_by_nation",
         "events_asof_join",

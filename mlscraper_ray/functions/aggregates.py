@@ -623,3 +623,68 @@ FROM per_cust
 GROUP BY recency_year, freq_band
 ORDER BY recency_year, freq_band
 """
+
+
+def orders_monthly_revenue(sf_dir: str) -> pa.Table:
+    """Monthly order-revenue time series with month-over-month delta:
+    the reporting primitive over the order stream. Distribution
+    shape: per-batch (year, month) integer partials, one tiny
+    coarse-bucket fold (months are calendar-bounded, the table is
+    dozens of rows at any corpus size) — the LAG fills in driver
+    memory on the already-tiny series, exactly like the SQL mirror's
+    window."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["o_orderdate"])
+        out = pd.DataFrame(
+            {
+                "year": d.dt.year.astype("int64"),
+                "month": d.dt.month.astype("int64"),
+                "revenue_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+        g = out.groupby(["year", "month"], sort=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
+        )
+        return g.reset_index()
+
+    series = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["year", "month"],
+            {"revenue_cents": ("revenue_cents", "sum"), "n_orders": ("n_orders", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["year", "month"], ignore_index=True)
+    )
+    prev = series["revenue_cents"].shift()
+    series["delta_cents"] = (
+        (series["revenue_cents"] - prev).fillna(0).astype("int64")
+    )
+    series = series.astype(
+        {"year": "int64", "month": "int64", "revenue_cents": "int64", "n_orders": "int64"}
+    )
+    return pa.Table.from_pandas(
+        series[["year", "month", "n_orders", "revenue_cents", "delta_cents"]],
+        preserve_index=False,
+    )
+
+
+ORDERS_MONTHLY_REVENUE_SQL = """
+WITH m AS (
+  SELECT YEAR(o_orderdate) AS year, MONTH(o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month,
+       n_orders, revenue_cents,
+       CAST(COALESCE(revenue_cents - LAG(revenue_cents)
+                     OVER (ORDER BY year, month), 0) AS BIGINT) AS delta_cents
+FROM m
+ORDER BY year, month
+"""

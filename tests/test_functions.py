@@ -38,6 +38,7 @@ def _oracle_names():
         "q3_shipping_priority",
         "orders_with_returns",
         "customer_rfm_segments",
+        "orders_monthly_revenue",
         "corpus_validate",
         "customers_without_orders",
         "events_asof_join",
