@@ -563,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": textstats.doc_readability,
         # floor-log2 char entropy (compression-ratio proxy gate)
         "doc_char_entropy": textstats.doc_char_entropy,
+        # skyline operator: local fronts merge losslessly
+        "doc_pareto_front": textstats.doc_pareto_front,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -783,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_weighted_k": textstats.sample_weighted_k_sql(),
         "doc_readability": textstats.DOC_READABILITY_SQL,
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
+        "doc_pareto_front": textstats.DOC_PARETO_FRONT_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "embed_mutual_knn_clusters",
         "doc_readability",
         "doc_char_entropy",
+        "doc_pareto_front",
         "q3_shipping_priority",
         "orders_with_returns",
         "customer_rfm_segments",

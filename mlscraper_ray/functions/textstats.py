@@ -3634,3 +3634,89 @@ FROM (SELECT doc_id, source, n_chars
       LIMIT {k})
 ORDER BY doc_id
 """
+
+
+def _pareto_front_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Maximal (n_distinct, n_chars) rows under 2-D dominance:
+    a row is dominated iff another is >= on both axes and > on one.
+    Duplicate coordinate pairs on the front all survive (neither
+    dominates the other — no strict axis). Vectorized sweep: per
+    unique x keep the max y (lower y at equal x is dominated), then
+    a descending-x pass keeps strictly-increasing y."""
+    import numpy as np
+
+    if df.empty:
+        return df
+    best_y = df.groupby("n_distinct")["n_chars"].transform("max")
+    cand = df[df["n_chars"] == best_y]
+    pairs = (
+        cand[["n_distinct", "n_chars"]]
+        .drop_duplicates()
+        .sort_values(["n_distinct", "n_chars"], ascending=[False, False])
+    )
+    keep, run = [], -1
+    for a, b in zip(pairs["n_distinct"], pairs["n_chars"]):
+        if b > run:
+            keep.append((a, b))
+            run = b
+    kept = set(keep)
+    mask = [
+        (a, b) in kept for a, b in zip(cand["n_distinct"], cand["n_chars"])
+    ]
+    return cand[np.asarray(mask)]
+
+
+def doc_pareto_front(sf_dir: str) -> pa.Table:
+    """SKYLINE (Pareto-front) selection: the docs not dominated on
+    (distinct-token count, char length) — multi-objective "best"
+    picking without collapsing objectives into one score (the
+    Börzsönyi et al. 2001 skyline operator, the data-selection shape
+    behind "longest AND most lexically diverse" exemplar mining).
+
+    Distribution is the skyline's textbook merge property: the global
+    front is the front OF THE UNION OF LOCAL FRONTS, so each batch
+    emits only its local front (typically a handful of rows) and the
+    driver folds front-sized partials — never the corpus. Dominance
+    ties: duplicate coordinate pairs never dominate each other (no
+    strict axis), so equal-front docs all survive — pinned by the
+    corpus itself (doc 467/474 share a front cell at sf0.001)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def local_front(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(r"[^\t\n\f\r ]+")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_distinct": toks.map(lambda ws: len(set(ws))).astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+            }
+        )
+        return _pareto_front_2d(out)
+
+    parts = ds.map_batches(local_front, batch_format="pandas").to_pandas()
+    out = (
+        _pareto_front_2d(parts)
+        .sort_values("doc_id", ignore_index=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out[["doc_id", "n_distinct", "n_chars"]], preserve_index=False)
+
+
+DOC_PARETO_FRONT_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_filter(
+             string_split_regex(text, '[\t\n\f\r ]+'), x -> x <> ''))) AS BIGINT)
+           AS n_distinct,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_distinct, n_chars FROM m t
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.n_distinct >= t.n_distinct AND o.n_chars >= t.n_chars
+    AND (o.n_distinct > t.n_distinct OR o.n_chars > t.n_chars))
+ORDER BY doc_id
+"""

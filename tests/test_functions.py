@@ -74,6 +74,7 @@ def _oracle_names():
         "embed_mutual_knn_clusters",
         "doc_readability",
         "doc_char_entropy",
+        "doc_pareto_front",
         "pack_sequences",
         "doc_chunk_windows",
         "url_pattern_stats",
