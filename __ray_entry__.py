@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": dedup.simhash_table,
         # simhash components: the third fingerprint family's clusters
         "dedup_simhash_clusters": components.simhash_clusters,
+        # who-copies-whom: near-dup pairs rolled to the source matrix
+        "source_pair_matrix": dedup.source_pair_matrix,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
@@ -731,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_simhash": _simhash_table_sql(),
         "dedup_simhash_clusters": components.simhash_clusters_sql(),
+        "source_pair_matrix": dedup.source_pair_matrix_sql(),
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),

@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "corpus_dedup_canonical",
         "dedup_simhash_pairs",
         "dedup_simhash_clusters",
+        "source_pair_matrix",
         "doc_simhash",
         "dedup_ngram_jaccard",
         "dedup_containment",

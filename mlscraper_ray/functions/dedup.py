@@ -2461,3 +2461,105 @@ FROM documents d LEFT JOIN inv ON inv.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def source_pair_matrix(
+    sf_dir: str,
+    threshold_pct: int = 70,
+    broadcast_limit: int = 100_000,
+    max_bucket_docs: int | None = 1024,
+) -> pa.Table:
+    """Cross-source near-duplication MATRIX — who copies from whom:
+    verified minhash pairs roll up by the unordered (source, source)
+    pair (diagonal = within-source duplication). The data-provenance
+    view next to :func:`source_neardup_report`'s per-source census;
+    inherits the exhaustive-join recall pin through the same pair set.
+
+    Scale shape: the pair Dataset is near-dup-sized; each endpoint
+    attaches its source through a cogroup join against the slim
+    (doc_id, source) projection (two one-key shuffles — doc->source
+    is corpus-sized, never broadcast), then the matrix folds in a
+    coarse-bucket aggregate bounded by sources^2."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    pairs = minhash_verified_pairs(
+        sf_dir,
+        threshold_pct=threshold_pct,
+        broadcast_limit=broadcast_limit,
+        max_bucket_docs=max_bucket_docs,
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    n_docs = docs.count()
+
+    def a_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_a" not in df.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_a"].astype("int64"), "doc_b": df["doc_b"].astype("int64")}
+        )
+
+    j1 = cogroup_join(
+        pairs.map_batches(a_rows, batch_format="pandas"), docs, "doc_id", approx_rows=n_docs
+    )
+
+    def b_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_b" not in df.columns or "source" not in df.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "source_a": pd.Series(dtype=str)}
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_b"].astype("int64"), "source_a": df["source"].astype(str)}
+        )
+
+    j2 = cogroup_join(
+        j1.map_batches(b_rows, batch_format="pandas"), docs, "doc_id", approx_rows=n_docs
+    )
+
+    def matrix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "source_a" not in df.columns or "source" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "source_lo": pd.Series(dtype=str),
+                    "source_hi": pd.Series(dtype=str),
+                    "n_pairs": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.dropna(subset=["source_a", "source"])
+        a = df["source_a"].astype(str)
+        b = df["source"].astype(str)
+        out = pd.DataFrame(
+            {"source_lo": np.minimum(a, b), "source_hi": np.maximum(a, b)}
+        )
+        g = out.groupby(["source_lo", "source_hi"], sort=False).size().rename("n_pairs")
+        return g.reset_index()
+
+    out = (
+        bucketed_aggregate(
+            j2.map_batches(matrix_rows, batch_format="pandas"),
+            ["source_lo", "source_hi"],
+            {"n_pairs": ("n_pairs", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["source_lo", "source_hi"], ignore_index=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def source_pair_matrix_sql(threshold_pct: int = 70) -> str:
+    return f"""
+WITH prs AS (SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_SQL.rstrip()}) __mh)
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       COUNT(*) AS n_pairs
+FROM prs
+JOIN documents da ON da.doc_id = prs.doc_a
+JOIN documents db ON db.doc_id = prs.doc_b
+GROUP BY 1, 2
+ORDER BY source_lo, source_hi
+"""

@@ -56,6 +56,7 @@ def _oracle_names():
         "doc_dup_span_stats",
         "dedup_simhash_pairs",
         "dedup_simhash_clusters",
+        "source_pair_matrix",
         "doc_simhash",
         "dedup_segments",
         "doc_scrub_dup_runs",
