@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-level association lift (pairs + singles + total in
         # one user-bucket pass)
         "events_type_lift": streams.events_type_lift,
+        # exact global rank via log2 value bands (no global sort)
+        "events_user_value_rank": streams.events_user_value_rank,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -826,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": streams.EVENTS_ATTRIBUTION_SQL,
         "hourly_distinct_users": streams.HOURLY_DISTINCT_USERS_SQL,
         "events_type_lift": streams.events_type_lift_sql(),
+        "events_user_value_rank": streams.EVENTS_USER_VALUE_RANK_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -1525,3 +1525,106 @@ FROM pairs JOIN singles sa ON sa.event_type = type_a
            JOIN singles sb ON sb.event_type = type_b
 ORDER BY type_a, type_b
 """
+
+
+def events_user_value_rank(sf_dir: str) -> pa.Table:
+    """EXACT global rank of every user by lifetime event value (the
+    whale-detection table) — a distributed rank WITHOUT a global
+    sort: per-user totals fold in one user-bucket shuffle; each total
+    lands in its floor-log2 value band (bands partition the value
+    axis, so cross-band order is total order); the per-band user
+    counts make a tiny driver prefix table; and within a band the
+    local strictly-smaller count is one searchsorted over the band's
+    sorted totals. rank = band prefix + local count + 1 — the SQL
+    mirror's ``RANK() OVER (ORDER BY total)`` (ties share a rank),
+    paid with one slim shuffle plus band-local sorts instead of an
+    all-to-all global sort."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "total_milli": (df["value"] * 1000).round().astype("int64"),
+                "n_events": np.int64(1),
+            }
+        )
+        g = out.groupby("user_id", sort=False).agg(
+            total_milli=("total_milli", "sum"), n_events=("n_events", "sum")
+        )
+        return g.reset_index()
+
+    totals = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"total_milli": ("total_milli", "sum"), "n_events": ("n_events", "sum")},
+    ).map_batches(
+        lambda df: df.assign(band=[int(t).bit_length() for t in df["total_milli"]]),
+        batch_format="pandas",
+    ).materialize()
+
+    band_counts = (
+        totals.map_batches(
+            lambda df: df.groupby("band", as_index=False).size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("band", as_index=False)["n"].sum()
+        .sort_values("band")
+    )
+    prefix = {}
+    acc = 0
+    for band, n in zip(band_counts["band"], band_counts["n"]):
+        prefix[int(band)] = acc
+        acc += int(n)
+    n_users = acc
+    p_ref = ray.put((prefix, n_users))
+
+    def rank_band(g: pd.DataFrame) -> pd.DataFrame:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        pfx, n = cached_object(p_ref)
+        vals = np.sort(g["total_milli"].to_numpy(np.int64))
+        base = pfx[int(g["band"].iloc[0])]
+        local = np.searchsorted(vals, g["total_milli"].to_numpy(np.int64), side="left")
+        rnk = base + local + 1
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "total_milli": g["total_milli"].astype("int64"),
+                "n_events": g["n_events"].astype("int64"),
+                "rnk": rnk.astype("int64"),
+                "pct_milli": ((rnk - 1) * 1000 // n).astype("int64"),
+            }
+        )
+
+    out = (
+        totals.groupby("band")
+        .map_groups(rank_band, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(
+        out[["user_id", "total_milli", "n_events", "rnk", "pct_milli"]],
+        preserve_index=False,
+    )
+
+
+EVENTS_USER_VALUE_RANK_SQL = """
+WITH t AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_milli, n_events,
+       RANK() OVER (ORDER BY total_milli) AS rnk,
+       (RANK() OVER (ORDER BY total_milli) - 1) * 1000 // (SELECT COUNT(*) FROM t)
+         AS pct_milli
+FROM t
+ORDER BY user_id
+"""

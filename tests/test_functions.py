@@ -67,6 +67,7 @@ def _oracle_names():
         "events_attribution",
         "hourly_distinct_users",
         "events_type_lift",
+        "events_user_value_rank",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
