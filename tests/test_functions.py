@@ -1546,6 +1546,17 @@ class TestIncrementalDedup:
         assert out.loc[out["doc_id"] == 3, "n_new"].iloc[0] == 1
 
 
+class TestSourcePairMatrix:
+    def test_broadcast_and_cogroup_paths_equal(self, ray_session):
+        from mlscraper_ray.functions.dedup import source_pair_matrix
+
+        fast = source_pair_matrix(SF_DIR).to_pandas()
+        slow = source_pair_matrix(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(fast, slow)
+        # non-vacuity: the synthetic corpus has cross-source near-dups
+        assert (fast["source_lo"] != fast["source_hi"]).any()
+
+
 class TestCorpusValidate:
     def test_detects_crafted_violations(self, ray_session, tmp_path):
         """Every constraint check fires on a corpus with injected
