@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": joins.q3_shipping_priority,
         # EXISTS semi-join via bucketed-distinct key set (never broadcast)
         "orders_with_returns": joins.orders_with_returns_by_priority,
+        # grouped top-k leaderboard (per-nation partial top-k merge)
+        "top_customers_by_nation": joins.top_customers_by_nation,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
         "customer_rfm_segments": aggregates.customer_rfm_segments,
         # monthly revenue series + MoM delta (calendar-bounded fold)
@@ -707,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_discount_revenue": aggregates.Q6_DISCOUNT_REVENUE_SQL,
         "q3_shipping_priority": joins.q3_shipping_priority_sql(),
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
+        "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,
         "corpus_validate": validate.CORPUS_VALIDATE_SQL,

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "doc_pareto_front",
         "q3_shipping_priority",
         "orders_with_returns",
+        "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
         "corpus_validate",

@@ -1071,3 +1071,94 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def top_customers_by_nation(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: each nation's ``k`` highest-revenue customers
+    (revenue = order total cents; ties by custkey asc) — the
+    per-partition leaderboard shape (top-k per group, k > 1) that
+    composes the per-customer fold, a customer->nation cogroup join,
+    and blockwise partial top-k merged per nation.
+
+    No stage holds more than (nations x k) rows after its local
+    top-k; the customer fold and the join both move slim one-row-per-
+    customer partials."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    nmap = {int(x): str(n) for x, n in zip(nat["n_nationkey"], nat["n_name"])}
+    m_ref = ray.put(nmap)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "revenue_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+        return out.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
+
+    totals = bucketed_aggregate(
+        orders.map_batches(per_cust, batch_format="pandas"),
+        ["c_custkey"],
+        {"revenue_cents": ("revenue_cents", "sum")},
+    )
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    joined = cogroup_join(totals, cust, "c_custkey", approx_rows=n_cust)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "c_nationkey" not in df.columns or "revenue_cents" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(dtype=str),
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "revenue_cents": pd.Series(dtype="int64"),
+                }
+            )
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        nm = cached_object(m_ref)
+        df = df.dropna(subset=["revenue_cents", "c_nationkey"]).copy()
+        df["n_name"] = df["c_nationkey"].map(lambda x: nm[int(x)])
+        out = (
+            df.sort_values(["n_name", "revenue_cents", "c_custkey"], ascending=[True, False, True])
+            .groupby("n_name", sort=False)
+            .head(k)
+        )
+        return out[["n_name", "c_custkey", "revenue_cents"]].astype(
+            {"c_custkey": "int64", "revenue_cents": "int64"}
+        )
+
+    parts = joined.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["n_name", "revenue_cents", "c_custkey"], ascending=[True, False, True])
+        .groupby("n_name", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_customers_by_nation_sql(k: int = 3) -> str:
+    return f"""
+WITH t AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, c_custkey, revenue_cents
+FROM t JOIN customer USING (c_custkey)
+       JOIN nation ON c_nationkey = n_nationkey
+QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name
+                           ORDER BY revenue_cents DESC, c_custkey) <= {k}
+ORDER BY n_name, revenue_cents DESC, c_custkey
+"""

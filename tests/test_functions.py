@@ -37,6 +37,7 @@ def _oracle_names():
         "q6_discount_revenue",
         "q3_shipping_priority",
         "orders_with_returns",
+        "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
         "corpus_validate",
