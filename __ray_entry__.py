@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": aggregates.customer_rfm_segments,
         # monthly revenue series + MoM delta (calendar-bounded fold)
         "orders_monthly_revenue": aggregates.orders_monthly_revenue,
+        # ROLLUP hierarchy subtotals (zero extra distributed passes)
+        "revenue_rollup": aggregates.revenue_rollup,
         # Deequ-style constraint report (uniqueness, invariants,
         # referential integrity; counters only, never rows)
         "corpus_validate": validate.corpus_validate,
@@ -712,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,
+        "revenue_rollup": aggregates.REVENUE_ROLLUP_SQL,
         "corpus_validate": validate.CORPUS_VALIDATE_SQL,
         "customers_without_orders": joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_asof_join": joins.ASOF_JOIN_EVENTS_SQL,

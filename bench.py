@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
+        "revenue_rollup",
         "corpus_validate",
         "revenue_by_nation",
         "events_asof_join",

@@ -688,3 +688,114 @@ SELECT CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month,
 FROM m
 ORDER BY year, month
 """
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """OLAP ROLLUP over the region -> nation hierarchy: order revenue
+    at nation grain PLUS region subtotals and the grand total in one
+    table ('ALL' marks the rolled level — the GROUP BY ROLLUP shape).
+
+    The distributed work is exactly the nation-grain aggregate (the
+    :func:`revenue_by_nation` plan: per-custkey partials, one cogroup
+    shuffle, 25-row broadcast dimension maps); the subtotal tiers
+    derive from that hierarchy-bounded table in driver arithmetic —
+    at ANY corpus size the rollup adds zero distributed passes, which
+    is the point of rolling up along a dimension hierarchy."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    reg = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    rmap = {int(k): str(n) for k, n in zip(reg["r_regionkey"], reg["r_name"])}
+    nmap = {
+        int(k): (str(n), rmap[int(rk)])
+        for k, n, rk in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+    }
+    m_ref = ray.put(nmap)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "revenue_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+                "n_orders": np.int64(1),
+            }
+        )
+        return out.groupby("c_custkey", as_index=False).sum()
+
+    totals = bucketed_aggregate(
+        orders.map_batches(per_cust, batch_format="pandas"),
+        ["c_custkey"],
+        {"revenue_cents": ("revenue_cents", "sum"), "n_orders": ("n_orders", "sum")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    joined = cogroup_join(totals, cust, "c_custkey", approx_rows=n_cust)
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "c_nationkey" not in df.columns or "revenue_cents" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "region": pd.Series(dtype=str),
+                    "nation": pd.Series(dtype=str),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "revenue_cents": pd.Series(dtype="int64"),
+                }
+            )
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        nm = cached_object(m_ref)
+        df = df.dropna(subset=["revenue_cents", "c_nationkey"]).copy()
+        nr = [nm[int(x)] for x in df["c_nationkey"]]
+        df["nation"] = [x[0] for x in nr]
+        df["region"] = [x[1] for x in nr]
+        g = df.groupby(["region", "nation"], sort=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+        return g.reset_index()
+
+    base = (
+        bucketed_aggregate(
+            joined.map_batches(per_nation, batch_format="pandas"),
+            ["region", "nation"],
+            {"n_orders": ("n_orders", "sum"), "revenue_cents": ("revenue_cents", "sum")},
+        )
+        .to_pandas()
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+    )
+    region_rows = (
+        base.groupby("region", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .assign(nation="ALL")
+    )
+    total_row = pd.DataFrame(
+        {
+            "region": ["ALL"],
+            "nation": ["ALL"],
+            "n_orders": [base["n_orders"].sum()],
+            "revenue_cents": [base["revenue_cents"].sum()],
+        }
+    )
+    out = (
+        pd.concat([base, region_rows, total_row], ignore_index=True)
+        .sort_values(["region", "nation"], ignore_index=True)
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+    )
+    return pa.Table.from_pandas(
+        out[["region", "nation", "n_orders", "revenue_cents"]], preserve_index=False
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""

@@ -40,6 +40,7 @@ def _oracle_names():
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
+        "revenue_rollup",
         "corpus_validate",
         "customers_without_orders",
         "events_asof_join",
