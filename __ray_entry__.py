@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_lift": streams.events_type_lift,
         # exact global rank via log2 value bands (no global sort)
         "events_user_value_rank": streams.events_user_value_rank,
+        # activation latency base table (first signup -> first purchase)
+        "events_signup_to_purchase": streams.events_signup_to_purchase,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -573,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": textstats.doc_char_entropy,
         # skyline operator: local fronts merge losslessly
         "doc_pareto_front": textstats.doc_pareto_front,
+        # per-source length inequality (integer Gini, data-card row)
+        "source_length_gini": textstats.source_length_gini,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -797,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_readability": textstats.DOC_READABILITY_SQL,
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
         "doc_pareto_front": textstats.DOC_PARETO_FRONT_SQL,
+        "source_length_gini": textstats.SOURCE_LENGTH_GINI_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
@@ -835,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_distinct_users": streams.HOURLY_DISTINCT_USERS_SQL,
         "events_type_lift": streams.events_type_lift_sql(),
         "events_user_value_rank": streams.EVENTS_USER_VALUE_RANK_SQL,
+        "events_signup_to_purchase": streams.EVENTS_SIGNUP_TO_PURCHASE_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

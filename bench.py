@@ -148,6 +148,8 @@ def run_bench() -> dict:
         "hourly_distinct_users",
         "events_type_lift",
         "events_user_value_rank",
+        "events_signup_to_purchase",
+        "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

@@ -1628,3 +1628,90 @@ SELECT user_id, total_milli, n_events,
 FROM t
 ORDER BY user_id
 """
+
+
+def events_signup_to_purchase(sf_dir: str) -> pa.Table:
+    """Activation latency: for every user, the gap from their FIRST
+    signup to their first purchase AT OR AFTER it — the
+    conversion-time base table (activation funnels, cohort latency
+    curves). One user-bucket shuffle; inside a bucket both "first"s
+    are vectorized groupby mins over the needed event slices; exact
+    integer microseconds (unit pinned to us before the int64 view).
+    Users who never signed up, or never purchased after signing up,
+    drop out — matching the oracle's inner join."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "signup_ts": pd.Series(dtype="datetime64[us]"),
+                "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                "gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "user_id" not in g.columns:
+            return empty
+        s = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "signup_ts"})
+        )
+        if s.empty:
+            return empty
+        p = g[g["event_type"] == "purchase"].merge(s, on="user_id")
+        p = p[p["ts"] >= p["signup_ts"]]
+        if p.empty:
+            return empty
+        first = p.groupby(["user_id", "signup_ts"], as_index=False)["ts"].min().rename(
+            columns={"ts": "purchase_ts"}
+        )
+        gap = (
+            first["purchase_ts"].astype("datetime64[us]").astype("int64")
+            - first["signup_ts"].astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].astype("int64"),
+                "signup_ts": first["signup_ts"].astype("datetime64[us]"),
+                "purchase_ts": first["purchase_ts"].astype("datetime64[us]"),
+                "gap_us": gap.astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_SIGNUP_TO_PURCHASE_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT user_id, signup_ts, purchase_ts,
+       date_diff('microsecond', signup_ts, purchase_ts) AS gap_us
+FROM p
+ORDER BY user_id
+"""

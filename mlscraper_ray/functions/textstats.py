@@ -3720,3 +3720,67 @@ WHERE NOT EXISTS (
     AND (o.n_distinct > t.n_distinct OR o.n_chars > t.n_chars))
 ORDER BY doc_id
 """
+
+
+def source_length_gini(sf_dir: str) -> pa.Table:
+    """Per-source doc-length GINI coefficient in exact integer milli
+    — the inequality statistic for data cards (a source whose token
+    mass concentrates in a few giant docs behaves differently under
+    sampling and packing than a uniform one):
+
+        gini_milli = (2*sum(i*x_i) - (n+1)*sum(x)) * 1000
+                     // (n * sum(x))          (x sorted asc, i 1-based)
+
+    Exact and tie-order-invariant (equal x values contribute the same
+    sum under any permutation of their positions). Sources are the
+    shuffle key (bounded cardinality): one groupby(source) and a
+    vectorized in-group sort — the numerator is always >= 0, so
+    ``//`` truncation == floor on both engines."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if g.empty or "source" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "gini_milli": pd.Series(dtype="int64"),
+                }
+            )
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            x = grp.sort_values(["n_chars", "doc_id"])["n_chars"].to_numpy(dtype=np.int64)
+            n = len(x)
+            tot = int(x.sum())
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = 2 * int((i * x).sum()) - (n + 1) * tot
+            rows.append((str(src), n, num * 1000 // (n * tot) if tot else 0))
+        return pd.DataFrame(rows, columns=["source", "n_docs", "gini_milli"]).astype(
+            {"n_docs": "int64", "gini_milli": "int64"}
+        )
+
+    out = (
+        ds.groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SOURCE_LENGTH_GINI_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST((2*SUM(i*n_chars) - (COUNT(*)+1)*SUM(n_chars)) * 1000
+            // (COUNT(*) * SUM(n_chars)) AS BIGINT) AS gini_milli
+FROM r GROUP BY source
+ORDER BY source
+"""
