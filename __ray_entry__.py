@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_rank": streams.events_user_value_rank,
         # activation latency base table (first signup -> first purchase)
         "events_signup_to_purchase": streams.events_signup_to_purchase,
+        # per-user burstiness signature (integer us gap stats)
+        "events_interarrival": streams.events_interarrival,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -841,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_lift": streams.events_type_lift_sql(),
         "events_user_value_rank": streams.EVENTS_USER_VALUE_RANK_SQL,
         "events_signup_to_purchase": streams.EVENTS_SIGNUP_TO_PURCHASE_SQL,
+        "events_interarrival": streams.EVENTS_INTERARRIVAL_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

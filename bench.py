@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "events_type_lift",
         "events_user_value_rank",
         "events_signup_to_purchase",
+        "events_interarrival",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",

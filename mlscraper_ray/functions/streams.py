@@ -1715,3 +1715,72 @@ SELECT user_id, signup_ts, purchase_ts,
 FROM p
 ORDER BY user_id
 """
+
+
+def events_interarrival(sf_dir: str) -> pa.Table:
+    """Per-user inter-event arrival statistics (gap count, floor-mean
+    and max gap in exact integer microseconds) — the burstiness
+    signature behind bot filtering and session-gap calibration. One
+    user-bucket shuffle; gaps are a vectorized per-user shift-diff
+    over the (ts, event_id)-sorted frame. Single-event users drop out
+    (no gaps), matching the oracle's HAVING."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "mean_gap_us": pd.Series(dtype="int64"),
+                "max_gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "user_id" not in g.columns:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = t.groupby(g["user_id"]).shift()
+        gap = (t - prev).dropna().astype("int64")
+        users = g.loc[gap.index, "user_id"]
+        agg = pd.DataFrame({"user_id": users, "gap": gap}).groupby(
+            "user_id", as_index=False
+        ).agg(n_gaps=("gap", "size"), sum_gap=("gap", "sum"), max_gap_us=("gap", "max"))
+        if agg.empty:
+            return empty
+        agg["mean_gap_us"] = agg["sum_gap"] // agg["n_gaps"]
+        return agg[["user_id", "n_gaps", "mean_gap_us", "max_gap_us"]].astype("int64")
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(gap) AS n_gaps,
+       CAST(SUM(gap) // COUNT(gap) AS BIGINT) AS mean_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(gap) > 0
+ORDER BY user_id
+"""

@@ -71,6 +71,7 @@ def _oracle_names():
         "events_type_lift",
         "events_user_value_rank",
         "events_signup_to_purchase",
+        "events_interarrival",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
