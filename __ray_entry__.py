@@ -495,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_clusters": components.simhash_clusters,
         # who-copies-whom: near-dup pairs rolled to the source matrix
         "source_pair_matrix": dedup.source_pair_matrix,
+        # contribution novelty: each gram credited to its min doc
+        "doc_gram_novelty": dedup.doc_gram_novelty,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
@@ -748,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_table_sql(),
         "dedup_simhash_clusters": components.simhash_clusters_sql(),
         "source_pair_matrix": dedup.source_pair_matrix_sql(),
+        "doc_gram_novelty": dedup.DOC_GRAM_NOVELTY_SQL,
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),

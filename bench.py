@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "dedup_simhash_pairs",
         "dedup_simhash_clusters",
         "source_pair_matrix",
+        "doc_gram_novelty",
         "doc_simhash",
         "dedup_ngram_jaccard",
         "dedup_containment",

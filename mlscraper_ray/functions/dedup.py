@@ -2598,3 +2598,120 @@ JOIN documents db ON db.doc_id = prs.doc_b
 GROUP BY 1, 2
 ORDER BY source_lo, source_hi
 """
+
+
+def doc_gram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
+    """Per-doc n-gram NOVELTY against everything with a SMALLER
+    doc_id — "what does this doc contribute that the corpus didn't
+    already have" under snapshot/crawl ordering (the attribution twin
+    of :func:`doc_dup_span_stats`, which asks the orderless
+    duplicated-fraction question). A gram is credited ONCE, to its
+    minimum doc_id.
+
+    Same two-slim-shuffle plan as dup-span: explode DISTINCT
+    (gram, doc_id) rows into coarse crc32(gram) buckets (per-doc
+    totals emitted locally at explode time — the explode sees the
+    whole doc); per-bucket the min-doc fold credits each gram and
+    pre-aggregates per winner; a final coarse-bucket aggregate sums
+    credits and joins them back to the totals on one key. No pair
+    emission anywhere."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, ids, buckets = [], [], []
+        tot_ids, tot_ns = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            gset = word_gram_set(text, n)
+            grams.extend(gset)
+            ids.extend([doc_id] * len(gset))
+            buckets.extend(zlib.crc32(g.encode()) % 256 for g in gset)
+            tot_ids.append(doc_id)
+            tot_ns.append(len(gset))
+        # totals ride as gram='' rows (never a real gram) in bucket -1
+        grams.extend([""] * len(tot_ids))
+        ids.extend(tot_ids)
+        buckets.extend([-1] * len(tot_ids))
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_val": pa.array(
+                    [1] * (len(ids) - len(tot_ns)) + tot_ns, pa.int64()
+                ),
+                "gram_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+
+    def credit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "gram" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        if int(g["gram_bucket"].iloc[0]) == -1:
+            t = g.groupby("doc_id", as_index=False)["n_val"].sum()
+            return pd.DataFrame(
+                {"doc_id": t["doc_id"].astype("int64"), "kind": "tot", "cnt": t["n_val"].astype("int64")}
+            )
+        winners = g.groupby("gram", sort=False)["doc_id"].min()
+        c = winners.value_counts()
+        return pd.DataFrame(
+            {"doc_id": c.index.astype("int64"), "kind": "nov", "cnt": c.to_numpy().astype("int64")}
+        )
+
+    folded = (
+        bucketed_aggregate(
+            exploded.groupby("gram_bucket").map_groups(credit_bucket, batch_format="pandas"),
+            ["doc_id", "kind"],
+            {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+    )
+    tot = folded[folded["kind"] == "tot"].set_index("doc_id")["cnt"]
+    nov = folded[folded["kind"] == "nov"].set_index("doc_id")["cnt"]
+    out = pd.DataFrame(
+        {
+            "doc_id": tot.index.astype("int64"),
+            "n_grams": tot.to_numpy().astype("int64"),
+        }
+    )
+    out["n_novel"] = out["doc_id"].map(nov).fillna(0).astype("int64")
+    out["novelty_milli"] = (1000 * out["n_novel"]) // out["n_grams"].clip(lower=1)
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOC_GRAM_NOVELTY_SQL = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram
+    FROM words WHERE len(w) BETWEEN 1 AND 2
+),
+firsts AS (SELECT gram, MIN(doc_id) AS doc_id FROM grams GROUP BY gram),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+nov AS (SELECT doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       (1000 * CAST(COALESCE(n.n_novel, 0) AS BIGINT)) // GREATEST(t.n_grams, 1)
+         AS novelty_milli
+FROM tot t LEFT JOIN nov n USING (doc_id)
+ORDER BY t.doc_id
+"""

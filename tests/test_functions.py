@@ -59,6 +59,7 @@ def _oracle_names():
         "dedup_simhash_pairs",
         "dedup_simhash_clusters",
         "source_pair_matrix",
+        "doc_gram_novelty",
         "doc_simhash",
         "dedup_segments",
         "doc_scrub_dup_runs",
