@@ -468,6 +468,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": joins.q3_shipping_priority,
         # EXISTS semi-join via bucketed-distinct key set (never broadcast)
         "orders_with_returns": joins.orders_with_returns_by_priority,
+        # three-cogroup local-supplier volume (customer nation == supplier nation)
+        "q5_local_supplier_volume": joins.q5_local_supplier_volume,
+        # groupby-HAVING semi-join, fact-sized qualifier set, blockwise top-k
+        "q18_large_orders": joins.q18_large_orders,
         # grouped top-k leaderboard (per-nation partial top-k merge)
         "top_customers_by_nation": joins.top_customers_by_nation,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
@@ -719,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_discount_revenue": aggregates.Q6_DISCOUNT_REVENUE_SQL,
         "q3_shipping_priority": joins.q3_shipping_priority_sql(),
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
+        "q5_local_supplier_volume": joins.q5_local_supplier_volume_sql(),
+        "q18_large_orders": joins.q18_large_orders_sql(),
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,

@@ -162,6 +162,8 @@ def run_bench() -> dict:
         "doc_pareto_front",
         "q3_shipping_priority",
         "orders_with_returns",
+        "q5_local_supplier_volume",
+        "q18_large_orders",
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",

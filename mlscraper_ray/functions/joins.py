@@ -1010,6 +1010,253 @@ LIMIT {k}
 """
 
 
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> pa.Table:
+    """TPC-H-Q5-flavored local-supplier volume: revenue per nation from
+    lineitems where the CUSTOMER's nation equals the SUPPLIER's nation,
+    restricted to one region and a one-year order window.
+
+    Distributed shape — three cogroup shuffles, zero fact-side
+    broadcasts (customer AND supplier both scale with the corpus, so
+    neither is ever collected to the driver; the only driver-side
+    table is the 25-row nation x region map):
+
+    1. orders (date-filtered, slim 2 cols) JOIN customer
+       (region-filtered, slim 2 cols) on custkey  -> (orderkey, c_nat)
+    2. lineitem (slim rev partial) JOIN step-1 on orderkey
+       -> (suppkey, c_nat, rev_cents), pre-summed per (suppkey, c_nat)
+       inside each bucket so step 3 ships partials, not lineitems
+    3. step-2 JOIN supplier (region-filtered, slim 2 cols) on suppkey,
+       then the local-supplier predicate c_nat == s_nat filters in the
+       merge output and a 25-group fold finishes on nation name.
+    """
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    keys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(set(keys))]
+    region_nations = set(int(k) for k in nat["n_nationkey"])
+    name_by_key = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df.loc[
+            (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi),
+            ["o_orderkey", "o_custkey"],
+        ].rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda df: df.loc[
+            df["c_nationkey"].isin(region_nations), ["c_custkey", "c_nationkey"]
+        ]
+        .rename(columns={"c_custkey": "custkey", "c_nationkey": "c_nat"})
+        .astype({"custkey": "int64", "c_nat": "int64"}),
+        batch_format="pandas",
+    )
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    o_c = cogroup_join(orders, cust, "custkey", approx_rows=n_orders).map_batches(
+        lambda df: df[["o_orderkey", "c_nat"]].rename(
+            columns={"o_orderkey": "orderkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    def li_slim(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        dpct = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "orderkey": df["l_orderkey"].astype("int64"),
+                "suppkey": df["l_suppkey"].astype("int64"),
+                "rev_cents": (cents * (100 - dpct)) // 100,
+            }
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pandas")
+    n_li = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    l_oc = cogroup_join(li, o_c, "orderkey", approx_rows=n_li).map_batches(
+        lambda df: df.groupby(["suppkey", "c_nat"], sort=False)
+        .agg(rev_cents=("rev_cents", "sum"), n_lineitems=("rev_cents", "size"))
+        .reset_index(),
+        batch_format="pandas",
+    )
+
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda df: df.loc[
+            df["s_nationkey"].isin(region_nations), ["s_suppkey", "s_nationkey"]
+        ]
+        .rename(columns={"s_suppkey": "suppkey", "s_nationkey": "s_nat"})
+        .astype({"suppkey": "int64", "s_nat": "int64"}),
+        batch_format="pandas",
+    )
+    joined = cogroup_join(l_oc, supp, "suppkey", approx_rows=n_li)
+
+    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nat"] == df["s_nat"]]
+        return (
+            df.groupby("s_nat", sort=False)
+            .agg(
+                revenue_cents=("rev_cents", "sum"), n_lineitems=("n_lineitems", "sum")
+            )
+            .reset_index()
+        )
+
+    out = (
+        bucketed_aggregate(
+            joined.map_batches(local_partial, batch_format="pandas"),
+            ["s_nat"],
+            {
+                "revenue_cents": ("revenue_cents", "sum"),
+                "n_lineitems": ("n_lineitems", "sum"),
+            },
+            n_buckets=25,
+        )
+        .to_pandas()
+    )
+    out["n_name"] = out["s_nat"].map(name_by_key)
+    out = out[["n_name", "revenue_cents", "n_lineitems"]].sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True], ignore_index=True
+    )
+    for c in ("revenue_cents", "n_lineitems"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q5_local_supplier_volume_sql(
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    return f"""
+SELECT n_name,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+def q18_large_orders(
+    sf_dir: str, min_qty: int = 200, k: int = 50
+) -> pa.Table:
+    """TPC-H-Q18-flavored large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_qty``, joined back to the order and
+    its customer; top-``k`` by quantity.
+
+    Distributed shape: the HAVING side is a bucketed per-orderkey
+    quantity fold (one shuffle of slim (orderkey, qty) partials — the
+    groupby-HAVING semi-join pattern where the qualifying key set is
+    fact-sized and can never broadcast); qualifying keys then cogroup
+    with orders on orderkey and with customer on custkey (two more
+    slim shuffles, each shipping only qualifier-sized rows). The final
+    top-k folds blockwise local heads — the aggregate is never
+    materialized whole. Quantities ride as exact int64 units."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda df: df.groupby("l_orderkey", sort=False)
+        .agg(total_qty=("l_quantity", "sum"))
+        .reset_index()
+        .rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    big = bucketed_aggregate(
+        li, ["o_orderkey"], {"total_qty": ("total_qty", "sum")}
+    ).map_batches(
+        lambda df: df.loc[df["total_qty"] > min_qty].assign(
+            o_orderkey=lambda d: d["o_orderkey"].astype("int64"),
+            total_qty=lambda d: d["total_qty"].round().astype("int64"),
+        ),
+        batch_format="pandas",
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "o_orderdate": df["o_orderdate"],
+                "price_cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    bo = cogroup_join(big, orders, "o_orderkey", approx_rows=n_orders)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda df: df.astype({"c_custkey": "int64"}), batch_format="pandas"
+    )
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    joined = cogroup_join(bo, cust, "c_custkey", approx_rows=max(n_cust, 1))
+
+    order_cols = ["total_qty", "price_cents", "o_orderkey"]
+    asc = [False, False, True]
+    cols = ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "price_cents", "total_qty"]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=asc).head(k)[cols]
+
+    out = (
+        joined.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(order_cols, ascending=asc, ignore_index=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q18_large_orders_sql(min_qty: int = 200, k: int = 50) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > {min_qty}
+ORDER BY total_qty DESC, price_cents DESC, o_orderkey
+LIMIT {k}
+"""
+
+
 def orders_with_returns_by_priority(sf_dir: str) -> pa.Table:
     """Semi-join exemplar (TPC-H-Q4 shape): count orders per
     o_orderpriority having AT LEAST ONE returned lineitem

@@ -37,6 +37,8 @@ def _oracle_names():
         "q6_discount_revenue",
         "q3_shipping_priority",
         "orders_with_returns",
+        "q5_local_supplier_volume",
+        "q18_large_orders",
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
