@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_signup_to_purchase": streams.events_signup_to_purchase,
         # per-user burstiness signature (integer us gap stats)
         "events_interarrival": streams.events_interarrival,
+        # DAU/WAU rolling distinct actives (w-fold cover explode, no per-user loop)
+        "events_dau_wau": streams.events_dau_wau,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -853,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_value_rank": streams.EVENTS_USER_VALUE_RANK_SQL,
         "events_signup_to_purchase": streams.EVENTS_SIGNUP_TO_PURCHASE_SQL,
         "events_interarrival": streams.EVENTS_INTERARRIVAL_SQL,
+        "events_dau_wau": streams.EVENTS_DAU_WAU_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

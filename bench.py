@@ -150,6 +150,7 @@ def run_bench() -> dict:
         "events_user_value_rank",
         "events_signup_to_purchase",
         "events_interarrival",
+        "events_dau_wau",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",

@@ -1784,3 +1784,106 @@ GROUP BY user_id
 HAVING COUNT(gap) > 0
 ORDER BY user_id
 """
+
+
+def events_dau_wau(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """Daily / rolling-``window_days`` active users (DAU / WAU): for
+    each OBSERVED active day D, the count of distinct users active on
+    D and the count of distinct users active anywhere in
+    [D-(w-1), D]. Gap days with zero activity do not emit a row (and
+    the domain never extends past the last observed day) — the day
+    domain is exactly ``SELECT DISTINCT day FROM events``.
+
+    Distributed shape — never a per-user Python loop and never a
+    COUNT(DISTINCT) over raw events: one slim bucketed distinct
+    collapses events to (user, day) pairs; DAU is a per-day count of
+    those pairs; WAU replicates each pair ``w`` times (day+0..w-1 —
+    the days whose trailing window contains it), re-distincts the
+    (user, covered_day) pairs so multi-active users count once per
+    window, and counts per covered day. All shuffles ship 2-column
+    integer rows; the final per-day tables are calendar-sized (one
+    row per day, ~37k rows per century) and merge on the driver."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+            }
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {"user_id": g["user_id"], "day": g["day"], "one": pa.array(np.ones(g.num_rows, dtype=np.int64))}
+        )
+
+    pairs = bucketed_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id", "day"],
+        {"one": ("one", "max")},
+    )
+
+    dau = (
+        bucketed_aggregate(
+            pairs.map_batches(
+                lambda df: df.groupby("day", sort=False).size().rename("dau").reset_index(),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"dau": ("dau", "sum")},
+        )
+        .to_pandas()
+    )
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        reps = pd.DataFrame(
+            {
+                "user_id": np.repeat(df["user_id"].to_numpy(), window_days),
+                "cday": np.repeat(df["day"].to_numpy(), window_days)
+                + np.tile(
+                    pd.to_timedelta(np.arange(window_days), unit="D"), len(df)
+                ),
+            }
+        )
+        reps["one"] = np.int64(1)
+        return reps
+
+    covered = bucketed_aggregate(
+        pairs.map_batches(cover, batch_format="pandas"),
+        ["user_id", "cday"],
+        {"one": ("one", "max")},
+    )
+    wau = (
+        bucketed_aggregate(
+            covered.map_batches(
+                lambda df: df.groupby("cday", sort=False).size().rename("wau").reset_index(),
+                batch_format="pandas",
+            ),
+            ["cday"],
+            {"wau": ("wau", "sum")},
+        )
+        .to_pandas()
+        .rename(columns={"cday": "day"})
+    )
+
+    out = dau.merge(wau, on="day", how="left").sort_values("day", ignore_index=True)
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    return pa.Table.from_pandas(out[["day", "dau", "wau"]], preserve_index=False)
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+days AS (SELECT DISTINCT d AS day FROM pairs)
+SELECT day,
+       COUNT(DISTINCT CASE WHEN p.d = day THEN p.user_id END) AS dau,
+       COUNT(DISTINCT p.user_id) AS wau
+FROM days
+JOIN pairs p ON p.d <= day AND p.d > day - INTERVAL 7 DAY
+GROUP BY day
+ORDER BY day
+"""

@@ -75,6 +75,7 @@ def _oracle_names():
         "events_user_value_rank",
         "events_signup_to_purchase",
         "events_interarrival",
+        "events_dau_wau",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
@@ -3490,3 +3491,36 @@ class TestBpeProperty:
             ]
             sql = self._sql_merges(hist, n_merges)
             assert py == sql, (trial, hist, n_merges, py, sql)
+
+
+class TestEventsDauWau:
+    def test_window_dedup_and_day_domain(self, ray_session, tmp_path):
+        """A user active twice inside one trailing window counts ONCE
+        in that window's WAU; gap days emit no row (observed-day
+        domain); an isolated late day sees none of the early users."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from mlscraper_ray.functions.streams import events_dau_wau
+
+        base = pd.Timestamp("2024-03-01 12:00:00")
+        d = pd.Timedelta(days=1)
+        rows = [
+            (1, base),          # user 1 active day 0
+            (1, base + 3 * d),  # ... and day 3 (same trailing window as day 0)
+            (2, base),          # user 2 active day 0 only
+            (3, base + 10 * d), # user 3 isolated on day 10
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_dau_wau(str(tmp_path)).to_pandas()
+        day0 = pd.Timestamp("2024-03-01")
+        assert out["day"].tolist() == [day0, day0 + 3 * d, day0 + 10 * d]
+        assert out["dau"].tolist() == [2, 1, 1]
+        # day 3's window covers day 0: users {1, 2}; user 1 active on
+        # BOTH covered days still counts once
+        assert out["wau"].tolist() == [2, 2, 1]
