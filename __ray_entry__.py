@@ -503,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_pair_matrix": dedup.source_pair_matrix,
         # contribution novelty: each gram credited to its min doc
         "doc_gram_novelty": dedup.doc_gram_novelty,
+        # simhash hamming calibration over consecutive-id pairs
+        "simhash_pair_histogram": dedup.simhash_pair_histogram,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
@@ -759,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_clusters": components.simhash_clusters_sql(),
         "source_pair_matrix": dedup.source_pair_matrix_sql(),
         "doc_gram_novelty": dedup.DOC_GRAM_NOVELTY_SQL,
+        "simhash_pair_histogram": dedup.SIMHASH_PAIR_HISTOGRAM_SQL,
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),

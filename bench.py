@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "dedup_simhash_clusters",
         "source_pair_matrix",
         "doc_gram_novelty",
+        "simhash_pair_histogram",
         "doc_simhash",
         "dedup_ngram_jaccard",
         "dedup_containment",

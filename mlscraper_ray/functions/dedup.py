@@ -2715,3 +2715,87 @@ SELECT t.doc_id, t.n_grams,
 FROM tot t LEFT JOIN nov n USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def simhash_pair_histogram(sf_dir: str) -> pa.Table:
+    """Hamming-distance histogram over all CONSECUTIVE-ID document
+    pairs (2k, 2k+1) — the simhash-space calibration table read before
+    choosing a near-dup ``max_hamming`` cut (the fingerprint-family
+    mirror of embed_pair_histogram: ids carry no semantics, so
+    consecutive pairing is an unbiased corpus-wide sample at half the
+    corpus cardinality).
+
+    Scale shape: each doc collapses to ONE slim (pair, side, simhash)
+    int64 row at the map (the text never leaves the batch), pairs meet
+    in crc32-hashed buckets, per-bucket popcount is a vectorized
+    byte-LUT fold, and only the <=65-row histogram leaves."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    n_buckets = 64
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    def to_sides(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sims = simhash64_batch(batch["text"].to_pylist())
+        signed = np.array(
+            [s - (1 << 64) if s >= (1 << 63) else s for s in sims], dtype=np.int64
+        )
+        pair = ids // 2
+        pb = np.array(
+            [zlib.crc32(str(p).encode()) % n_buckets for p in pair], dtype=np.int32
+        )
+        return pd.DataFrame(
+            {"pair": pair, "side": ids % 2, "simhash": signed, "__pb": pb}
+        )
+
+    def hamming_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "pair" not in g.columns:
+            return pd.DataFrame(
+                {"hamming": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")}
+            )
+        w = g.pivot_table(index="pair", columns="side", values="simhash", aggfunc="first")
+        if 0 not in w.columns or 1 not in w.columns:
+            return pd.DataFrame(
+                {"hamming": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")}
+            )
+        w = w.dropna(subset=[0, 1])  # odd corpus tail: unpaired last id
+        x = (
+            w[0].to_numpy().astype(np.int64).view(np.uint64)
+            ^ w[1].to_numpy().astype(np.int64).view(np.uint64)
+        )
+        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        vc = pd.Series(ham).value_counts()
+        return pd.DataFrame(
+            {
+                "hamming": vc.index.astype("int64"),
+                "n_pairs": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(to_sides, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(hamming_bucket, batch_format="pandas"),
+            ["hamming"],
+            {"n_pairs": ("n_pairs", "sum")},
+        )
+        .to_pandas()
+        .sort_values("hamming", ignore_index=True)
+    )
+    out["hamming"] = out["hamming"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SIMHASH_PAIR_HISTOGRAM_SQL = _SIMHASH_SIG_CTE + """
+SELECT bit_count(xor(a.s, b.s)) AS hamming, COUNT(*) AS n_pairs
+FROM sig a
+JOIN sig b ON (a.doc_id // 2) = (b.doc_id // 2)
+          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+GROUP BY 1
+ORDER BY 1
+"""

@@ -62,6 +62,7 @@ def _oracle_names():
         "dedup_simhash_clusters",
         "source_pair_matrix",
         "doc_gram_novelty",
+        "simhash_pair_histogram",
         "doc_simhash",
         "dedup_segments",
         "doc_scrub_dup_runs",
