@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (one tokenize pass, sentinel-fused uni+bi counts, local
         # top-k cuts; vocab-guarded broadcast vs 2-round hash join)
         "bigram_dice_top": textstats.bigram_dice_top,
+        # window-4 skip-gram collocations by exact integer lift
+        "window_cooc_lift": textstats.window_cooc_lift,
         "doc_langid": textstats.langid,
         "doc_clean": textstats.clean_text,
         # PII scrub: count + redact emails/phones/IPs, pure streaming
@@ -808,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": textstats.DOC_REPETITION_STATS_SQL,
         "doc_oov_rate": textstats.DOC_OOV_RATE_SQL,
         "bigram_dice_top": textstats.BIGRAM_DICE_TOP_SQL,
+        "window_cooc_lift": textstats.WINDOW_COOC_LIFT_SQL,
         "doc_langid": textstats.LANGID_SQL,
         "doc_clean": textstats.CLEAN_TEXT_SQL,
         "doc_pii_scrub": textstats.pii_scrub_sql(),

@@ -250,6 +250,7 @@ def run_bench() -> dict:
         "doc_repetition_stats",
         "doc_oov_rate",
         "bigram_dice_top",
+        "window_cooc_lift",
         "doc_length_outliers",
         "doc_strip_boilerplate",
         "source_quality_gate",

@@ -3784,3 +3784,163 @@ SELECT source, COUNT(*) AS n_docs,
 FROM r GROUP BY source
 ORDER BY source
 """
+
+
+def window_cooc_lift(
+    sf_dir: str,
+    vocab_size: int = 256,
+    window: int = 4,
+    k: int = 50,
+    min_count: int = 3,
+) -> pa.Table:
+    """Skip-gram collocation mining: top-``k`` unordered in-vocab token
+    pairs co-occurring within ``window`` positions, ranked by exact
+    integer lift — ``lift_milli = (1000 * c_ab * N_tok^2) // (c_a *
+    c_b * N_pairs)`` (PMI's exponential; > 1000 means
+    more-than-independent). Window distances are measured on the
+    ORIGINAL token sequence, then both endpoints must sit in the
+    corpus top-``vocab_size`` vocabulary (count desc, word asc ties);
+    equal-word pairs are excluded; pairs below ``min_count`` are
+    noise-gated. Complements bigram_dice_top (adjacency) with
+    window-4 phrase structure.
+
+    Distributed plan: the oov_rate vocab fold builds the broadcast
+    vocabulary (count partials -> coarse-bucket aggregate -> local
+    top-V -> V-row driver merge); ONE more tokenize pass emits local
+    (w1, w2, cnt) pair partials that fold through the bucketed
+    aggregate. The resolved pair table is vocab-bounded (<= V^2/2
+    rows, independent of corpus size), so scoring runs driver-side in
+    arbitrary-precision Python ints — N_tok^2 * c_ab overflows int64
+    at web scale, and the SQL mirror uses HUGEINT for the same
+    reason."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    counts = bucketed_aggregate(
+        docs.map_batches(
+            lambda b: _local_word_counts(b["text"]), batch_format="pandas"
+        ),
+        ["word"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    def local_topv(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"], ascending=[False, True]).head(
+            vocab_size
+        )
+
+    merged = counts.map_batches(local_topv, batch_format="pandas").to_pandas()
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "pair_count": pa.array([], pa.int64()),
+            "lift_milli": pa.array([], pa.int64()),
+        }
+    )
+    if len(merged) == 0:
+        return empty
+    vdf = merged.sort_values(["cnt", "word"], ascending=[False, True]).head(
+        vocab_size
+    )
+    vocab_counts = {w: int(c) for w, c in zip(vdf["word"], vdf["cnt"])}
+    n_tok = sum(vocab_counts.values())
+    v_ref = ray.put(frozenset(vocab_counts))
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        v = cached_object(v_ref)
+        c: Counter = Counter()
+        for text in batch["text"]:
+            toks = text.split()
+            for o in range(1, window + 1):
+                for a, b in zip(toks, toks[o:]):
+                    if a != b and a in v and b in v:
+                        c[(a, b) if a < b else (b, a)] += 1
+        if not c:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype="object"),
+                    "w2": pd.Series(dtype="object"),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {
+                "w1": [x[0] for x in ks],
+                "w2": [x[1] for x in ks],
+                "cnt": pd.Series([c[x] for x in ks], dtype="int64"),
+            }
+        )
+
+    pairs = bucketed_aggregate(
+        docs.map_batches(pair_partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"pair_count": ("cnt", "sum")},
+    ).to_pandas()
+    if len(pairs) == 0:
+        return empty
+    n_pairs = int(pairs["pair_count"].sum())
+    pairs = pairs[pairs["pair_count"] >= min_count].copy()
+    if len(pairs) == 0:
+        return empty
+    lift = [
+        (1000 * int(cab) * n_tok * n_tok)
+        // (vocab_counts[a] * vocab_counts[b] * n_pairs)
+        for a, b, cab in zip(pairs["w1"], pairs["w2"], pairs["pair_count"])
+    ]
+    pairs["lift_milli"] = pd.Series(lift, index=pairs.index, dtype="int64")
+    out = (
+        pairs.sort_values(
+            ["lift_milli", "pair_count", "w1", "w2"],
+            ascending=[False, False, True, True],
+            ignore_index=True,
+        )
+        .head(k)[["w1", "w2", "pair_count", "lift_milli"]]
+        .reset_index(drop=True)
+    )
+    out["pair_count"] = out["pair_count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def window_cooc_lift_sql(
+    vocab_size: int = 256, window: int = 4, k: int = 50, min_count: int = 3
+) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, arr[i] AS w, i
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+          FROM documents WHERE trim(text) <> '') t,
+         UNNEST(generate_series(1, len(arr))) AS s(i)
+),
+cnt AS (SELECT w AS word, COUNT(*) AS c FROM toks GROUP BY w),
+vocab AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {vocab_size}),
+ntok AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM vocab),
+pr AS (
+    SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {window}
+    WHERE a.w <> b.w
+      AND a.w IN (SELECT word FROM vocab)
+      AND b.w IN (SELECT word FROM vocab)
+),
+pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pr GROUP BY w1, w2),
+np AS (SELECT CAST(SUM(c_ab) AS HUGEINT) AS n FROM pc)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS pair_count,
+       CAST((1000 * CAST(c_ab AS HUGEINT) * (SELECT n FROM ntok) * (SELECT n FROM ntok))
+            // (CAST(v1.c AS HUGEINT) * v2.c * (SELECT n FROM np)) AS BIGINT)
+           AS lift_milli
+FROM pc
+JOIN vocab v1 ON pc.w1 = v1.word
+JOIN vocab v2 ON pc.w2 = v2.word
+WHERE c_ab >= {min_count}
+ORDER BY lift_milli DESC, pair_count DESC, w1, w2
+LIMIT {k}
+"""
+
+
+WINDOW_COOC_LIFT_SQL = window_cooc_lift_sql()

@@ -123,6 +123,7 @@ def _oracle_names():
         "doc_repetition_stats",
         "doc_oov_rate",
         "bigram_dice_top",
+        "window_cooc_lift",
         "doc_length_outliers",
         "doc_strip_boilerplate",
         "source_quality_gate",
