@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "events_signup_to_purchase",
         "events_interarrival",
         "events_dau_wau",
+        "events_peak_concurrency",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",

@@ -1887,3 +1887,140 @@ JOIN pairs p ON p.d <= day AND p.d > day - INTERVAL 7 DAY
 GROUP BY day
 ORDER BY day
 """
+
+
+def events_peak_concurrency(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Peak concurrent sessions (capacity-planning sweep): sessionize
+    per user (gap rule), treat each session as the inclusive interval
+    [first_ts, last_ts], and find the maximum number of simultaneously
+    open sessions plus the earliest instant it is reached. One row:
+    (n_sessions, peak, peak_ts).
+
+    Distributed shape — the classic +1/-1 boundary sweep without a
+    global sort: sessions build inside user-hash buckets (one shuffle,
+    vectorized gap/cumsum per bucket); boundary deltas (+1 at start,
+    -1 at end+1us so inclusive ends never undercount their own
+    instant) collapse per distinct timestamp through the coarse-bucket
+    aggregate (second shuffle); then each HOUR of the timeline
+    prefix-sums locally inside its group and ships only (hour,
+    local_max, first_max_ts, total) — the driver folds the
+    calendar-sized hour partials in time order, offsetting each
+    hour's local max by the running total of all prior hours. Exact:
+    a whole-hour offset shifts every in-hour prefix uniformly, so
+    the global peak is max(offset + local_max) and its first instant
+    is the earliest qualifying hour's recorded first-max ts."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        sid = (prev.isna() | ((g["ts"] - prev) > gap)).cumsum()
+        s = g.groupby(sid)["ts"].agg(["min", "max"])
+        # starts rides as its own column: a start and an end sharing a
+        # microsecond cancel in d but must still count one session
+        out = pd.DataFrame(
+            {
+                "ts": pd.concat(
+                    [s["min"], s["max"] + pd.Timedelta(microseconds=1)],
+                    ignore_index=True,
+                ),
+                "d": np.concatenate(
+                    [np.ones(len(s), dtype=np.int64), -np.ones(len(s), dtype=np.int64)]
+                ),
+                "starts": np.concatenate(
+                    [np.ones(len(s), dtype=np.int64), np.zeros(len(s), dtype=np.int64)]
+                ),
+            }
+        )
+        return out
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    deltas = bucketed_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions, batch_format="pandas"),
+        ["ts"],
+        {"d": ("d", "sum"), "starts": ("starts", "sum")},
+    )
+
+    def hour_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df
+
+    def per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        run = g["d"].cumsum()
+        mx = int(run.max())
+        first_ts = g.loc[run.eq(mx).idxmax(), "ts"]
+        return pd.DataFrame(
+            {
+                "hour": [g["hour"].iloc[0]],
+                "local_max": pd.Series([mx], dtype="int64"),
+                "first_ts": [first_ts],
+                "total": pd.Series([int(g["d"].sum())], dtype="int64"),
+                "n_starts": pd.Series([int(g["starts"].sum())], dtype="int64"),
+            }
+        )
+
+    hours = (
+        deltas.map_batches(hour_partial, batch_format="pandas")
+        .groupby("hour")
+        .map_groups(per_hour, batch_format="pandas")
+        .to_pandas()
+        .sort_values("hour", ignore_index=True)
+    )
+    n_sessions = int(hours["n_starts"].sum())
+    offset, peak, peak_ts = 0, None, None
+    for _, row in hours.iterrows():
+        cand = offset + int(row["local_max"])
+        if peak is None or cand > peak:
+            peak, peak_ts = cand, row["first_ts"]
+        offset += int(row["total"])
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "peak": pa.array([peak], pa.int64()),
+            "peak_ts": pa.array([peak_ts], pa.timestamp("us")),
+        }
+    )
+
+
+def events_peak_concurrency_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM (SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        FROM flagged)
+  GROUP BY user_id, session_id
+),
+b AS (SELECT s AS ts, 1 AS d FROM sess
+      UNION ALL SELECT e + INTERVAL 1 MICROSECOND AS ts, -1 AS d FROM sess),
+agg AS (SELECT ts, CAST(SUM(d) AS BIGINT) AS d FROM b GROUP BY ts),
+run AS (SELECT ts, SUM(d) OVER (ORDER BY ts) AS c FROM agg)
+SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+       CAST((SELECT MAX(c) FROM run) AS BIGINT) AS peak,
+       (SELECT MIN(ts) FROM run WHERE c = (SELECT MAX(c) FROM run)) AS peak_ts
+"""
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = events_peak_concurrency_sql()

@@ -77,6 +77,7 @@ def _oracle_names():
         "events_signup_to_purchase",
         "events_interarrival",
         "events_dau_wau",
+        "events_peak_concurrency",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
@@ -3526,3 +3527,57 @@ class TestEventsDauWau:
         # day 3's window covers day 0: users {1, 2}; user 1 active on
         # BOTH covered days still counts once
         assert out["wau"].tolist() == [2, 2, 1]
+
+
+class TestEventsPeakConcurrency:
+    def test_same_microsecond_start_end_cancellation(self, ray_session, tmp_path):
+        """A session END (-1 at end+1us) landing on the SAME microsecond
+        as another session's START must still count both sessions: the
+        deltas cancel in the sweep but n_sessions rides separately."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from mlscraper_ray.functions.streams import events_peak_concurrency
+
+        t0 = pd.Timestamp("2024-05-01 09:00:00")
+        t1 = t0 + pd.Timedelta(minutes=5)
+        rows = [
+            (1, t0),
+            (1, t1),  # user 1 session [t0, t1] -> -1 at t1+1us
+            (2, t1 + pd.Timedelta(microseconds=1)),  # +1 exactly there
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_peak_concurrency(str(tmp_path)).to_pandas()
+        assert out["n_sessions"].tolist() == [2]
+        assert out["peak"].tolist() == [1]
+        assert out["peak_ts"].tolist() == [t0]
+
+    def test_overlap_peak_and_first_instant(self, ray_session, tmp_path):
+        """Three users overlap 2-deep twice; peak_ts is the FIRST."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from mlscraper_ray.functions.streams import events_peak_concurrency
+
+        t0 = pd.Timestamp("2024-05-01 09:00:00")
+        m = pd.Timedelta(minutes=1)
+        rows = [
+            (1, t0), (1, t0 + 10 * m),          # session A [0, 10]
+            (2, t0 + 5 * m), (2, t0 + 12 * m),  # B [5, 12] overlaps A
+            (3, t0 + 11 * m), (3, t0 + 20 * m), # C [11, 20] overlaps B
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_peak_concurrency(str(tmp_path)).to_pandas()
+        assert out["n_sessions"].tolist() == [3]
+        assert out["peak"].tolist() == [2]
+        assert out["peak_ts"].tolist() == [t0 + 5 * m]
