@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed rounds; generator-truth constant-table oracle) — just
         # past the driver window, pinned by the in-repo rehearsal
         "host_communities": pagerank.host_communities,
+        # degree assortativity: exact moment fold over the pair graph
+        "host_assortativity": pagerank.host_assortativity,
         # ---- tier 3: last driver-checked in r3 -------------------
         "crawl_order": crawl_pipeline.crawl_order_query,
         "crawl_order_recrawl": crawl_pipeline.crawl_order_recrawl_query,
@@ -953,6 +955,7 @@ def _truth_oracle_entries() -> dict[str, str]:
         "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.01),
         "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.01),
         "host_communities": lambda: truth_oracles.host_communities_truth_sql(0.01),
+        "host_assortativity": lambda: truth_oracles.host_assortativity_truth_sql(0.01),
     }
     out: dict[str, str] = {}
     for name, build in builders.items():

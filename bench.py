@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "host_triangles",
         "host_kcore",
         "host_communities",
+        "host_assortativity",
         "robots_stats",
         "crawl_depth_histogram",
         "extract_main_content",

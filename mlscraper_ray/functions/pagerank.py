@@ -1549,3 +1549,96 @@ def host_communities(
         )
     out = out.sort_values("host", ignore_index=True)
     return pa.Table.from_pandas(out[["host", "community"]], preserve_index=False)
+
+
+def host_assortativity_ds(edges: ray.data.Dataset) -> pa.Table:
+    """Degree assortativity of the distinct cross-host link graph —
+    the hub-wiring signal (Newman 2002): over each distinct directed
+    host pair (sh, dh), correlate x = out-degree(sh) with
+    y = in-degree(dh) (degrees are DISTINCT-neighbor counts on the
+    same pair graph). Positive: hubs cite hubs (walled gardens);
+    negative: hubs cite the long tail (directories, link farms).
+
+    One row of exact sufficient statistics plus
+    ``assort_milli = (1000 * (n*Sxy - Sx*Sy)) // isqrt((n*Sxx - Sx^2)
+    * (n*Syy - Sy^2))`` — integer floor division against the exact
+    integer square root, so the score is bit-stable (0 when either
+    variance term is 0).
+
+    Distributed shape: degrees are two slim bucketed counts over the
+    distinct-pair table; each degree joins back onto the pairs by its
+    own key (two cogroup shuffles of (host, deg) int rows); per-batch
+    moment partials fold on the driver as arbitrary-precision Python
+    ints. Per-batch int64 envelope: rows_per_batch * max_deg^2 must
+    stay under 2^63 — holds for distinct-HOST degrees (not raw link
+    counts) through ~10^7-host graphs at the default batch size."""
+    import math
+
+    import numpy as np
+
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    pairs = _distinct_host_pairs(edges).map_batches(
+        lambda df: df[["sh", "dh"]], batch_format="pandas"
+    )
+
+    out_deg = bucketed_aggregate(
+        pairs.map_batches(
+            lambda df: df.assign(od=np.int64(1))[["sh", "od"]], batch_format="pandas"
+        ),
+        ["sh"],
+        {"od": ("od", "sum")},
+    )
+    in_deg = bucketed_aggregate(
+        pairs.map_batches(
+            lambda df: df.assign(idg=np.int64(1))[["dh", "idg"]], batch_format="pandas"
+        ),
+        ["dh"],
+        {"idg": ("idg", "sum")},
+    )
+    with_out = cogroup_join(pairs, out_deg, "sh")
+    both = cogroup_join(with_out, in_deg, "dh")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["od"].to_numpy(dtype=np.int64)
+        y = df["idg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    parts = both.map_batches(moments, batch_format="pandas").to_pandas()
+    n, sx, sy = int(parts["n"].sum()), int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy, sxy = (
+        int(parts["sxx"].sum()),
+        int(parts["syy"].sum()),
+        int(parts["sxy"].sum()),
+    )
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    den = math.isqrt(dxx * dyy)
+    milli = (1000 * num) // den if den > 0 else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xx": pa.array([sxx], pa.int64()),
+            "sum_yy": pa.array([syy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "assort_milli": pa.array([milli], pa.int64()),
+        }
+    )
+
+
+def host_assortativity(sf_dir: str, broadcast_limit: int = 2_000_000) -> pa.Table:
+    """Driver-table wrapper over the cached corpus link graph."""
+    _, edges = corpus_link_graph(sf_dir, broadcast_limit=broadcast_limit)
+    return host_assortativity_ds(edges)

@@ -1072,3 +1072,60 @@ def crawl_depth_histogram_truth_sql(sf: float) -> str:
         )
 
     return _cached(corpus_dir, "crawl_depthhist", key, build)
+
+
+def host_assortativity_truth_sql(sf: float) -> str:
+    """Single-row exact assortativity statistics recomputed from the
+    generator's link records (distinct cross-host pairs over
+    EXISTING-page edges, same universe as host_reciprocity_truth) —
+    arbitrary-precision Python integers end to end, so the constant
+    table pins both the moment sums and the isqrt-floored milli
+    score independently of the distributed join/fold path."""
+    import math
+    from collections import defaultdict
+
+    from mlscraper_ray.functions import pagerank as pagerank_mod
+    from mlscraper_ray.pipelines.crawl_pipeline import corpus_for_sf
+    from mlscraper_ray.sources import corpusgen
+
+    corpus_dir, spec = corpus_for_sf(sf)
+    key = hashlib.md5(
+        ("assort" + _source_digest(corpusgen, pagerank_mod)).encode()
+    ).hexdigest()[:10]
+
+    def build() -> str:
+        urlset = {
+            spec.page_url(h, i)
+            for h in range(spec.n_hosts)
+            for i in range(spec.n_pages(h))
+        }
+        pair_set = set()
+        for h in range(spec.n_hosts):
+            sh = spec.host(h)
+            for i in range(spec.n_pages(h)):
+                for t in corpusgen.page_links(spec, h, i):
+                    if t in urlset:
+                        dh = corpusgen.url_host(t)
+                        if dh != sh:
+                            pair_set.add((sh, dh))
+        od: dict = defaultdict(int)
+        idg: dict = defaultdict(int)
+        for sh, dh in pair_set:
+            od[sh] += 1
+            idg[dh] += 1
+        n = len(pair_set)
+        sx = sum(od[sh] for sh, _ in pair_set)
+        sy = sum(idg[dh] for _, dh in pair_set)
+        sxx = sum(od[sh] ** 2 for sh, _ in pair_set)
+        syy = sum(idg[dh] ** 2 for _, dh in pair_set)
+        sxy = sum(od[sh] * idg[dh] for sh, dh in pair_set)
+        num = n * sxy - sx * sy
+        den = math.isqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        milli = (1000 * num) // den if den > 0 else 0
+        rows = [(n, sx, sy, sxx, syy, sxy, milli)]
+        return values_sql(
+            rows,
+            ["n_edges", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy", "assort_milli"],
+        )
+
+    return _cached(corpus_dir, "host_assort", key, build)

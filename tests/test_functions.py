@@ -200,7 +200,7 @@ def test_query_matches_duckdb_oracle(entry_mod, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "crawl_depth_histogram", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "host_communities", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
+    "name", ["extract_all", "extract_from_warc", "warc_roundtrip", "crawl_order", "crawl_order_recrawl", "crawl_order_tiered", "crawl_order_tiered_recrawl", "crawl_order_ranked", "crawl_metrics", "crawl_counter_totals", "crawl_depth_histogram", "robots_stats", "page_rank", "link_hits", "link_distance_from_seeds", "link_stats", "host_rank", "host_reciprocity", "host_triangles", "host_kcore", "host_communities", "host_assortativity", "extract_main_content", "page_template_clusters", "page_profile", "wet_curate", "learn_plan", "learn_plan_parallel"]
 )
 def test_truth_oracle_matches_at_test_scale(entry_mod, name):
     """The driver-contract constant-table oracles are built for
@@ -232,6 +232,7 @@ def test_truth_oracle_matches_at_test_scale(entry_mod, name):
         "host_triangles": lambda: truth_oracles.host_triangles_truth_sql(0.001),
         "host_kcore": lambda: truth_oracles.host_kcore_truth_sql(0.001),
         "host_communities": lambda: truth_oracles.host_communities_truth_sql(0.001),
+        "host_assortativity": lambda: truth_oracles.host_assortativity_truth_sql(0.001),
         "extract_main_content": lambda: truth_oracles.main_content_truth_sql(0.001),
         "page_profile": lambda: truth_oracles.page_profile_truth_sql(0.001),
         "page_template_clusters": lambda: truth_oracles.template_truth_sql(0.001),

@@ -629,3 +629,41 @@ class TestLinkDistance:
         os.remove(os.path.join(out_dir, "shard=0003", "_SUCCESS"))
         r3 = link_distance_to_parquet(SF_DIR, out_dir, n_shards=8, window=2)
         assert r3 == {"written": 1, "skipped": 7}
+
+
+class TestHostAssortativity:
+    def test_nonregular_graph_hand_pinned(self, ray_session):
+        """The synthetic corpus host graph is degree-REGULAR (every
+        host links to exactly the same number of others), so its
+        variance terms — and the milli score — are structurally 0;
+        this crafts a star+chain graph with real degree spread and
+        pins the exact moments and the isqrt-floored negative score.
+        Hand calc: pairs a->b,a->c,a->d,b->c,c->d; out-degs a3 b1 c1,
+        in-degs b1 c2 d2; n=5 sx=11 sy=9 sxx=29 syy=17 sxy=19;
+        num=5*19-99=-4, dxx=24, dyy=4, isqrt(96)=9,
+        milli=(-4000)//9=-445 (floor, not truncation)."""
+        import ray.data
+
+        from mlscraper_ray.functions.pagerank import host_assortativity_ds
+
+        e = pd.DataFrame(
+            {
+                "src": [
+                    "http://a.x/1", "http://a.x/1", "http://a.x/2",
+                    "http://b.x/1", "http://c.x/1",
+                    "http://a.x/9",  # duplicate host pair a->b: dedups
+                ],
+                "dst": [
+                    "http://b.x/1", "http://c.x/1", "http://d.x/1",
+                    "http://c.x/2", "http://d.x/2",
+                    "http://b.x/7",
+                ],
+            }
+        )
+        out = host_assortativity_ds(ray.data.from_pandas(e)).to_pandas()
+        assert out.to_dict("records") == [
+            {
+                "n_edges": 5, "sum_x": 11, "sum_y": 9, "sum_xx": 29,
+                "sum_yy": 17, "sum_xy": 19, "assort_milli": -445,
+            }
+        ]
