@@ -382,6 +382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": streams.events_dau_wau,
         # peak concurrent sessions: +1/-1 sweep, hour-partial prefix fold
         "events_peak_concurrency": streams.events_peak_concurrency,
+        # exact phi-heavy hitters: local-threshold superset + verify
+        "events_heavy_hitters": streams.events_heavy_hitters,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -867,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": streams.EVENTS_INTERARRIVAL_SQL,
         "events_dau_wau": streams.EVENTS_DAU_WAU_SQL,
         "events_peak_concurrency": streams.EVENTS_PEAK_CONCURRENCY_SQL,
+        "events_heavy_hitters": streams.EVENTS_HEAVY_HITTERS_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "events_interarrival",
         "events_dau_wau",
         "events_peak_concurrency",
+        "events_heavy_hitters",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",

@@ -2024,3 +2024,88 @@ SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
 
 
 EVENTS_PEAK_CONCURRENCY_SQL = events_peak_concurrency_sql()
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 200) -> pa.Table:
+    """EXACT phi-heavy hitters over users — every user_id holding
+    strictly more than N/``k`` of the N events, with its exact count
+    (the power-user / abuse-detection query where an approximate
+    sketch alone can't be trusted).
+
+    Two passes, no full groupby of the user domain:
+
+    1. candidate generation by LOCAL threshold — each batch emits only
+       users with ``cnt_batch * k > n_batch``. Pigeonhole guarantees a
+       superset: a user above N/k globally must be above n_b/k in at
+       least one batch (if cnt_b <= n_b/k everywhere, the sum is
+       <= N/k). At most k survivors per batch, so the driver-collected
+       candidate set is O(k x n_blocks) — independent of the user
+       cardinality, which never ships anywhere.
+    2. exact verification — candidates broadcast via ``ray.put``; one
+       filtered streaming count per candidate through the coarse-bucket
+       aggregate; keep ``cnt * k > N`` (integer compare, no division,
+       mirroring the SQL HAVING).
+
+    Output is worker/batch-boundary invariant: batching only widens
+    the candidate superset, and the exact filter prunes it back."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.broadcast import cached_object
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    n_total = ds.count()  # parquet metadata, no scan
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        keep = vc[vc * k > len(df)]
+        return pd.DataFrame({"user_id": keep.index.astype("int64")})
+
+    cand: set = set()
+    for b in ds.map_batches(local_candidates, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        cand.update(int(u) for u in b["user_id"])
+    if not cand:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
+    c_ref = ray.put(frozenset(cand))
+
+    def count_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cs = cached_object(c_ref)
+        m = df["user_id"].map(lambda u: int(u) in cs)
+        vc = df.loc[m, "user_id"].value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": vc.index.astype("int64"),
+                "n_events": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(count_candidates, batch_format="pandas"),
+            ["user_id"],
+            {"n_events": ("n_events", "sum")},
+        )
+        .to_pandas()
+    )
+    out = counts[counts["n_events"] * k > n_total].sort_values(
+        ["n_events", "user_id"], ascending=[False, True], ignore_index=True
+    )
+    out = out.astype({"user_id": "int64", "n_events": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_heavy_hitters_sql(k: int = 200) -> str:
+    return f"""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * {k} > (SELECT COUNT(*) FROM events)
+ORDER BY n_events DESC, user_id
+"""
+
+
+EVENTS_HEAVY_HITTERS_SQL = events_heavy_hitters_sql()

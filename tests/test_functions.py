@@ -78,6 +78,7 @@ def _oracle_names():
         "events_interarrival",
         "events_dau_wau",
         "events_peak_concurrency",
+        "events_heavy_hitters",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
@@ -3582,3 +3583,22 @@ class TestEventsPeakConcurrency:
         assert out["n_sessions"].tolist() == [3]
         assert out["peak"].tolist() == [2]
         assert out["peak_ts"].tolist() == [t0 + 5 * m]
+
+
+class TestEventsHeavyHitters:
+    def test_local_threshold_superset_prunes_exactly(self, ray_session, tmp_path):
+        """A user concentrated in one batch but below the GLOBAL bar
+        must be pruned by the exact pass; a user spread thinly across
+        batches but above the bar must be found (the pigeonhole
+        guarantee). k=4 over 16 events: bar is cnt*4 > 16 -> cnt >= 5."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from mlscraper_ray.functions.streams import events_heavy_hitters
+
+        # user 7: 6 events (hitter); user 8: 4 events (below bar even
+        # though locally dense); users 100..105: singletons
+        users = [7] * 6 + [8] * 4 + list(range(100, 106))
+        t = pa.table({"user_id": pa.array(users, pa.int64())})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_heavy_hitters(str(tmp_path), k=4).to_pandas()
+        assert out.to_dict("records") == [{"user_id": 7, "n_events": 6}]
