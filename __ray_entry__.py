@@ -643,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_graph": similarity.embed_knn_graph,
         # mutual-kNN edges -> connected components (hub-safe clusters)
         "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters,
+        # dominant spectral axis: integer power iteration, 8 passes
+        "embed_top_component": similarity.embed_top_component,
     }
 
 
@@ -781,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "embed_knn_graph": similarity.embed_knn_graph_sql(),
         "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters_sql(),
+        "embed_top_component": similarity.EMBED_TOP_COMPONENT_SQL,
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),

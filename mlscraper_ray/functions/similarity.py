@@ -2635,3 +2635,98 @@ def knn_graph_to_parquet(
         ).write_parquet(dest)
 
     return run_resumable_shards(out_dir, n_shards, window, write_shard)
+
+
+def embed_top_component(sf_dir: str, n_iters: int = 8) -> pa.Table:
+    """Dominant spectral direction of the embedding matrix (top right-
+    singular vector of the UNCENTERED quantized data — the first
+    'PCA-style' axis a pipeline inspects for batch effects or a
+    degenerate embedding model) via ``n_iters`` integer power
+    iterations: v0 = all-1000, v_{t+1} = rescale(X^T (X v_t)) with
+    rescale = floor(1000 * u / max|u|) so every step is exact int
+    arithmetic bit-identical to the chained-CTE SQL oracle (the
+    kmeans_int recipe: quantize floor(x*1000+0.5) once, never a float
+    after that; the floor-div is the repo's negative-safe SQL form
+    since DuckDB // truncates while Python floors).
+
+    Distributed shape: each iteration is ONE streaming map_batches
+    pass emitting a single 64-long partial ``u`` vector per batch
+    (u_partial = X_b^T (X_b v) — two numpy int64 matmuls), folded
+    driver-side in arbitrary-precision Python ints (int64 is safe
+    within a batch: |x|<=~10^4 quantized, dot<=~10^9, u_partial <=
+    rows_per_batch * 10^13; the CROSS-batch sum is where 100-TB row
+    counts would overflow, hence the Python fold). The v vector (64
+    ints) broadcasts per iteration; X streams from parquet each pass
+    like every iterative op in this module."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    dim = 64
+    v = [1000] * dim
+
+    for _ in range(n_iters):
+        v_ref = ray.put(np.array(v, dtype=np.int64))
+
+        def partial(batch: pa.Table, _vr=v_ref) -> pa.Table:
+            from mlscraper_ray.functions.broadcast import cached_object
+
+            vv = cached_object(_vr)
+            mat = np.array(
+                [list(r) for r in batch["embedding"].to_pylist()], dtype=np.float64
+            )
+            X = np.floor(mat * 1000 + 0.5).astype(np.int64)
+            d = X @ vv
+            u = X.T @ d
+            return pa.table({"j": pa.array(range(dim), pa.int64()),
+                             "u": pa.array(u, pa.int64())})
+
+        u_tot = [0] * dim
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        ):
+            for j, u in zip(b["j"], b["u"]):
+                u_tot[int(j)] += int(u)
+        m = max(abs(x) for x in u_tot)
+        if m == 0:
+            break  # degenerate all-zero matrix: keep previous direction
+        v = [(1000 * x) // m for x in u_tot]
+
+    return pa.table(
+        {
+            "j": pa.array(range(dim), pa.int64()),
+            "v_milli": pa.array(v, pa.int64()),
+        }
+    )
+
+
+def embed_top_component_sql(n_iters: int = 8, dim: int = 64) -> str:
+    parts = [f"""
+WITH E AS MATERIALIZED (
+  SELECT vec_id AS i, s.j,
+         CAST(FLOOR(CAST(embedding[s.j+1] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, UNNEST(generate_series(0,{dim-1})) s(j)
+),
+it0 AS MATERIALIZED (
+  SELECT t.j, CAST(1000 AS BIGINT) AS v
+  FROM UNNEST(generate_series(0,{dim-1})) t(j)
+)"""]
+    for K in range(1, n_iters + 1):
+        parts.append(f""",
+u{K} AS MATERIALIZED (
+  SELECT e2.j, SUM(e2.x * d.d) AS u
+  FROM E e2 JOIN (
+    SELECT e.i, SUM(e.x * p.v) AS d
+    FROM E e JOIN it{K-1} p ON e.j = p.j GROUP BY e.i
+  ) d ON e2.i = d.i
+  GROUP BY e2.j
+),
+it{K} AS MATERIALIZED (
+  -- negative-safe integer floor division (DuckDB // truncates)
+  SELECT j, (1000*u - ((((1000*u) % mm.m) + mm.m) % mm.m)) // mm.m AS v
+  FROM u{K}, (SELECT MAX(ABS(u)) AS m FROM u{K}) mm
+)""")
+    parts.append(f"\nSELECT j, CAST(v AS BIGINT) AS v_milli FROM it{n_iters} ORDER BY j")
+    return "".join(parts)
+
+
+EMBED_TOP_COMPONENT_SQL = embed_top_component_sql()

@@ -86,6 +86,7 @@ def _oracle_names():
         "text_search_near",
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
+        "embed_top_component",
         "doc_readability",
         "doc_char_entropy",
         "doc_pareto_front",
