@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_10pct": textstats.sample_documents,
         # exact fixed-SIZE sample: k-smallest md5 rank, k-bounded fold
         "doc_sample_fixed_k": textstats.sample_fixed_k,
+        # balanced eval set: exact k smallest md5 ranks PER source
+        "doc_sample_k_per_source": textstats.sample_k_per_source,
         # weighted fixed-size sample (integer md5 // weight priority)
         "doc_sample_weighted_k": textstats.sample_weighted_k,
         # integer Flesch-style readability (words/sentences/vowel runs)
@@ -825,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": textstats.pii_scrub_sql(),
         "doc_sample_10pct": textstats.SAMPLE_DOCUMENTS_SQL,
         "doc_sample_fixed_k": textstats.sample_fixed_k_sql(),
+        "doc_sample_k_per_source": textstats.SAMPLE_K_PER_SOURCE_SQL,
         "doc_sample_weighted_k": textstats.sample_weighted_k_sql(),
         "doc_readability": textstats.DOC_READABILITY_SQL,
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,

@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "supplier_nation_summary",
         "q6_discount_revenue",
         "doc_sample_fixed_k",
+        "doc_sample_k_per_source",
         "doc_sample_weighted_k",
         "events_attribution",
         "hourly_distinct_users",

@@ -3944,3 +3944,58 @@ LIMIT {k}
 
 
 WINDOW_COOC_LIFT_SQL = window_cooc_lift_sql()
+
+
+def sample_k_per_source(sf_dir: str, k: int = 20) -> pa.Table:
+    """Exact fixed-``k``-PER-SOURCE sample — the balanced eval-set
+    builder ("20 docs from every source, no matter how skewed the
+    corpus"): within each source, the k docs with the smallest
+    md5(doc_id) rank (seedless, rerun- and worker-count-stable; the
+    grouped companion to :func:`sample_fixed_k`, complementing the
+    rate-based stratified sampler whose per-source size drifts with
+    the corpus). Each batch keeps only its local k smallest per
+    source, so the driver folds at most k x n_sources x n_blocks slim
+    rows — source cardinality is a data-card-sized domain (tens to
+    thousands), never doc-sized; for a pathological million-source
+    corpus the same per-batch partial feeds groupby(source) instead
+    of the driver fold."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rk"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+        df = df.sort_values(["rk", "doc_id"])
+        return df.groupby("source", sort=False).head(k)
+
+    parts = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["rk", "doc_id"])
+        .groupby("source", sort=False)
+        .head(k)[["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sample_k_per_source_sql(k: int = 20) -> str:
+    return f"""
+SELECT doc_id, source, n_chars
+FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {k}
+ORDER BY doc_id
+"""
+
+
+SAMPLE_K_PER_SOURCE_SQL = sample_k_per_source_sql()

@@ -69,6 +69,7 @@ def _oracle_names():
         "doc_collapse_repeats",
         "doc_sample_stratified",
         "doc_sample_fixed_k",
+        "doc_sample_k_per_source",
         "doc_sample_weighted_k",
         "events_attribution",
         "hourly_distinct_users",
