@@ -480,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": joins.q5_local_supplier_volume,
         # groupby-HAVING semi-join, fact-sized qualifier set, blockwise top-k
         "q18_large_orders": joins.q18_large_orders,
+        # returned-item reporting: two fact-fact cogroups + top-k fold
+        "q10_returned_revenue": joins.q10_returned_revenue,
         # grouped top-k leaderboard (per-nation partial top-k merge)
         "top_customers_by_nation": joins.top_customers_by_nation,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
@@ -741,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
         "q5_local_supplier_volume": joins.q5_local_supplier_volume_sql(),
         "q18_large_orders": joins.q18_large_orders_sql(),
+        "q10_returned_revenue": joins.q10_returned_revenue_sql(),
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,

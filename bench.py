@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "orders_with_returns",
         "q5_local_supplier_volume",
         "q18_large_orders",
+        "q10_returned_revenue",
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",

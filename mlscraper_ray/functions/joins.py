@@ -1409,3 +1409,118 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name
                            ORDER BY revenue_cents DESC, c_custkey) <= {k}
 ORDER BY n_name, revenue_cents DESC, c_custkey
 """
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+) -> pa.Table:
+    """TPC-H-Q10-flavored returned-item reporting: per customer, the
+    revenue lost to RETURNED lineitems (l_returnflag = 'R') on orders
+    placed in the window; top-``k`` customers with their nation.
+
+    Distributed shape: returned lineitems pre-sum per orderkey inside
+    each batch (slim rev partials), cogroup with date-filtered orders
+    on orderkey (fact-fact, one shuffle), re-partial per custkey, then
+    cogroup with customer on custkey (second shuffle — customer scales
+    with the corpus, never broadcast); only the 25-row nation map is
+    driver-side. Top-k folds blockwise local heads, integer cents."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    name_by_key = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def li_returned(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        dpct = (df["l_discount"] * 100).round().astype("int64")
+        part = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "lost_cents": (cents * (100 - dpct)) // 100,
+            }
+        )
+        return (
+            part.groupby("o_orderkey", sort=False)
+            .agg(lost_cents=("lost_cents", "sum"))
+            .reset_index()
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_returned, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df.loc[
+            (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi),
+            ["o_orderkey", "o_custkey"],
+        ].astype({"o_orderkey": "int64", "o_custkey": "int64"}),
+        batch_format="pandas",
+    )
+    n_li = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    per_cust = cogroup_join(li, orders, "o_orderkey", approx_rows=n_li).map_batches(
+        lambda df: df.groupby("o_custkey", sort=False)
+        .agg(lost_cents=("lost_cents", "sum"))
+        .reset_index()
+        .rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    agg = bucketed_aggregate(
+        per_cust, ["c_custkey"], {"lost_cents": ("lost_cents", "sum")}
+    )
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(
+        lambda df: df.astype({"c_custkey": "int64", "c_nationkey": "int64"}),
+        batch_format="pandas",
+    )
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    joined = cogroup_join(agg, cust, "c_custkey", approx_rows=max(n_cust, 1))
+
+    order_cols = ["lost_cents", "c_custkey"]
+    asc = [False, True]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=asc).head(k)
+
+    out = (
+        joined.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(order_cols, ascending=asc, ignore_index=True)
+        .head(k)
+    )
+    out["n_name"] = out["c_nationkey"].map(name_by_key)
+    out = out[["c_custkey", "c_name", "n_name", "lost_cents"]].reset_index(drop=True)
+    out["lost_cents"] = out["lost_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q10_returned_revenue_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01", k: int = 20
+) -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+            AS BIGINT) AS lost_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_cents DESC, c_custkey
+LIMIT {k}
+"""
