@@ -620,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_bm25": search.bm25_topk,
         # NEAR/4 proximity over the same positional payload
         "text_search_near": search.near_topk,
+        # distributed grep: per-doc non-overlapping regex counts
+        "text_search_regex": search.text_search_regex,
         "text_search_near_indexed": search.near_indexed_topk,
         "ann_cosine_topk": similarity.cosine_topk,
         # filtered ANN: metadata predicate pushed into the scan
@@ -847,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         # the indexed serving path shares it verbatim
         "text_search_phrase_indexed": search.phrase_topk_sql(),
         "text_search_near": search.near_topk_sql(),
+        "text_search_regex": search.TEXT_SEARCH_REGEX_SQL,
         "text_search_near_indexed": search.near_topk_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "frontier_url_filter": _frontier_filter_sql(),

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "ann_cosine_filtered_topk",
         "embed_outliers",
         "text_search_near",
+        "text_search_regex",
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "embed_top_component",

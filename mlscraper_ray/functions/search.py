@@ -891,3 +891,74 @@ def near_indexed_topk(
     order = np.lexsort((parts["doc_id"].to_numpy(), -parts["n_near"].to_numpy()))[:k]
     out = parts.iloc[order].reset_index(drop=True).astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_REGEX_DEFAULT = "(?:join|merge) (?:sort|agg)"
+
+
+def text_search_regex(sf_dir: str, pattern: str = _REGEX_DEFAULT) -> pa.Table:
+    """Distributed grep: per-doc NON-OVERLAPPING match counts for a
+    regex, only docs with at least one hit — the raw-pattern escape
+    hatch next to the tokenized BM25/phrase/NEAR family (PII sweeps,
+    layout-fragment hunts, exact idiom censuses). Python ``re`` and
+    DuckDB RE2 agree on non-overlapping left-to-right scan order for
+    the supported syntax (keep to RE2-safe constructs: no
+    backreferences/lookarounds); the parity is pinned per-pattern by
+    the oracle compare.
+
+    Scale shape: ONE streaming map — the pattern compiles once per
+    worker process (module-level cache keyed by pattern, the regex
+    sibling of the classifier's worker-global hash cache), text never
+    leaves the batch, output is hit-docs only."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        global _REGEX_CACHE
+        try:
+            cache = _REGEX_CACHE
+        except NameError:
+            cache = _REGEX_CACHE = {}
+        rx = cache.get(pattern)
+        if rx is None:
+            rx = cache[pattern] = _re.compile(pattern)
+        ids, ns = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            n = len(rx.findall(text))
+            if n:
+                ids.append(doc_id)
+                ns.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_matches": pa.array(ns, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(count, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def text_search_regex_sql(pattern: str = _REGEX_DEFAULT) -> str:
+    quoted = pattern.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{quoted}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE length(regexp_extract_all(text, '{quoted}')) > 0
+ORDER BY doc_id
+"""
+
+
+TEXT_SEARCH_REGEX_SQL = text_search_regex_sql()
