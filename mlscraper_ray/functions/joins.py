@@ -1015,25 +1015,29 @@ def q5_local_supplier_volume(
     region: str = "ASIA",
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
+    broadcast_limit: int = 5_000_000,
 ) -> pa.Table:
     """TPC-H-Q5-flavored local-supplier volume: revenue per nation from
     lineitems where the CUSTOMER's nation equals the SUPPLIER's nation,
     restricted to one region and a one-year order window.
 
-    Distributed shape — three cogroup shuffles, zero fact-side
-    broadcasts (customer AND supplier both scale with the corpus, so
-    neither is ever collected to the driver; the only driver-side
-    table is the 25-row nation x region map):
+    Distributed shape — the lineitem x orders fact-fact cogroup is the
+    one unavoidable shuffle; the two dimension sides are COUNT-GUARDED
+    (the repo's broadcast-vs-join-back idiom, paths tested equal):
 
-    1. orders (date-filtered, slim 2 cols) JOIN customer
-       (region-filtered, slim 2 cols) on custkey  -> (orderkey, c_nat)
-    2. lineitem (slim rev partial) JOIN step-1 on orderkey
-       -> (suppkey, c_nat, rev_cents), pre-summed per (suppkey, c_nat)
-       inside each bucket so step 3 ships partials, not lineitems
-    3. step-2 JOIN supplier (region-filtered, slim 2 cols) on suppkey,
-       then the local-supplier predicate c_nat == s_nat filters in the
-       merge output and a 25-group fold finishes on nation name.
+    1. customer (region-filtered custkey -> nation map) broadcasts via
+       ``ray.put`` under ``broadcast_limit`` rows and attaches to the
+       date-filtered orders in-map (no shuffle); above the limit the
+       same slim sides cogroup on custkey.
+    2. lineitem (slim rev rows) JOIN step-1 on orderkey — both sides
+       scale with the corpus, always a cogroup; output pre-sums per
+       (suppkey, c_nat) inside each bucket so step 3 ships partials.
+    3. supplier (region-filtered suppkey -> nation map, ~lineitem/600
+       in TPC-H proportions) broadcast-attaches under the same guard,
+       else cogroups; the local predicate c_nat == s_nat filters in
+       the merge output and a 25-group fold finishes on nation name.
     """
+    from mlscraper_ray.functions.broadcast import cached_object
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
     lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
@@ -1055,9 +1059,11 @@ def q5_local_supplier_volume(
         ].rename(columns={"o_custkey": "custkey"}),
         batch_format="pandas",
     )
-    cust = ray.data.read_parquet(
+    cust_read = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).map_batches(
+    )
+    n_cust = cust_read.count()  # parquet metadata, no scan
+    cust = cust_read.map_batches(
         lambda df: df.loc[
             df["c_nationkey"].isin(region_nations), ["c_custkey", "c_nationkey"]
         ]
@@ -1066,12 +1072,29 @@ def q5_local_supplier_volume(
         batch_format="pandas",
     )
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
-    o_c = cogroup_join(orders, cust, "custkey", approx_rows=n_orders).map_batches(
-        lambda df: df[["o_orderkey", "c_nat"]].rename(
-            columns={"o_orderkey": "orderkey"}
-        ),
-        batch_format="pandas",
-    )
+    if n_cust <= broadcast_limit:
+        cdf = cust.to_pandas()
+        c_ref = ray.put(dict(zip(cdf["custkey"].astype(int), cdf["c_nat"].astype(int))))
+
+        def attach_cnat(df: pd.DataFrame) -> pd.DataFrame:
+            cm = cached_object(c_ref)
+            nats = df["custkey"].map(lambda k: cm.get(int(k)))
+            out = df.assign(c_nat=nats).dropna(subset=["c_nat"])
+            return pd.DataFrame(
+                {
+                    "orderkey": out["o_orderkey"].astype("int64"),
+                    "c_nat": out["c_nat"].astype("int64"),
+                }
+            )
+
+        o_c = orders.map_batches(attach_cnat, batch_format="pandas")
+    else:
+        o_c = cogroup_join(orders, cust, "custkey", approx_rows=n_orders).map_batches(
+            lambda df: df[["o_orderkey", "c_nat"]].rename(
+                columns={"o_orderkey": "orderkey"}
+            ),
+            batch_format="pandas",
+        )
 
     def li_slim(df: pd.DataFrame) -> pd.DataFrame:
         cents = (df["l_extendedprice"] * 100).round().astype("int64")
@@ -1096,9 +1119,11 @@ def q5_local_supplier_volume(
         batch_format="pandas",
     )
 
-    supp = ray.data.read_parquet(
+    supp_read = ray.data.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
-    ).map_batches(
+    )
+    n_supp = supp_read.count()
+    supp = supp_read.map_batches(
         lambda df: df.loc[
             df["s_nationkey"].isin(region_nations), ["s_suppkey", "s_nationkey"]
         ]
@@ -1106,7 +1131,18 @@ def q5_local_supplier_volume(
         .astype({"suppkey": "int64", "s_nat": "int64"}),
         batch_format="pandas",
     )
-    joined = cogroup_join(l_oc, supp, "suppkey", approx_rows=n_li)
+    if n_supp <= broadcast_limit:
+        sdf = supp.to_pandas()
+        s_ref = ray.put(dict(zip(sdf["suppkey"].astype(int), sdf["s_nat"].astype(int))))
+
+        def attach_snat(df: pd.DataFrame) -> pd.DataFrame:
+            sm = cached_object(s_ref)
+            nats = df["suppkey"].map(lambda k: sm.get(int(k)))
+            return df.assign(s_nat=nats).dropna(subset=["s_nat"]).astype({"s_nat": "int64"})
+
+        joined = l_oc.map_batches(attach_snat, batch_format="pandas")
+    else:
+        joined = cogroup_join(l_oc, supp, "suppkey", approx_rows=n_li)
 
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_nat"] == df["s_nat"]]
@@ -1165,7 +1201,7 @@ ORDER BY revenue_cents DESC, n_name
 
 
 def q18_large_orders(
-    sf_dir: str, min_qty: int = 200, k: int = 50
+    sf_dir: str, min_qty: int = 200, k: int = 50, broadcast_limit: int = 5_000_000
 ) -> pa.Table:
     """TPC-H-Q18-flavored large-volume customers: orders whose total
     lineitem quantity exceeds ``min_qty``, joined back to the order and
@@ -1175,10 +1211,11 @@ def q18_large_orders(
     quantity fold (one shuffle of slim (orderkey, qty) partials — the
     groupby-HAVING semi-join pattern where the qualifying key set is
     fact-sized and can never broadcast); qualifying keys then cogroup
-    with orders on orderkey and with customer on custkey (two more
-    slim shuffles, each shipping only qualifier-sized rows). The final
-    top-k folds blockwise local heads — the aggregate is never
-    materialized whole. Quantities ride as exact int64 units."""
+    with orders on orderkey (one more slim shuffle); the customer name
+    lookup is COUNT-GUARDED — broadcast attach under
+    ``broadcast_limit`` rows, cogroup above it (paths tested equal).
+    The final top-k folds blockwise local heads — the aggregate is
+    never materialized whole. Quantities ride as exact int64 units."""
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
     li = ray.data.read_parquet(
@@ -1217,13 +1254,26 @@ def q18_large_orders(
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
     bo = cogroup_join(big, orders, "o_orderkey", approx_rows=n_orders)
 
-    cust = ray.data.read_parquet(
+    cust_read = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).map_batches(
-        lambda df: df.astype({"c_custkey": "int64"}), batch_format="pandas"
     )
-    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
-    joined = cogroup_join(bo, cust, "c_custkey", approx_rows=max(n_cust, 1))
+    n_cust = cust_read.count()  # parquet metadata, no scan
+    if n_cust <= broadcast_limit:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        cdf = cust_read.to_pandas()
+        c_ref = ray.put(dict(zip(cdf["c_custkey"].astype(int), cdf["c_name"])))
+
+        def attach_name(df: pd.DataFrame) -> pd.DataFrame:
+            cm = cached_object(c_ref)
+            return df.assign(c_name=df["c_custkey"].map(lambda x: cm[int(x)]))
+
+        joined = bo.map_batches(attach_name, batch_format="pandas")
+    else:
+        cust = cust_read.map_batches(
+            lambda df: df.astype({"c_custkey": "int64"}), batch_format="pandas"
+        )
+        joined = cogroup_join(bo, cust, "c_custkey", approx_rows=max(n_cust, 1))
 
     order_cols = ["total_qty", "price_cents", "o_orderkey"]
     asc = [False, False, True]
@@ -1416,6 +1466,7 @@ def q10_returned_revenue(
     date_from: str = "1996-01-01",
     date_to: str = "1996-07-01",
     k: int = 20,
+    broadcast_limit: int = 5_000_000,
 ) -> pa.Table:
     """TPC-H-Q10-flavored returned-item reporting: per customer, the
     revenue lost to RETURNED lineitems (l_returnflag = 'R') on orders
@@ -1423,10 +1474,11 @@ def q10_returned_revenue(
 
     Distributed shape: returned lineitems pre-sum per orderkey inside
     each batch (slim rev partials), cogroup with date-filtered orders
-    on orderkey (fact-fact, one shuffle), re-partial per custkey, then
-    cogroup with customer on custkey (second shuffle — customer scales
-    with the corpus, never broadcast); only the 25-row nation map is
-    driver-side. Top-k folds blockwise local heads, integer cents."""
+    on orderkey (fact-fact, one shuffle), re-partial per custkey; the
+    customer (name, nation) lookup is COUNT-GUARDED — broadcast attach
+    under ``broadcast_limit`` rows, cogroup above it (paths tested
+    equal); only the 25-row nation map is unconditionally driver-side.
+    Top-k folds blockwise local heads, integer cents."""
     from mlscraper_ray.functions.bucketed import bucketed_aggregate
 
     lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
@@ -1477,15 +1529,41 @@ def q10_returned_revenue(
         per_cust, ["c_custkey"], {"lost_cents": ("lost_cents", "sum")}
     )
 
-    cust = ray.data.read_parquet(
+    cust_read = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_nationkey"],
-    ).map_batches(
-        lambda df: df.astype({"c_custkey": "int64", "c_nationkey": "int64"}),
-        batch_format="pandas",
     )
-    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
-    joined = cogroup_join(agg, cust, "c_custkey", approx_rows=max(n_cust, 1))
+    n_cust = cust_read.count()  # parquet metadata, no scan
+    if n_cust <= broadcast_limit:
+        from mlscraper_ray.functions.broadcast import cached_object
+
+        cdf = cust_read.to_pandas()
+        c_ref = ray.put(
+            {
+                int(k_): (n_, int(nk))
+                for k_, n_, nk in zip(
+                    cdf["c_custkey"], cdf["c_name"], cdf["c_nationkey"]
+                )
+            }
+        )
+
+        def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+            cm = cached_object(c_ref)
+            looked = [cm[int(x)] for x in df["c_custkey"]]
+            return df.assign(
+                c_name=[x[0] for x in looked],
+                c_nationkey=pd.Series(
+                    [x[1] for x in looked], index=df.index, dtype="int64"
+                ),
+            )
+
+        joined = agg.map_batches(attach_cust, batch_format="pandas")
+    else:
+        cust = cust_read.map_batches(
+            lambda df: df.astype({"c_custkey": "int64", "c_nationkey": "int64"}),
+            batch_format="pandas",
+        )
+        joined = cogroup_join(agg, cust, "c_custkey", approx_rows=max(n_cust, 1))
 
     order_cols = ["lost_cents", "c_custkey"]
     asc = [False, True]

@@ -3606,3 +3606,33 @@ class TestEventsHeavyHitters:
         pq.write_table(t, str(tmp_path / "events.parquet"))
         out = events_heavy_hitters(str(tmp_path), k=4).to_pandas()
         assert out.to_dict("records") == [{"user_id": 7, "n_events": 6}]
+
+
+class TestJoinGuardPathEquality:
+    """The count-guarded broadcast fast paths of the Q5/Q10/Q18 joins
+    must be bit-identical to their cogroup fallbacks (broadcast_limit=0
+    forces every guarded side down the shuffle path)."""
+
+    def test_q5_paths_equal(self, ray_session):
+        from mlscraper_ray.functions.joins import q5_local_supplier_volume
+
+        sf = "/root/testdata/sf0.001"
+        fast = q5_local_supplier_volume(sf).to_pandas()
+        slow = q5_local_supplier_volume(sf, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_q10_paths_equal(self, ray_session):
+        from mlscraper_ray.functions.joins import q10_returned_revenue
+
+        sf = "/root/testdata/sf0.001"
+        fast = q10_returned_revenue(sf).to_pandas()
+        slow = q10_returned_revenue(sf, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_q18_paths_equal(self, ray_session):
+        from mlscraper_ray.functions.joins import q18_large_orders
+
+        sf = "/root/testdata/sf0.001"
+        fast = q18_large_orders(sf).to_pandas()
+        slow = q18_large_orders(sf, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(fast, slow)
