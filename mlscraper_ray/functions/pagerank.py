@@ -1551,7 +1551,9 @@ def host_communities(
     return pa.Table.from_pandas(out[["host", "community"]], preserve_index=False)
 
 
-def host_assortativity_ds(edges: ray.data.Dataset) -> pa.Table:
+def host_assortativity_ds(
+    edges: ray.data.Dataset, broadcast_limit: int = 2_000_000
+) -> pa.Table:
     """Degree assortativity of the distinct cross-host link graph —
     the hub-wiring signal (Newman 2002): over each distinct directed
     host pair (sh, dh), correlate x = out-degree(sh) with
@@ -1578,9 +1580,12 @@ def host_assortativity_ds(edges: ray.data.Dataset) -> pa.Table:
 
     from mlscraper_ray.functions.joins import cogroup_join
 
+    # materialize once: the pair table feeds THREE consumers (two
+    # degree counts + the join left side) and is hosts^2-bounded —
+    # without this the edge scan + dedup would re-execute per consumer
     pairs = _distinct_host_pairs(edges).map_batches(
         lambda df: df[["sh", "dh"]], batch_format="pandas"
-    )
+    ).materialize()
 
     out_deg = bucketed_aggregate(
         pairs.map_batches(
@@ -1596,8 +1601,29 @@ def host_assortativity_ds(edges: ray.data.Dataset) -> pa.Table:
         ["dh"],
         {"idg": ("idg", "sum")},
     )
-    with_out = cogroup_join(pairs, out_deg, "sh")
-    both = cogroup_join(with_out, in_deg, "dh")
+    # degree tables are HOST-sized (data-card domain, not edge-sized):
+    # count-guarded broadcast attach; cogroup fallback above the limit
+    if out_deg.count() <= broadcast_limit and in_deg.count() <= broadcast_limit:
+        od_df = out_deg.to_pandas()
+        id_df = in_deg.to_pandas()
+        od_ref = ray.put(dict(zip(od_df["sh"], od_df["od"].astype(int))))
+        id_ref = ray.put(dict(zip(id_df["dh"], id_df["idg"].astype(int))))
+
+        def attach_degrees(df: pd.DataFrame) -> pd.DataFrame:
+            om, im = cached_object(od_ref), cached_object(id_ref)
+            return df.assign(
+                od=pd.Series(
+                    [om[h] for h in df["sh"]], index=df.index, dtype="int64"
+                ),
+                idg=pd.Series(
+                    [im[h] for h in df["dh"]], index=df.index, dtype="int64"
+                ),
+            )
+
+        both = pairs.map_batches(attach_degrees, batch_format="pandas")
+    else:
+        with_out = cogroup_join(pairs, out_deg, "sh")
+        both = cogroup_join(with_out, in_deg, "dh")
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         x = df["od"].to_numpy(dtype=np.int64)

@@ -667,3 +667,24 @@ class TestHostAssortativity:
                 "sum_yy": 17, "sum_xy": 19, "assort_milli": -445,
             }
         ]
+
+    def test_broadcast_and_cogroup_paths_equal(self, ray_session):
+        """broadcast_limit=0 forces the degree attach down the cogroup
+        fallback; both paths must produce identical statistics."""
+        import ray.data
+
+        from mlscraper_ray.functions.pagerank import host_assortativity_ds
+
+        e = pd.DataFrame(
+            {
+                "src": ["http://a.x/1", "http://a.x/1", "http://a.x/2",
+                        "http://b.x/1", "http://c.x/1"],
+                "dst": ["http://b.x/1", "http://c.x/1", "http://d.x/1",
+                        "http://c.x/2", "http://d.x/2"],
+            }
+        )
+        fast = host_assortativity_ds(ray.data.from_pandas(e)).to_pandas()
+        slow = host_assortativity_ds(
+            ray.data.from_pandas(e), broadcast_limit=0
+        ).to_pandas()
+        pd.testing.assert_frame_equal(fast, slow)
