@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": joins.q18_large_orders,
         # returned-item reporting: two fact-fact cogroups + top-k fold
         "q10_returned_revenue": joins.q10_returned_revenue,
+        # supply-concentration: distinct suppliers/parts per brand-type
+        "part_supplier_diversity": joins.part_supplier_diversity,
         # grouped top-k leaderboard (per-nation partial top-k merge)
         "top_customers_by_nation": joins.top_customers_by_nation,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
@@ -746,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": joins.q5_local_supplier_volume_sql(),
         "q18_large_orders": joins.q18_large_orders_sql(),
         "q10_returned_revenue": joins.q10_returned_revenue_sql(),
+        "part_supplier_diversity": joins.PART_SUPPLIER_DIVERSITY_SQL,
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,

@@ -1602,3 +1602,128 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_cents DESC, c_custkey
 LIMIT {k}
 """
+
+
+def part_supplier_diversity(
+    sf_dir: str, broadcast_limit: int = 50_000_000
+) -> pa.Table:
+    """TPC-H-Q16-flavored supplier diversity: per (p_brand, p_type),
+    how many DISTINCT suppliers have shipped such a part and how many
+    DISTINCT parts of it circulate — the supply-concentration report
+    (a brand/type served by one supplier is a single point of
+    failure).
+
+    Distributed shape: lineitem collapses to distinct
+    (partkey, suppkey) pairs per batch, then globally through the
+    coarse-bucket aggregate (slim int pairs — the pair domain is
+    catalog-sized, far below lineitem); part dims attach via the
+    count-guarded broadcast (part is ~lineitem/30; above the limit the
+    same slim sides cogroup on partkey). The two DISTINCT counts fold
+    as separate bucketed distincts over (brand, type, suppkey) and
+    (brand, type, partkey) — each re-shuffles only already-distinct
+    catalog-sized rows — and merge on the brand x type driver table
+    (hundreds of rows)."""
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda df: df.drop_duplicates().astype("int64").assign(one=np.int64(1)),
+        batch_format="pandas",
+    )
+    pairs = bucketed_aggregate(
+        li, ["l_partkey", "l_suppkey"], {"one": ("one", "max")}
+    )
+
+    parts_read = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand", "p_type"]
+    )
+    n_parts_tbl = parts_read.count()  # parquet metadata, no scan
+    if n_parts_tbl <= broadcast_limit:
+        pdf = parts_read.to_pandas()
+        p_ref = ray.put(
+            {
+                int(k): (b, t)
+                for k, b, t in zip(pdf["p_partkey"], pdf["p_brand"], pdf["p_type"])
+            }
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            pm = cached_object(p_ref)
+            bt = [pm[int(k)] for k in df["l_partkey"]]
+            return pd.DataFrame(
+                {
+                    "p_brand": [x[0] for x in bt],
+                    "p_type": [x[1] for x in bt],
+                    "l_partkey": df["l_partkey"].astype("int64"),
+                    "l_suppkey": df["l_suppkey"].astype("int64"),
+                }
+            )
+
+        tagged = pairs.map_batches(attach, batch_format="pandas")
+    else:
+        parts_ds = parts_read.map_batches(
+            lambda df: df.rename(columns={"p_partkey": "l_partkey"}).astype(
+                {"l_partkey": "int64"}
+            ),
+            batch_format="pandas",
+        )
+        tagged = cogroup_join(
+            pairs.map_batches(
+                lambda df: df[["l_partkey", "l_suppkey"]], batch_format="pandas"
+            ),
+            parts_ds,
+            "l_partkey",
+            approx_rows=n_parts_tbl,
+        )
+
+    def count_distinct(ds, key_col, out_col):
+        d = bucketed_aggregate(
+            ds.map_batches(
+                lambda df, kc=key_col: df[["p_brand", "p_type", kc]]
+                .drop_duplicates()
+                .assign(one=np.int64(1)),
+                batch_format="pandas",
+            ),
+            ["p_brand", "p_type", key_col],
+            {"one": ("one", "max")},
+        )
+        return (
+            bucketed_aggregate(
+                d.map_batches(
+                    lambda df: df.groupby(["p_brand", "p_type"], sort=False)
+                    .size()
+                    .rename("c")
+                    .reset_index(),
+                    batch_format="pandas",
+                ),
+                ["p_brand", "p_type"],
+                {out_col: ("c", "sum")},
+            )
+            .to_pandas()
+        )
+
+    supp = count_distinct(tagged, "l_suppkey", "n_suppliers")
+    prt = count_distinct(tagged, "l_partkey", "n_parts")
+    out = supp.merge(prt, on=["p_brand", "p_type"]).sort_values(
+        ["n_suppliers", "p_brand", "p_type"],
+        ascending=[False, True, True],
+        ignore_index=True,
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["p_brand", "p_type", "n_suppliers", "n_parts"]], preserve_index=False
+    )
+
+
+PART_SUPPLIER_DIVERSITY_SQL = """
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY n_suppliers DESC, p_brand, p_type
+"""

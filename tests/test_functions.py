@@ -40,6 +40,7 @@ def _oracle_names():
         "q5_local_supplier_volume",
         "q18_large_orders",
         "q10_returned_revenue",
+        "part_supplier_diversity",
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_monthly_revenue",
