@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_concurrency": streams.events_peak_concurrency,
         # exact phi-heavy hitters: local-threshold superset + verify
         "events_heavy_hitters": streams.events_heavy_hitters,
+        # engagement depth: exact seconds-histogram session percentiles
+        "session_duration_percentiles": streams.session_duration_percentiles,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -885,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": streams.EVENTS_DAU_WAU_SQL,
         "events_peak_concurrency": streams.EVENTS_PEAK_CONCURRENCY_SQL,
         "events_heavy_hitters": streams.EVENTS_HEAVY_HITTERS_SQL,
+        "session_duration_percentiles": streams.SESSION_DURATION_PERCENTILES_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -154,6 +154,7 @@ def run_bench() -> dict:
         "events_dau_wau",
         "events_peak_concurrency",
         "events_heavy_hitters",
+        "session_duration_percentiles",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",

@@ -2109,3 +2109,105 @@ ORDER BY n_events DESC, user_id
 
 
 EVENTS_HEAVY_HITTERS_SQL = events_heavy_hitters_sql()
+
+
+def session_duration_percentiles(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """EXACT discrete percentiles (p50/p90/p99) and max of session
+    duration in whole SECONDS — the engagement-depth data-card row.
+    Durations quantize to seconds (floor of the microsecond gap) so
+    the value domain is session-length-bounded (thousands of distinct
+    values) instead of microsecond-unique: the exact count-histogram
+    idiom (event_value_percentiles) then applies unchanged at any
+    corpus size.
+
+    Distributed shape: sessions build inside user-hash buckets (one
+    shuffle, vectorized gap/cumsum); each bucket emits (dur_sec, n)
+    partial counts; the coarse-bucket aggregate folds the histogram;
+    quantile selection reads cumulative counts off the (small) sorted
+    histogram with DuckDB's quantile_disc index rule."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], n_buckets))
+
+    def durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        sid = (prev.isna() | ((g["ts"] - prev) > gap)).cumsum()
+        s = g.groupby(sid)["ts"].agg(["min", "max"])
+        dur = ((s["max"] - s["min"]).dt.total_seconds()).astype("int64")
+        vc = dur.value_counts()
+        return pd.DataFrame(
+            {
+                "dur_sec": vc.index.astype("int64"),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(durations, batch_format="pandas"),
+            ["dur_sec"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values("dur_sec", ignore_index=True)
+    )
+    counts = hist["n"].to_numpy(dtype="int64")
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    vals = hist["dur_sec"].to_numpy(dtype="int64")
+
+    def disc(q: float) -> int:
+        target = max(1, int(np.ceil(q * total)))
+        return int(vals[np.searchsorted(cum, target)])
+
+    return pa.table(
+        {
+            "n_sessions": pa.array([total], pa.int64()),
+            "p50_sec": pa.array([disc(0.50)], pa.int64()),
+            "p90_sec": pa.array([disc(0.90)], pa.int64()),
+            "p99_sec": pa.array([disc(0.99)], pa.int64()),
+            "max_sec": pa.array([int(vals[-1])], pa.int64()),
+        }
+    )
+
+
+def session_duration_percentiles_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM (SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        FROM flagged)
+  GROUP BY user_id, session_id
+),
+d AS (SELECT (epoch_us(e) - epoch_us(s)) // 1000000 AS dur_sec FROM sess)
+SELECT COUNT(*) AS n_sessions,
+       CAST(quantile_disc(dur_sec, 0.50) AS BIGINT) AS p50_sec,
+       CAST(quantile_disc(dur_sec, 0.90) AS BIGINT) AS p90_sec,
+       CAST(quantile_disc(dur_sec, 0.99) AS BIGINT) AS p99_sec,
+       CAST(MAX(dur_sec) AS BIGINT) AS max_sec
+FROM d
+"""
+
+
+SESSION_DURATION_PERCENTILES_SQL = session_duration_percentiles_sql()

@@ -82,6 +82,7 @@ def _oracle_names():
         "events_dau_wau",
         "events_peak_concurrency",
         "events_heavy_hitters",
+        "session_duration_percentiles",
         "source_length_gini",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
