@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": streams.events_heavy_hitters,
         # engagement depth: exact seconds-histogram session percentiles
         "session_duration_percentiles": streams.session_duration_percentiles,
+        # bot screen: users bursting >= 2 events in one calendar minute
+        "events_burst_users": streams.events_burst_users,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -605,6 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pareto_front": textstats.doc_pareto_front,
         # per-source length inequality (integer Gini, data-card row)
         "source_length_gini": textstats.source_length_gini,
+        # language-mix data card: per (source, lang) counts + milli share
+        "source_lang_mix": textstats.source_lang_mix,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -843,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": textstats.DOC_CHAR_ENTROPY_SQL,
         "doc_pareto_front": textstats.DOC_PARETO_FRONT_SQL,
         "source_length_gini": textstats.SOURCE_LENGTH_GINI_SQL,
+        "source_lang_mix": textstats.SOURCE_LANG_MIX_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),
@@ -888,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "events_peak_concurrency": streams.EVENTS_PEAK_CONCURRENCY_SQL,
         "events_heavy_hitters": streams.EVENTS_HEAVY_HITTERS_SQL,
         "session_duration_percentiles": streams.SESSION_DURATION_PERCENTILES_SQL,
+        "events_burst_users": streams.EVENTS_BURST_USERS_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -2211,3 +2211,101 @@ FROM d
 
 
 SESSION_DURATION_PERCENTILES_SQL = session_duration_percentiles_sql()
+
+
+def events_burst_users(sf_dir: str, min_burst: int = 2) -> pa.Table:
+    """Rate-anomaly users: every user with at least ``min_burst``
+    events inside a single calendar MINUTE, with their maximum
+    per-minute burst and the earliest minute it occurs — the
+    bot/replay screen over the raw event log (the windowed sibling of
+    events_heavy_hitters' whole-corpus share test).
+
+    Distributed shape: one streaming pass emits per-batch
+    (user, minute, n) partials; the coarse-bucket aggregate resolves
+    exact per-(user, minute) counts (a batch boundary can split a
+    user-minute — the combine re-sums); per-user max/argmin-minute
+    folds through a second slim bucketed pass. Output is
+    anomaly-sized, never user-domain-sized."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "minute": pc.floor_temporal(batch["ts"], unit="minute"),
+            }
+        )
+        g = t.group_by(["user_id", "minute"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "minute": g["minute"],
+                "n": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    per_min = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "minute"],
+        {"n": ("n", "sum")},
+    ).map_batches(
+        lambda df: df[df["n"] >= min_burst], batch_format="pandas"
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from mlscraper_ray.functions.joins import bucket_of
+
+        return batch.append_column("__bucket", bucket_of(batch["user_id"], 64))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "minute"], ascending=[True, False, True])
+        top = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].astype("int64"),
+                "max_burst": top["n"].astype("int64"),
+                "first_burst_minute": top["minute"],
+            }
+        )
+
+    out = (
+        per_min.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "max_burst": pa.array([], pa.int64()),
+                "first_burst_minute": pa.array([], pa.timestamp("us")),
+            }
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_burst_users_sql(min_burst: int = 2) -> str:
+    return f"""
+WITH pm AS (
+    SELECT user_id, date_trunc('minute', ts) AS minute, COUNT(*) AS n
+    FROM events GROUP BY user_id, date_trunc('minute', ts)
+),
+hits AS (SELECT * FROM pm WHERE n >= {min_burst})
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS max_burst,
+       MIN(minute) FILTER (WHERE n = (
+           SELECT MAX(h2.n) FROM hits h2 WHERE h2.user_id = hits.user_id))
+           AS first_burst_minute
+FROM hits
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+EVENTS_BURST_USERS_SQL = events_burst_users_sql()

@@ -3999,3 +3999,49 @@ ORDER BY doc_id
 
 
 SAMPLE_K_PER_SOURCE_SQL = sample_k_per_source_sql()
+
+
+def source_lang_mix(sf_dir: str) -> pa.Table:
+    """Per (source, lang) document counts with integer-milli share of
+    the source — the language-mix data-card table read before fixing a
+    sampling temperature per source (a 'en' source that is 30% 'zh' is
+    mislabeled upstream). One streaming partial-count pass folds
+    through the coarse-bucket aggregate; the resolved table is
+    sources x langs (data-card-sized), so shares compute driver-side."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df.groupby(["source", "lang"], sort=False)
+                .size()
+                .rename("n_docs")
+                .reset_index(),
+                batch_format="pandas",
+            ),
+            ["source", "lang"],
+            {"n_docs": ("n_docs", "sum")},
+        )
+        .to_pandas()
+    )
+    totals = counts.groupby("source")["n_docs"].transform("sum")
+    counts["share_milli"] = (1000 * counts["n_docs"]) // totals
+    out = counts.sort_values(["source", "lang"], ignore_index=True).astype(
+        {"n_docs": "int64", "share_milli": "int64"}
+    )
+    return pa.Table.from_pandas(
+        out[["source", "lang", "n_docs", "share_milli"]], preserve_index=False
+    )
+
+
+SOURCE_LANG_MIX_SQL = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST((1000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY source)
+            AS BIGINT) AS share_milli
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""

@@ -83,7 +83,9 @@ def _oracle_names():
         "events_peak_concurrency",
         "events_heavy_hitters",
         "session_duration_percentiles",
+        "events_burst_users",
         "source_length_gini",
+        "source_lang_mix",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
