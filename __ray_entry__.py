@@ -609,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_gini": textstats.source_length_gini,
         # language-mix data card: per (source, lang) counts + milli share
         "source_lang_mix": textstats.source_lang_mix,
+        # length-profile data card: exact per-source char percentiles
+        "source_length_percentiles": textstats.source_length_percentiles,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -848,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pareto_front": textstats.DOC_PARETO_FRONT_SQL,
         "source_length_gini": textstats.SOURCE_LENGTH_GINI_SQL,
         "source_lang_mix": textstats.SOURCE_LANG_MIX_SQL,
+        "source_length_percentiles": textstats.SOURCE_LENGTH_PERCENTILES_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "events_burst_users",
         "source_length_gini",
         "source_lang_mix",
+        "source_length_percentiles",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

@@ -4045,3 +4045,73 @@ FROM documents
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+def source_length_percentiles(sf_dir: str) -> pa.Table:
+    """EXACT discrete p50/p90/p99 + max of document length (n_chars)
+    per source — the length-profile data-card row next to the log2
+    histogram and the Gini (percentiles localize WHERE the mass sits;
+    the histogram shows shape). The exact count-histogram idiom:
+    per-batch (source, n_chars, count) partials fold through the
+    coarse-bucket aggregate (distinct lengths per source are
+    length-domain-bounded, never doc-sized), then per-source quantile
+    selection reads cumulative counts with DuckDB's quantile_disc
+    index rule."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+    hist = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby(["source", "n_chars"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["source", "n_chars"],
+        {"n": ("n", "sum")},
+    )
+
+    def pctl(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values("n_chars", ignore_index=True)
+        cum = np.cumsum(g["n"].to_numpy(dtype="int64"))
+        total = int(cum[-1])
+        vals = g["n_chars"].to_numpy(dtype="int64")
+
+        def disc(q: float) -> int:
+            return int(vals[np.searchsorted(cum, max(1, int(np.ceil(q * total))))])
+
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": pd.Series([total], dtype="int64"),
+                "p50_chars": pd.Series([disc(0.50)], dtype="int64"),
+                "p90_chars": pd.Series([disc(0.90)], dtype="int64"),
+                "p99_chars": pd.Series([disc(0.99)], dtype="int64"),
+                "max_chars": pd.Series([int(vals[-1])], dtype="int64"),
+            }
+        )
+
+    out = (
+        hist.groupby("source")
+        .map_groups(pctl, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SOURCE_LENGTH_PERCENTILES_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -86,6 +86,7 @@ def _oracle_names():
         "events_burst_users",
         "source_length_gini",
         "source_lang_mix",
+        "source_length_percentiles",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
