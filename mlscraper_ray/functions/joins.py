@@ -1677,6 +1677,11 @@ def part_supplier_diversity(
             "l_partkey",
             approx_rows=n_parts_tbl,
         )
+    # materialize once: the tagged pair table feeds BOTH distinct
+    # counts — without this the lineitem distinct-pair fold re-executes
+    # per consumer. Catalog-pair-bounded (partsupp domain), never
+    # lineitem-sized.
+    tagged = tagged.materialize()
 
     def count_distinct(ds, key_col, out_col):
         d = bucketed_aggregate(
