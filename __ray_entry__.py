@@ -661,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters,
         # dominant spectral axis: integer power iteration, 8 passes
         "embed_top_component": similarity.embed_top_component,
+        # dead-dimension screen: exact per-dim moments and spread
+        "embed_dim_stats": similarity.embed_dim_stats,
     }
 
 
@@ -802,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn_graph": similarity.embed_knn_graph_sql(),
         "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters_sql(),
         "embed_top_component": similarity.EMBED_TOP_COMPONENT_SQL,
+        "embed_dim_stats": similarity.EMBED_DIM_STATS_SQL,
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),

@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "embed_top_component",
+        "embed_dim_stats",
         "doc_readability",
         "doc_char_entropy",
         "doc_pareto_front",

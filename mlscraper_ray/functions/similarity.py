@@ -2730,3 +2730,88 @@ it{K} AS MATERIALIZED (
 
 
 EMBED_TOP_COMPONENT_SQL = embed_top_component_sql()
+
+
+def embed_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension health check over the embedding matrix — the
+    dead/degenerate-dimension screen run before trusting any distance
+    metric (a dimension with ~zero variance adds noise to every
+    cosine; one with huge spread dominates them): for each of the 64
+    dims, exact integer sum, sum of squares, min and max over the
+    floor(x*1000+0.5)-quantized values, plus var_micro = the exact
+    population-variance numerator scaled by n (``(n*sxx - sx^2) //
+    n``) so downstream thresholds stay integer.
+
+    Distributed shape: ONE streaming pass emits a 64-row partial
+    (sum, sumsq, min, max) block per batch — two numpy int64
+    reductions — folded driver-side in Python ints (the cross-batch
+    sum is where web-scale row counts would overflow int64)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    dim = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.array(
+            [list(r) for r in batch["embedding"].to_pylist()], dtype=np.float64
+        )
+        X = np.floor(mat * 1000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "j": pa.array(range(dim), pa.int64()),
+                "n": pa.array([len(X)] * dim, pa.int64()),
+                "s": pa.array(X.sum(axis=0), pa.int64()),
+                "sq": pa.array((X * X).sum(axis=0), pa.int64()),
+                "mn": pa.array(X.min(axis=0), pa.int64()),
+                "mx": pa.array(X.max(axis=0), pa.int64()),
+            }
+        )
+
+    n_t = [0] * dim
+    s_t = [0] * dim
+    sq_t = [0] * dim
+    mn_t = [None] * dim
+    mx_t = [None] * dim
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        for j, n, s, sq, mn, mx in zip(b["j"], b["n"], b["s"], b["sq"], b["mn"], b["mx"]):
+            j = int(j)
+            n_t[j] += int(n)
+            s_t[j] += int(s)
+            sq_t[j] += int(sq)
+            mn_t[j] = int(mn) if mn_t[j] is None else min(mn_t[j], int(mn))
+            mx_t[j] = int(mx) if mx_t[j] is None else max(mx_t[j], int(mx))
+    var_micro = [
+        (n * sq - s * s) // n if n else 0 for n, s, sq in zip(n_t, s_t, sq_t)
+    ]
+    return pa.table(
+        {
+            "j": pa.array(range(dim), pa.int64()),
+            "n": pa.array(n_t, pa.int64()),
+            "sum_milli": pa.array(s_t, pa.int64()),
+            "sumsq_micro": pa.array(sq_t, pa.int64()),
+            "min_milli": pa.array(mn_t, pa.int64()),
+            "max_milli": pa.array(mx_t, pa.int64()),
+            "var_micro": pa.array(var_micro, pa.int64()),
+        }
+    )
+
+
+EMBED_DIM_STATS_SQL = """
+WITH E AS (
+  SELECT s.j,
+         CAST(FLOOR(CAST(embedding[s.j+1] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, UNNEST(generate_series(0,63)) s(j)
+)
+SELECT j, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_milli,
+       CAST(SUM(x*x) AS BIGINT) AS sumsq_micro,
+       CAST(MIN(x) AS BIGINT) AS min_milli,
+       CAST(MAX(x) AS BIGINT) AS max_milli,
+       CAST((COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) // COUNT(*) AS BIGINT)
+           AS var_micro
+FROM E
+GROUP BY j
+ORDER BY j
+"""

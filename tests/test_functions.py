@@ -95,6 +95,7 @@ def _oracle_names():
         "text_search_near_indexed",
         "embed_mutual_knn_clusters",
         "embed_top_component",
+        "embed_dim_stats",
         "doc_readability",
         "doc_char_entropy",
         "doc_pareto_front",
