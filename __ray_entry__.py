@@ -611,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_mix": textstats.source_lang_mix,
         # length-profile data card: exact per-source char percentiles
         "source_length_percentiles": textstats.source_length_percentiles,
+        # Heaps-law vocab growth: new distinct tokens per doc-id decile
+        "vocab_growth_curve": textstats.vocab_growth_curve,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -854,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "source_length_gini": textstats.SOURCE_LENGTH_GINI_SQL,
         "source_lang_mix": textstats.SOURCE_LANG_MIX_SQL,
         "source_length_percentiles": textstats.SOURCE_LENGTH_PERCENTILES_SQL,
+        "vocab_growth_curve": textstats.VOCAB_GROWTH_CURVE_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",
+        "vocab_growth_curve",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

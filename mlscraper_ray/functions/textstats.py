@@ -4115,3 +4115,89 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def vocab_growth_curve(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Heaps-law vocabulary growth: how many NEW distinct whitespace
+    tokens each doc-id decile of the corpus introduces, with the
+    running cumulative vocabulary — the sublinearity check a tokenizer
+    budget is planned against (a corpus whose curve stays linear is
+    unbounded-vocab garbage; a flattening curve says when vocab
+    saturates). A token is credited to the decile of its FIRST
+    occurrence (min doc_id).
+
+    Distributed shape: per-batch (word, min_doc_id) partials fold
+    through the coarse-bucket MIN aggregate (one shuffle of slim word
+    rows — the surprisal tokenize shape); the decile histogram is then
+    a streaming count over the resolved word table and only
+    ``n_bins`` rows reach the driver, where the cumulative sum is a
+    10-element scan. The doc-id span comes from one metadata-cheap
+    column max."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    max_doc = docs.max("doc_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {"word": df["text"].str.split(), "doc_id": df["doc_id"]}
+        ).explode("word")
+        ex = ex[ex["word"].notna()]
+        out = ex.groupby("word", sort=False)["doc_id"].min().rename("first_doc").reset_index()
+        out["first_doc"] = out["first_doc"].astype("int64")
+        return out
+
+    firsts = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["word"],
+        {"first_doc": ("first_doc", "min")},
+    )
+    hist = (
+        bucketed_aggregate(
+            firsts.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "bin": (df["first_doc"].astype("int64") * n_bins)
+                        // (max_doc + 1)
+                    }
+                )
+                .groupby("bin", sort=False)
+                .size()
+                .rename("new_words")
+                .reset_index(),
+                batch_format="pandas",
+            ),
+            ["bin"],
+            {"new_words": ("new_words", "sum")},
+            n_buckets=n_bins,
+        )
+        .to_pandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    hist["cum_words"] = hist["new_words"].cumsum()
+    for c in ("bin", "new_words", "cum_words"):
+        hist[c] = hist[c].astype("int64")
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
+def vocab_growth_curve_sql(n_bins: int = 10) -> str:
+    return rf"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+w AS (SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word),
+m AS (SELECT MAX(doc_id) AS mx FROM documents),
+h AS (
+    SELECT (first_doc * {n_bins}) // (mx + 1) AS bin, COUNT(*) AS new_words
+    FROM w, m GROUP BY 1
+)
+SELECT bin, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY bin) AS BIGINT) AS cum_words
+FROM h ORDER BY bin
+"""
+
+
+VOCAB_GROWTH_CURVE_SQL = vocab_growth_curve_sql()

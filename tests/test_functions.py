@@ -87,6 +87,7 @@ def _oracle_names():
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",
+        "vocab_growth_curve",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
