@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_percentiles": streams.session_duration_percentiles,
         # bot screen: users bursting >= 2 events in one calendar minute
         "events_burst_users": streams.events_burst_users,
+        # engagement Zipf check: log2-band user activity histogram
+        "user_activity_histogram": streams.user_activity_histogram,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -519,6 +521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gram_novelty": dedup.doc_gram_novelty,
         # simhash hamming calibration over consecutive-id pairs
         "simhash_pair_histogram": dedup.simhash_pair_histogram,
+        # truncation-artifact census: byte-identical 64-char prefixes
+        "dedup_prefix_groups": dedup.dedup_prefix_groups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # per-doc duplicated-span fraction (C4-style quality signal)
         "doc_dup_span_stats": dedup.doc_dup_span_stats,
@@ -794,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "source_pair_matrix": dedup.source_pair_matrix_sql(),
         "doc_gram_novelty": dedup.DOC_GRAM_NOVELTY_SQL,
         "simhash_pair_histogram": dedup.SIMHASH_PAIR_HISTOGRAM_SQL,
+        "dedup_prefix_groups": dedup.DEDUP_PREFIX_GROUPS_SQL,
         # exhaustive similarity joins verify the LSH pipelines' recall
         # guarantees themselves (see MINHASH_DEDUP_SQL docs)
         "dedup_minhash": _minhash_dedup_sql(),
@@ -903,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": streams.EVENTS_HEAVY_HITTERS_SQL,
         "session_duration_percentiles": streams.SESSION_DURATION_PERCENTILES_SQL,
         "events_burst_users": streams.EVENTS_BURST_USERS_SQL,
+        "user_activity_histogram": streams.USER_ACTIVITY_HISTOGRAM_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "events_heavy_hitters",
         "session_duration_percentiles",
         "events_burst_users",
+        "user_activity_histogram",
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",
@@ -219,6 +220,7 @@ def run_bench() -> dict:
         "source_pair_matrix",
         "doc_gram_novelty",
         "simhash_pair_histogram",
+        "dedup_prefix_groups",
         "doc_simhash",
         "dedup_ngram_jaccard",
         "dedup_containment",

@@ -2799,3 +2799,76 @@ JOIN sig b ON (a.doc_id // 2) = (b.doc_id // 2)
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def dedup_prefix_groups(sf_dir: str, prefix_len: int = 64) -> pa.Table:
+    """Shared-prefix duplicate census: groups of documents whose first
+    ``prefix_len`` characters are byte-identical — the
+    truncation-artifact / boilerplate-header detector (a crawler that
+    clips pages mid-stream, or a template that prepends the same
+    banner, shows up here long before full-text dedup finds anything).
+    One row per group with more than one member: md5 of the prefix,
+    member count, smallest doc_id (the canonical keep).
+
+    Scale shape: each doc collapses to ONE slim (prefix_md5, count,
+    min_doc) partial at the map (the text never leaves the batch, the
+    prefix never ships raw), folded through the coarse-bucket
+    aggregate; only >1 groups leave."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "pmd5": [
+                    hashlib.md5(t[:prefix_len].encode()).hexdigest()
+                    for t in batch["text"].to_pylist()
+                ],
+                "doc_id": batch["doc_id"].to_pylist(),
+            }
+        )
+        g = df.groupby("pmd5", sort=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")
+        )
+        return g.reset_index().astype({"n_docs": "int64", "min_doc_id": "int64"})
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["pmd5"],
+            {"n_docs": ("n_docs", "sum"), "min_doc_id": ("min_doc_id", "min")},
+        )
+        .map_batches(lambda df: df[df["n_docs"] > 1], batch_format="pandas")
+        .to_pandas()
+        .sort_values("pmd5", ignore_index=True)
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                "pmd5": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "min_doc_id": pa.array([], pa.int64()),
+            }
+        )
+    out = out.astype({"n_docs": "int64", "min_doc_id": "int64"})
+    return pa.Table.from_pandas(
+        out[["pmd5", "n_docs", "min_doc_id"]], preserve_index=False
+    )
+
+
+def dedup_prefix_groups_sql(prefix_len: int = 64) -> str:
+    return f"""
+SELECT md5(substr(text, 1, {prefix_len})) AS pmd5,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY md5(substr(text, 1, {prefix_len}))
+HAVING COUNT(*) > 1
+ORDER BY pmd5
+"""
+
+
+DEDUP_PREFIX_GROUPS_SQL = dedup_prefix_groups_sql()

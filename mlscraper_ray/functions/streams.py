@@ -2309,3 +2309,65 @@ ORDER BY user_id
 
 
 EVENTS_BURST_USERS_SQL = events_burst_users_sql()
+
+
+def user_activity_histogram(sf_dir: str) -> pa.Table:
+    """Zipf check over user engagement: per-user event counts fold
+    into floor-log2 bands (band = bit_length(count), so band 1 holds
+    single-event users, band 7 holds 64-127, ...) with the user and
+    event mass per band — the activity-concentration data card (a
+    heavy head here says the corpus is a few power users' behavior,
+    not a population's).
+
+    Distributed shape: per-user counts via one slim bucketed fold;
+    band assignment is a vectorized bit-length; the band histogram
+    (< 64 rows) folds through a second tiny aggregate."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    per_user = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby("user_id", sort=False)
+            .size()
+            .rename("n")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"n": ("n", "sum")},
+    )
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        band = np.frexp(n.astype(np.float64))[1]  # bit_length for n >= 1
+        out = pd.DataFrame({"band": band.astype(np.int64), "n": n})
+        g = out.groupby("band", sort=False).agg(
+            n_users=("n", "size"), n_events=("n", "sum")
+        )
+        return g.reset_index().astype("int64")
+
+    out = (
+        bucketed_aggregate(
+            per_user.map_batches(to_bands, batch_format="pandas"),
+            ["band"],
+            {"n_users": ("n_users", "sum"), "n_events": ("n_events", "sum")},
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("band", ignore_index=True)
+        .astype({"band": "int64", "n_users": "int64", "n_events": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+USER_ACTIVITY_HISTOGRAM_SQL = """
+WITH per_user AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT length(ltrim(bin(CAST(n AS BIGINT)), '0')) AS band,
+       COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user
+GROUP BY 1
+ORDER BY band
+"""

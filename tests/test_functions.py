@@ -65,6 +65,7 @@ def _oracle_names():
         "source_pair_matrix",
         "doc_gram_novelty",
         "simhash_pair_histogram",
+        "dedup_prefix_groups",
         "doc_simhash",
         "dedup_segments",
         "doc_scrub_dup_runs",
@@ -84,6 +85,7 @@ def _oracle_names():
         "events_heavy_hitters",
         "session_duration_percentiles",
         "events_burst_users",
+        "user_activity_histogram",
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",
