@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_nation": joins.top_customers_by_nation,
         # RFM segment matrix (per-customer fold -> fixed-band roll-up)
         "customer_rfm_segments": aggregates.customer_rfm_segments,
+        # retention headline: repeat-purchase rate per segment
+        "orders_repeat_rate": aggregates.orders_repeat_rate,
         # monthly revenue series + MoM delta (calendar-bounded fold)
         "orders_monthly_revenue": aggregates.orders_monthly_revenue,
         # ROLLUP hierarchy subtotals (zero extra distributed passes)
@@ -767,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "part_supplier_diversity": joins.PART_SUPPLIER_DIVERSITY_SQL,
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
+        "orders_repeat_rate": aggregates.ORDERS_REPEAT_RATE_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,
         "revenue_rollup": aggregates.REVENUE_ROLLUP_SQL,
         "corpus_validate": validate.CORPUS_VALIDATE_SQL,

@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "part_supplier_diversity",
         "top_customers_by_nation",
         "customer_rfm_segments",
+        "orders_repeat_rate",
         "orders_monthly_revenue",
         "revenue_rollup",
         "corpus_validate",

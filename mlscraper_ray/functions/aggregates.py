@@ -799,3 +799,95 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY region, nation
 """
+
+
+def orders_repeat_rate(sf_dir: str, broadcast_limit: int = 5_000_000) -> pa.Table:
+    """Repeat-purchase rate per market segment: of each segment's
+    customers WITH at least one order, how many ordered more than
+    once (integer-milli rate) — the retention headline every commerce
+    data card opens with.
+
+    Distributed shape: per-custkey order counts fold through the
+    coarse-bucket aggregate (slim int pairs); the segment lookup is
+    COUNT-GUARDED — customer broadcast-attaches under
+    ``broadcast_limit`` rows, else cogroups on custkey; segment
+    roll-up is a 5-row fold."""
+    from mlscraper_ray.functions.broadcast import cached_object
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+    from mlscraper_ray.functions.joins import cogroup_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda df: df.groupby("o_custkey", sort=False)
+        .size()
+        .rename("n_orders")
+        .reset_index()
+        .rename(columns={"o_custkey": "c_custkey"})
+        .astype({"c_custkey": "int64", "n_orders": "int64"}),
+        batch_format="pandas",
+    )
+    per_cust = bucketed_aggregate(
+        orders, ["c_custkey"], {"n_orders": ("n_orders", "sum")}
+    )
+
+    cust_read = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    n_cust = cust_read.count()  # parquet metadata, no scan
+    if n_cust <= broadcast_limit:
+        cdf = cust_read.to_pandas()
+        c_ref = ray.put(dict(zip(cdf["c_custkey"].astype(int), cdf["c_mktsegment"])))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            cm = cached_object(c_ref)
+            return df.assign(
+                c_mktsegment=df["c_custkey"].map(lambda k: cm[int(k)])
+            )
+
+        tagged = per_cust.map_batches(attach, batch_format="pandas")
+    else:
+        cust = cust_read.map_batches(
+            lambda df: df.astype({"c_custkey": "int64"}), batch_format="pandas"
+        )
+        tagged = cogroup_join(per_cust, cust, "c_custkey", approx_rows=n_cust)
+
+    parts = tagged.map_batches(
+        lambda df: df.assign(rep=(df["n_orders"] > 1).astype("int64"), one=np.int64(1))
+        .groupby("c_mktsegment", sort=False)
+        .agg(n_customers=("one", "sum"), n_repeat=("rep", "sum"))
+        .reset_index(),
+        batch_format="pandas",
+    )
+    out = (
+        bucketed_aggregate(
+            parts,
+            ["c_mktsegment"],
+            {"n_customers": ("n_customers", "sum"), "n_repeat": ("n_repeat", "sum")},
+            n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment", ignore_index=True)
+        .astype({"n_customers": "int64", "n_repeat": "int64"})
+    )
+    out["repeat_milli"] = (1000 * out["n_repeat"]) // out["n_customers"]
+    return pa.Table.from_pandas(
+        out[["c_mktsegment", "n_customers", "n_repeat", "repeat_milli"]],
+        preserve_index=False,
+    )
+
+
+ORDERS_REPEAT_RATE_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST((1000 * SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS repeat_milli
+FROM per_cust JOIN customer USING (c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

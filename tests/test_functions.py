@@ -43,6 +43,7 @@ def _oracle_names():
         "part_supplier_diversity",
         "top_customers_by_nation",
         "customer_rfm_segments",
+        "orders_repeat_rate",
         "orders_monthly_revenue",
         "revenue_rollup",
         "corpus_validate",
