@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_percentiles": textstats.source_length_percentiles,
         # Heaps-law vocab growth: new distinct tokens per doc-id decile
         "vocab_growth_curve": textstats.vocab_growth_curve,
+        # tokenizer design input: instances + distinct words per length
+        "token_length_histogram": textstats.token_length_histogram,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -865,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_mix": textstats.SOURCE_LANG_MIX_SQL,
         "source_length_percentiles": textstats.SOURCE_LENGTH_PERCENTILES_SQL,
         "vocab_growth_curve": textstats.VOCAB_GROWTH_CURVE_SQL,
+        "token_length_histogram": textstats.TOKEN_LENGTH_HISTOGRAM_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "source_lang_mix",
         "source_length_percentiles",
         "vocab_growth_curve",
+        "token_length_histogram",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",

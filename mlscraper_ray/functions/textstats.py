@@ -4201,3 +4201,66 @@ FROM h ORDER BY bin
 
 
 VOCAB_GROWTH_CURVE_SQL = vocab_growth_curve_sql()
+
+
+def token_length_histogram(sf_dir: str) -> pa.Table:
+    """Corpus-wide token-length distribution — the tokenizer design
+    input next to the vocab growth curve (byte-fallback rates and
+    max-piece-length choices read straight off this table): for each
+    whitespace-token character length, the token-instance count and
+    the distinct-token count of that length.
+
+    Distributed shape: one tokenize pass emits per-batch
+    (len, instances) partials PLUS slim (word, len) distinct partials;
+    instances fold directly (length domain is tiny), distinct words
+    fold through the coarse-bucket word aggregate first and then
+    count per length — exactly one shuffle of word rows."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    counts = bucketed_aggregate(
+        docs.map_batches(
+            lambda b: _local_word_counts(b["text"]), batch_format="pandas"
+        ),
+        ["word"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+    def per_len(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["word"].str.len().astype("int64")
+        g = pd.DataFrame({"token_len": ln, "cnt": df["cnt"].astype("int64")})
+        out = g.groupby("token_len", sort=False).agg(
+            n_instances=("cnt", "sum"), n_distinct=("cnt", "size")
+        )
+        return out.reset_index().astype("int64")
+
+    out = (
+        bucketed_aggregate(
+            counts.map_batches(per_len, batch_format="pandas"),
+            ["token_len"],
+            {"n_instances": ("n_instances", "sum"), "n_distinct": ("n_distinct", "sum")},
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("token_len", ignore_index=True)
+        .astype({"token_len": "int64", "n_instances": "int64", "n_distinct": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = r"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
+SELECT CAST(length(word) AS BIGINT) AS token_len,
+       CAST(SUM(c) AS BIGINT) AS n_instances,
+       COUNT(*) AS n_distinct
+FROM cnt
+GROUP BY length(word)
+ORDER BY token_len
+"""
