@@ -621,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": textstats.vocab_growth_curve,
         # tokenizer design input: instances + distinct words per length
         "token_length_histogram": textstats.token_length_histogram,
+        # collection-level lexical diversity (templated-source screen)
+        "source_ttr": textstats.source_ttr,
         # per-source robust MAD length-outlier gate (histogram+rank)
         "doc_length_outliers": textstats.doc_length_outliers,
         # per-source quality-QUANTILE keep (FineWeb-style
@@ -673,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_top_component": similarity.embed_top_component,
         # dead-dimension screen: exact per-dim moments and spread
         "embed_dim_stats": similarity.embed_dim_stats,
+        # whole-vector norm health bands (mixed-version detector)
+        "embed_norm_histogram": similarity.embed_norm_histogram,
     }
 
 
@@ -817,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_mutual_knn_clusters": similarity.embed_mutual_knn_clusters_sql(),
         "embed_top_component": similarity.EMBED_TOP_COMPONENT_SQL,
         "embed_dim_stats": similarity.EMBED_DIM_STATS_SQL,
+        "embed_norm_histogram": similarity.EMBED_NORM_HISTOGRAM_SQL,
         "ann_ivf_trained_topk": similarity.ivf_trained_topk_sql(),
         "ann_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
         "ann_ivf_pq_residual_topk": similarity.ivf_pq_residual_topk_sql(),
@@ -868,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "source_length_percentiles": textstats.SOURCE_LENGTH_PERCENTILES_SQL,
         "vocab_growth_curve": textstats.VOCAB_GROWTH_CURVE_SQL,
         "token_length_histogram": textstats.TOKEN_LENGTH_HISTOGRAM_SQL,
+        "source_ttr": textstats.SOURCE_TTR_SQL,
         "corpus_split": textstats.corpus_split_sql(),
         "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "corpus_curate": _curate_sql(),

@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "source_length_percentiles",
         "vocab_growth_curve",
         "token_length_histogram",
+        "source_ttr",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
@@ -171,6 +172,7 @@ def run_bench() -> dict:
         "embed_mutual_knn_clusters",
         "embed_top_component",
         "embed_dim_stats",
+        "embed_norm_histogram",
         "doc_readability",
         "doc_char_entropy",
         "doc_pareto_front",

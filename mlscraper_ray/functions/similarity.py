@@ -2815,3 +2815,64 @@ FROM E
 GROUP BY j
 ORDER BY j
 """
+
+
+def embed_norm_histogram(sf_dir: str) -> pa.Table:
+    """Vector-norm health histogram: quantized squared norms folded
+    into floor-log2 bands (band = bit_length of the int micro-norm;
+    band 0 holds exact-zero vectors — the dead-vector bucket) with
+    vector counts per band — the companion to embed_dim_stats at
+    whole-vector granularity (a bimodal norm histogram says two
+    incompatible embedding versions were mixed).
+
+    One streaming pass, <= 64-row partials per batch, tiny fold."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = np.array(
+            [list(r) for r in batch["embedding"].to_pylist()], dtype=np.float64
+        )
+        X = np.floor(mat * 1000 + 0.5).astype(np.int64)
+        sq = (X * X).sum(axis=1)
+        band = np.where(sq > 0, np.frexp(sq.astype(np.float64))[1], 0)
+        vc = pd.Series(band.astype(np.int64)).value_counts()
+        return pd.DataFrame(
+            {
+                "band": vc.index.astype("int64"),
+                "n_vectors": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["band"],
+            {"n_vectors": ("n_vectors", "sum")},
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("band", ignore_index=True)
+        .astype({"band": "int64", "n_vectors": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EMBED_NORM_HISTOGRAM_SQL = """
+WITH E AS (
+  SELECT vec_id, s.j,
+         CAST(FLOOR(CAST(embedding[s.j+1] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, UNNEST(generate_series(0,63)) s(j)
+),
+n AS (SELECT vec_id, SUM(x*x) AS sq FROM E GROUP BY vec_id)
+SELECT CASE WHEN sq > 0
+            THEN length(ltrim(bin(CAST(sq AS BIGINT)), '0'))
+            ELSE 0 END AS band,
+       COUNT(*) AS n_vectors
+FROM n
+GROUP BY 1
+ORDER BY band
+"""

@@ -4264,3 +4264,78 @@ FROM cnt
 GROUP BY length(word)
 ORDER BY token_len
 """
+
+
+def source_ttr(sf_dir: str) -> pa.Table:
+    """Per-SOURCE type-token ratio (milli): distinct whitespace tokens
+    over total token instances — the lexical-diversity data-card row
+    at collection granularity (a source whose TTR collapses relative
+    to peers is templated or machine-generated; the source-level
+    companion to the per-doc doc_ttr).
+
+    Distributed shape: one tokenize pass emits slim
+    (source, word, cnt) partials; the coarse-bucket aggregate resolves
+    distinct (source, word) rows with their instance counts; per-source
+    distinct and instance totals then fold as source-sized partials —
+    exactly one shuffle of word rows, nothing driver-sized beyond the
+    source table."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {"word": df["text"].str.split(), "source": df["source"]}
+        ).explode("word")
+        ex = ex[ex["word"].notna()]
+        out = (
+            ex.groupby(["source", "word"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    sw = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source", "word"],
+        {"cnt": ("cnt", "sum")},
+    )
+    out = (
+        bucketed_aggregate(
+            sw.map_batches(
+                lambda df: df.groupby("source", sort=False)
+                .agg(n_distinct=("cnt", "size"), n_tokens=("cnt", "sum"))
+                .reset_index(),
+                batch_format="pandas",
+            ),
+            ["source"],
+            {"n_distinct": ("n_distinct", "sum"), "n_tokens": ("n_tokens", "sum")},
+            n_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+        .astype({"n_distinct": "int64", "n_tokens": "int64"})
+    )
+    out["ttr_milli"] = (1000 * out["n_distinct"]) // out["n_tokens"]
+    return pa.Table.from_pandas(
+        out[["source", "n_tokens", "n_distinct", "ttr_milli"]], preserve_index=False
+    )
+
+
+SOURCE_TTR_SQL = r"""
+WITH words AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
+       CAST((1000 * COUNT(DISTINCT word)) // COUNT(*) AS BIGINT) AS ttr_milli
+FROM words
+GROUP BY source
+ORDER BY source
+"""

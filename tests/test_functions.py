@@ -92,6 +92,7 @@ def _oracle_names():
         "source_length_percentiles",
         "vocab_growth_curve",
         "token_length_histogram",
+        "source_ttr",
         "embed_knn_graph",
         "ann_cosine_filtered_topk",
         "embed_outliers",
@@ -101,6 +102,7 @@ def _oracle_names():
         "embed_mutual_knn_clusters",
         "embed_top_component",
         "embed_dim_stats",
+        "embed_norm_histogram",
         "doc_readability",
         "doc_char_entropy",
         "doc_pareto_front",
