@@ -496,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": aggregates.customer_rfm_segments,
         # retention headline: repeat-purchase rate per segment
         "orders_repeat_rate": aggregates.orders_repeat_rate,
+        # pricing scan: discount-band volume/revenue, zero shuffle
+        "lineitem_discount_bands": aggregates.lineitem_discount_bands,
         # monthly revenue series + MoM delta (calendar-bounded fold)
         "orders_monthly_revenue": aggregates.orders_monthly_revenue,
         # ROLLUP hierarchy subtotals (zero extra distributed passes)
@@ -776,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_by_nation": joins.top_customers_by_nation_sql(),
         "customer_rfm_segments": aggregates.CUSTOMER_RFM_SEGMENTS_SQL,
         "orders_repeat_rate": aggregates.ORDERS_REPEAT_RATE_SQL,
+        "lineitem_discount_bands": aggregates.LINEITEM_DISCOUNT_BANDS_SQL,
         "orders_monthly_revenue": aggregates.ORDERS_MONTHLY_REVENUE_SQL,
         "revenue_rollup": aggregates.REVENUE_ROLLUP_SQL,
         "corpus_validate": validate.CORPUS_VALIDATE_SQL,

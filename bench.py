@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_repeat_rate",
+        "lineitem_discount_bands",
         "orders_monthly_revenue",
         "revenue_rollup",
         "corpus_validate",

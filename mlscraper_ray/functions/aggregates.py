@@ -891,3 +891,65 @@ FROM per_cust JOIN customer USING (c_custkey)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def lineitem_discount_bands(sf_dir: str) -> pa.Table:
+    """Discount-elasticity base table: per integer discount percent
+    (0..10), lineitem count, total quantity and discounted revenue —
+    the pricing-analysis scan (does volume rise where discounts
+    deepen?). ZERO-shuffle: per-batch partials over the two needed
+    columns fold into an 11-row table; money rides the integer-cents
+    chain."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dpct = (df["l_discount"] * 100).round().astype("int64")
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        g = pd.DataFrame(
+            {
+                "discount_pct": dpct,
+                "qty": df["l_quantity"].round().astype("int64"),
+                "rev_cents": (cents * (100 - dpct)) // 100,
+            }
+        )
+        out = g.groupby("discount_pct", sort=False).agg(
+            n_lineitems=("qty", "size"),
+            total_qty=("qty", "sum"),
+            revenue_cents=("rev_cents", "sum"),
+        )
+        return out.reset_index().astype("int64")
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["discount_pct"],
+            {
+                "n_lineitems": ("n_lineitems", "sum"),
+                "total_qty": ("total_qty", "sum"),
+                "revenue_cents": ("revenue_cents", "sum"),
+            },
+            n_buckets=11,
+        )
+        .to_pandas()
+        .sort_values("discount_pct", ignore_index=True)
+        .astype("int64")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+LINEITEM_DISCOUNT_BANDS_SQL = """
+SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY 1
+ORDER BY discount_pct
+"""

@@ -44,6 +44,7 @@ def _oracle_names():
         "top_customers_by_nation",
         "customer_rfm_segments",
         "orders_repeat_rate",
+        "lineitem_discount_bands",
         "orders_monthly_revenue",
         "revenue_rollup",
         "corpus_validate",
