@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_users": streams.events_burst_users,
         # engagement Zipf check: log2-band user activity histogram
         "user_activity_histogram": streams.user_activity_histogram,
+        # whale dependence: exact top-k user share of total value
+        "events_value_topk_share": streams.events_value_topk_share,
         # top-of-session event-type path mining (funnel design input)
         "events_session_paths": streams.session_paths,
         "hourly_event_counts": streams.hourly_event_counts,
@@ -924,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "session_duration_percentiles": streams.SESSION_DURATION_PERCENTILES_SQL,
         "events_burst_users": streams.EVENTS_BURST_USERS_SQL,
         "user_activity_histogram": streams.USER_ACTIVITY_HISTOGRAM_SQL,
+        "events_value_topk_share": streams.EVENTS_VALUE_TOPK_SHARE_SQL,
         "events_session_paths": streams.session_paths_sql(),
         "events_decayed_value": streams.events_decayed_value_sql(),
         "events_funnel": streams.events_funnel_sql(),

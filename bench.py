@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "session_duration_percentiles",
         "events_burst_users",
         "user_activity_histogram",
+        "events_value_topk_share",
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",

@@ -2371,3 +2371,85 @@ FROM per_user
 GROUP BY 1
 ORDER BY band
 """
+
+
+def events_value_topk_share(sf_dir: str, k: int = 100) -> pa.Table:
+    """Value-concentration headline: what integer-milli share of all
+    event value the top-``k`` users hold — the whale-dependence row on
+    the revenue data card. One row: (k_users, topk_value_milli,
+    total_value_milli, share_milli).
+
+    Distributed shape: per-user milli sums fold through the
+    coarse-bucket aggregate (slim int pairs); every output block then
+    keeps only its LOCAL k largest (value, user) rows, so the driver
+    folds k x n_blocks rows — k-bounded no matter the user domain —
+    while the grand total rides the same partials. No global sort, no
+    user-domain materialization."""
+    from mlscraper_ray.functions.bucketed import bucketed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "v": (df["value"] * 1000).round().astype("int64"),
+            }
+        )
+        return (
+            g.groupby("user_id", sort=False).agg(v=("v", "sum")).reset_index()
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"v": ("v", "sum")},
+    )
+
+    def block_head(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["v", "user_id"], ascending=[False, True]).head(k)
+        top = top.assign(kind="top")
+        tot = pd.DataFrame(
+            {"user_id": [np.int64(-1)], "v": [df["v"].sum()], "kind": ["sum"]}
+        )
+        return pd.concat([top, tot], ignore_index=True)
+
+    parts = per_user.map_batches(block_head, batch_format="pandas").to_pandas()
+    total = int(parts.loc[parts["kind"] == "sum", "v"].sum())
+    top = (
+        parts[parts["kind"] == "top"]
+        .sort_values(["v", "user_id"], ascending=[False, True])
+        .head(k)
+    )
+    topv = int(top["v"].sum())
+    return pa.table(
+        {
+            "k_users": pa.array([len(top)], pa.int64()),
+            "topk_value_milli": pa.array([topv], pa.int64()),
+            "total_value_milli": pa.array([total], pa.int64()),
+            "share_milli": pa.array(
+                [(1000 * topv) // total if total else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def events_value_topk_share_sql(k: int = 100) -> str:
+    return f"""
+WITH per_user AS (
+    SELECT user_id, CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY user_id
+),
+top AS (SELECT v FROM per_user ORDER BY v DESC, user_id LIMIT {k}),
+t AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM per_user)
+SELECT (SELECT COUNT(*) FROM top) AS k_users,
+       CAST((SELECT SUM(v) FROM top) AS BIGINT) AS topk_value_milli,
+       (SELECT total FROM t) AS total_value_milli,
+       CAST((1000 * (SELECT SUM(v) FROM top)) // (SELECT total FROM t)
+            AS BIGINT) AS share_milli
+"""
+
+
+EVENTS_VALUE_TOPK_SHARE_SQL = events_value_topk_share_sql()

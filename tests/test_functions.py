@@ -88,6 +88,7 @@ def _oracle_names():
         "session_duration_percentiles",
         "events_burst_users",
         "user_activity_histogram",
+        "events_value_topk_share",
         "source_length_gini",
         "source_lang_mix",
         "source_length_percentiles",
